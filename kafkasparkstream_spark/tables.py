@@ -1,0 +1,67 @@
+"""Parquet table registry over the driver's testdata.
+
+Loading is plain ``spark.read.parquet`` — declarative, so Catalyst gets column
+pruning and predicate pushdown into the scan for free. At 100 TB these tables
+would be date/key-partitioned parquet (or an open table format); the loader
+keeps that swap behind one function.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY realistic scale factor
+#: (region=5, nation=25 rows; supplier/part grow with sf but stay dimension-ish).
+ALWAYS_BROADCAST = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+#: Columns stored as TIMESTAMP(NANOS) in the testdata parquet. Spark's reader
+#: rejects nanos outright; with ``spark.sql.legacy.parquet.nanosAsLong`` they
+#: surface as epoch-nanos longs, which we floor-divide to µs (exactly what
+#: DuckDB's ns→µs coercion does, keeping oracle parity).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    # Runtime-settable SQLConf — works even under a caller-provided session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for ts_col in _NANOS_TS_COLS.get(name, ()):
+        field = df.schema[ts_col] if ts_col in df.columns else None
+        if field is not None and isinstance(field.dataType, LongType):
+            # `div` = integer division on longs; a float divide would lose
+            # precision (epoch-nanos ≈ 1.7e18 exceeds double's 53-bit mantissa).
+            df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+        elif field is not None and not isinstance(field.dataType, TimestampType):
+            df = df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (→ usable from spark.sql)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
