@@ -1,0 +1,188 @@
+"""Relational analytics over the star schema — joins, multi-aggs, top-k.
+
+The reference itself contains no joins (SURVEY.md §2.3) — denormalization
+happens at its producer — but join capability is part of the engine surface
+(a reference user switching to this engine gets `df.join` with Catalyst
+planning). These queries exercise the join shapes that matter at 100 TB:
+
+- **Broadcast the dimension side.** region/nation are O(10^1) rows at any
+  scale factor; customer/supplier/part grow but stay orders of magnitude
+  smaller than the fact tables. We hint ``F.broadcast`` explicitly for the
+  always-tiny dims so no sort-merge shuffle of the fact table ever happens on
+  their account; AQE converts the rest to broadcast at runtime when the built
+  side fits (`spark.sql.autoBroadcastJoinThreshold` / AQE local-shuffle-read).
+- **One shuffle per fact-table grouping.** Aggregations after the joins group
+  on low-cardinality keys → partial aggregation map-side, tiny exchange.
+- **Top-k is TakeOrderedAndProject**, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafkasparkstream_spark.operators.aggregates import FLOAT_DP
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1 shape: one scan, one grouped multi-aggregate.
+
+    The filter pushes down to the parquet scan; the groupBy keys
+    (returnflag, linestatus) have ~6 combinations → the exchange after
+    map-side partial agg carries a handful of rows per input partition.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), FLOAT_DP).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), FLOAT_DP).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                FLOAT_DP,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), FLOAT_DP).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), FLOAT_DP).alias("avg_price"),
+            F.round(F.avg("l_discount"), FLOAT_DP).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_orders_by_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join fact chain → grouped
+    revenue → top-k.
+
+    Join order: filter customer first (segment predicate prunes ~4/5), join
+    orders on custkey, then lineitem on orderkey. customer is the small side
+    → AQE broadcasts it; the orders↔lineitem join co-partitions on orderkey
+    (both sides shuffle once on the same key — at 100 TB this is the join to
+    bucket both tables on).
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ord_f = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: five-way join, revenue per nation where the customer's
+    and supplier's nation match.
+
+    region(5)/nation(25) broadcast unconditionally; supplier and the filtered
+    customer broadcast via AQE at test scale. The only large exchange is
+    lineitem↔orders on orderkey. Group key cardinality = |nation| → trivial
+    final exchange.
+    """
+    n = nation.select("n_nationkey", "n_name", "n_regionkey")
+    r = region.select("r_regionkey", "r_name")
+    dim = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    cust = customer.select("c_custkey", "c_nationkey")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    ord_f = orders.select("o_orderkey", "o_custkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .join(cust, ord_f.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(dim, supp.s_nationkey == dim.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def brand_revenue_topk(part: DataFrame, lineitem: DataFrame, k: int = 10) -> DataFrame:
+    """Part-dimension join + grouped revenue + top-k brands."""
+    p = part.select("p_partkey", "p_brand")
+    li = lineitem.select("l_partkey", "l_extendedprice", "l_discount", "l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), FLOAT_DP).alias("total_qty"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(k)
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: semi-join (EXISTS) — orders having at least one
+    lineitem shipped after order date, counted per priority.
+
+    ``left_semi`` keeps the probe side un-duplicated, so no distinct is
+    needed downstream; Spark plans a shuffled semi-join on orderkey.
+    """
+    li_late = lineitem.filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    return (
+        orders.join(li_late, orders.o_orderkey == li_late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_nation_rollup(
+    customer: DataFrame, nation: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Customer→nation broadcast join + per-nation order stats (grouped
+    avg/sum over a join result; exercises double-agg rounding parity)."""
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    o = orders.select("o_custkey", "o_totalprice")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), FLOAT_DP).alias("total_spend"),
+            F.round(F.avg("o_totalprice"), FLOAT_DP).alias("avg_spend"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("n_name"))
+    )

@@ -196,3 +196,147 @@ def props_json_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("cnt"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics — join/agg/top-k shapes over the star schema
+# (engine capability beyond the join-free reference; SURVEY.md §2.3 note).
+# ---------------------------------------------------------------------------
+
+from kafkasparkstream_spark.operators import analytics  # noqa: E402
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                           AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                                      AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                   AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)     AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                           AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                      AS avg_price,
+           ROUND(AVG(l_discount), 4)                                           AS avg_disc,
+           COUNT(*)                                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed down) → grouped multi-agg."""
+    return analytics.pricing_summary(load_table(spark, "lineitem", sf_dir))
+
+
+@register(
+    "top_orders_by_revenue",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim filter → 3-way join → grouped revenue → top-k."""
+    return analytics.top_orders_by_revenue(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+@register(
+    "region_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join with broadcast dims, per-nation revenue."""
+    return analytics.region_revenue(
+        load_table(spark, "region", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+    )
+
+
+@register(
+    "brand_revenue_topk",
+    oracle="""
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           ROUND(SUM(l_quantity), 4)                         AS total_qty,
+           COUNT(*)                                          AS line_count
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 10
+    """,
+)
+def brand_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join + grouped revenue + top-k brands."""
+    return analytics.brand_revenue_topk(
+        load_table(spark, "part", sf_dir), load_table(spark, "lineitem", sf_dir)
+    )
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-06-01'
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join, counts per priority."""
+    return analytics.order_priority_counts(
+        load_table(spark, "orders", sf_dir), load_table(spark, "lineitem", sf_dir)
+    )
+
+
+@register(
+    "customer_nation_rollup",
+    oracle="""
+    SELECT n_name,
+           COUNT(*)                       AS order_count,
+           ROUND(SUM(o_totalprice), 4)    AS total_spend,
+           ROUND(AVG(o_totalprice), 4)    AS avg_spend
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY total_spend DESC, n_name
+    """,
+)
+def customer_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + per-nation order stats."""
+    return analytics.customer_nation_rollup(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "orders", sf_dir),
+    )
