@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID, quality scoring, token counting, and document fingerprinting over
+a ``documents(doc_id, text, …)`` table. Everything here is built from
+``pyspark.sql.functions`` — array/lambda/regexp expressions that stay inside
+whole-stage codegen. No Python UDFs anywhere in this module: at 100 TB a
+per-row Python hop on the documents table is the difference between minutes
+and days.
+
+Scale notes: all operators are embarrassingly parallel per-document projections
+(no shuffle at all until an optional rollup), so they scale linearly with
+input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+#: Ordered dict — ties resolve to the first language listed.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "est", "un", "une", "dans"),
+    "zh": ("de", "le", "shi", "bu", "wo", "you", "zai", "ta"),
+}
+
+#: Stopwords used by the quality score (density of function words is a cheap
+#: fluency signal).
+QUALITY_STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]
+
+#: "BPE-ish" token pattern: runs of letters, runs of digits, or a single
+#: non-alphanumeric symbol — approximates subword pre-tokenization.
+BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokenization as a column expression."""
+    return F.split(F.trim(F.col(text_col)), " +")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts: whitespace tokens and BPE-ish regex tokens."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_col(text_col)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0)).alias(
+            "bpe_tokens"
+        ),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals per document.
+
+    - ``n_tokens`` / ``n_uniq_tokens`` — length and lexical diversity
+    - ``stopword_ratio`` — density of English function words
+    - ``avg_token_len`` — degenerate tokens (too short/long) signal noise
+    - ``uniq_ratio`` — near-1.0 means no repetition; near-0 means boilerplate
+    - ``quality`` — composite in [0,1]: diversity × stopword presence × a
+      length band, a rough analog of published heuristic filters (e.g. C4's
+      length/stopword rules).
+    """
+    toks = tokens_col(text_col)
+    sw = F.array([F.lit(w) for w in QUALITY_STOPWORDS])
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    avg_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+        / n,
+        4,
+    )
+    stop_ratio = F.round(n_stop / n, 4)
+    uniq_ratio = F.round(n_uniq / n, 4)
+    quality = F.round(
+        F.least(n / F.lit(64.0), F.lit(1.0))
+        * (F.lit(0.5) + F.lit(0.5) * F.least(n_stop / F.greatest(n * F.lit(0.05), F.lit(1.0)), F.lit(1.0)))
+        * (n_uniq / n),
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language identification.
+
+    Scores each language by the number of token occurrences hitting its
+    stopword list; predicts the argmax (ties → first language in
+    ``LANG_STOPWORDS`` order; all-zero → 'unknown'). A real deployment would
+    swap in character-n-gram profiles; the operator shape (pure column
+    expressions, argmax over per-language scores) is the scalable part.
+    """
+    toks = tokens_col(text_col)
+    out = df.select("doc_id", "lang", toks.alias("_toks"))
+    score_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        col_name = f"score_{lang}"
+        out = out.withColumn(
+            col_name, F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(arr, t)))
+        )
+        score_cols.append((lang, col_name))
+    best = F.greatest(*[F.col(c) for _, c in score_cols])
+    pred = F.lit("unknown")
+    # Build CASE in reverse so earlier languages win ties.
+    for lang, col_name in reversed(score_cols):
+        pred = F.when((F.col(col_name) == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred).drop("_toks")
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (empty if doc shorter than n)."""
+    toks = tokens_col(text_col)
+    # sequence(1, size-n+1) is 1-based; element_at is 1-based in Spark SQL.
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = 5
+) -> DataFrame:
+    """Min-k shingle-hash fingerprint (a deterministic rolling-hash analog).
+
+    md5 each word-``n``-gram, keep the ``k`` lexicographically smallest
+    digests, join with '|'. Documents sharing most content produce identical
+    or near-identical fingerprints; used as a cheap containment-dedup key.
+    """
+    sh = shingles_col(text_col, n)
+    hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s.cast("binary"))))
+    fp = F.concat_ws("|", F.slice(hashed, 1, k))
+    return df.select("doc_id", fp.alias("fingerprint"))

@@ -340,3 +340,478 @@ def customer_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "nation", sf_dir),
         load_table(spark, "orders", sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis — training-data-pipeline operators over `documents`
+# (north-star extensions; pure column expressions, no Python UDFs).
+# ---------------------------------------------------------------------------
+
+from kafkasparkstream_spark.operators import text as text_ops  # noqa: E402
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    df = text_ops.token_count(load_table(spark, "documents", sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), ' +') AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               len(list_distinct(toks)) AS n_uniq,
+               len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in','that'], tk))) AS n_stop,
+               CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) AS len_sum
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)      AS n_tokens,
+           CAST(n_uniq AS BIGINT) AS n_uniq_tokens,
+           ROUND(len_sum / n, 4)  AS avg_token_len,
+           ROUND(CAST(n_stop AS DOUBLE) / n, 4) AS stopword_ratio,
+           ROUND(CAST(n_uniq AS DOUBLE) / n, 4) AS uniq_ratio,
+           ROUND(least(n / 64.0, 1.0)
+                 * (0.5 + 0.5 * least(n_stop / greatest(n * 0.05, 1.0), 1.0))
+                 * (CAST(n_uniq AS DOUBLE) / n), 4) AS quality
+    FROM m
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword / diversity quality heuristics per document."""
+    df = text_ops.quality_score(load_table(spark, "documents", sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("long").alias("n_uniq_tokens"),
+        "avg_token_len",
+        "stopword_ratio",
+        "uniq_ratio",
+        "quality",
+    )
+
+
+@register(
+    "lang_id",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+            CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], tk))) AS INT) AS score_de,
+            CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in','that'], tk))) AS INT)        AS score_en,
+            CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en','un','es'], tk))) AS INT)           AS score_es,
+            CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est','un','une','dans'], tk))) AS INT)       AS score_fr,
+            CAST(len(list_filter(toks, tk -> list_contains(['de','le','shi','bu','wo','you','zai','ta'], tk))) AS INT)        AS score_zh
+        FROM t
+    )
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+           CASE
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'es'
+             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'fr'
+             WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'zh'
+             ELSE 'unknown'
+           END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language heuristic (argmax over per-lang scores)."""
+    return text_ops.lang_id(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             (list_sort(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))))[1:5],
+             '|') AS fingerprint
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-5 md5 sketch over word 3-gram shingles (rolling-hash analog)."""
+    return text_ops.doc_fingerprint(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication — exact, n-gram Jaccard, MinHash+LSH, SimHash over `documents`.
+# ---------------------------------------------------------------------------
+
+from kafkasparkstream_spark.operators import dedup  # noqa: E402
+
+_SHINGLES_CTE = """
+    t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+          FROM t),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content digest → (keeper id, copy count)."""
+    return dedup.exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (x.n_sh + y.n_sh - common), 4) AS jaccard
+    FROM pairs
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.5."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+
+
+def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    mins = ",\n               ".join(
+        f"min(md5('{h}:' || sh)) AS mh{h}" for h in range(num_hashes)
+    )
+    return f"sig AS (SELECT doc_id,\n               {mins}\n        FROM s GROUP BY doc_id)"
+
+
+def _band_sql(bands: int = 4, rows: int = 4) -> str:
+    parts = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        parts.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    return "bk AS (" + "\n        UNION ALL ".join(parts) + ")"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql(16)},
+    {_band_sql(4, 4)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT doc_a, doc_b, count(*) AS common
+        FROM cand
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (x.n_sh + y.n_sh - common), 4) AS jaccard
+    FROM common
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidates, exact-Jaccard verified."""
+    return dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_cases = []
+    for j in range(bits):
+        bit_cases.append(
+            f"CASE WHEN list_sum(list_transform(toks, tk -> CASE WHEN substr(md5(tk || ':{j}'), 1, 1) "
+            f"IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bit_cases)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents)
+    SELECT doc_id, {_simhash_sql(16)} AS simhash
+    FROM t
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (sign-of-sum over token-hash bits)."""
+    return dedup.simhash(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings` (ANN baseline + LSH scale path).
+# ---------------------------------------------------------------------------
+
+from kafkasparkstream_spark.operators import similarity  # noqa: E402
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, list_cosine_similarity(q.emb, c.emb) AS cos
+        FROM q JOIN c ON neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 10 query vectors."""
+    df = similarity.brute_force_topk(load_table(spark, "embeddings", sf_dir))
+    return df.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@register(
+    "ann_lsh_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id, list_cosine_similarity(q_emb, e.emb) AS cos
+        FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate cosine top-10 (probes own bucket only)."""
+    df = similarity.lsh_bucketed_topk(load_table(spark, "embeddings", sf_dir))
+    return df.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@register(
+    "embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding-cosine near-duplicates at threshold 0.35."""
+    return similarity.cosine_neardup_pairs(load_table(spark, "embeddings", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions, set ops, multi-dim aggregates over `events`.
+# ---------------------------------------------------------------------------
+
+from kafkasparkstream_spark.operators import windows as win_ops  # noqa: E402
+
+
+@register(
+    "latest_per_user",
+    oracle="""
+    SELECT * EXCLUDE (rnk) FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+        FROM events
+    ) WHERE rnk = 1
+    ORDER BY user_id
+    """,
+)
+def latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic row_number()=1: latest event per user."""
+    return win_ops.latest_per_key(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "top3_by_value_per_user",
+    oracle="""
+    SELECT * FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rnk
+        FROM events
+    ) WHERE rnk <= 3
+    ORDER BY user_id, rnk
+    """,
+)
+def top3_by_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-filter top-3 rows per key by measure."""
+    return win_ops.topk_per_key(load_table(spark, "events", sf_dir), k=3)
+
+
+@register(
+    "running_stats_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(SUM(value) OVER w_cum, 4)   AS running_sum,
+           COUNT(*) OVER w_cum               AS running_count,
+           ROUND(LAG(value, 1) OVER w, 4)    AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w_cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def running_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/count + lag per user in event-time order."""
+    return win_ops.running_stats_per_key(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "rollup_event_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY ROLLUP (event_type)
+    ORDER BY event_type NULLS FIRST
+    """,
+)
+def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP: per-type rows + grand total."""
+    return win_ops.rollup_counts(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "cube_type_user_bucket",
+    oracle="""
+    SELECT event_type, user_id % 4 AS user_bucket, COUNT(*) AS cnt,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 4)
+    ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
+    """,
+)
+def cube_type_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (event_type, user bucket)."""
+    df = load_table(spark, "events", sf_dir).withColumn(
+        "user_bucket", F.col("user_id") % 4
+    )
+    return win_ops.cube_counts(df, ("event_type", "user_bucket"))
+
+
+@register(
+    "users_purchase_and_error",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    ORDER BY user_id
+    """,
+)
+def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users with both purchase and error events."""
+    return win_ops.event_type_user_overlap(
+        load_table(spark, "events", sf_dir), "purchase", "error"
+    )
+
+
+@register(
+    "users_signup_not_purchase",
+    oracle="""
+    SELECT DISTINCT user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'signup'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    ORDER BY user_id
+    """,
+)
+def users_signup_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL + DISTINCT: signup users with no purchase coverage."""
+    return win_ops.event_type_user_except(
+        load_table(spark, "events", sf_dir), "signup", "purchase"
+    )
+
+
+@register(
+    "tagged_union_click_view",
+    oracle="""
+    SELECT event_id, user_id, 'a' AS branch FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, 'b' AS branch FROM events WHERE event_type = 'view'
+    ORDER BY event_id, branch
+    """,
+)
+def tagged_union_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with provenance tag."""
+    return win_ops.tagged_union(load_table(spark, "events", sf_dir), "click", "view")
+
+
+@register(
+    "distinct_user_count",
+    oracle="SELECT COUNT(DISTINCT user_id) AS distinct_users FROM events",
+)
+def distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT)."""
+    return win_ops.distinct_user_count(load_table(spark, "events", sf_dir))
+
+
+@register("approx_distinct_user_count")  # engine-specific sketch → rows-only check
+def approx_distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approx distinct (no oracle: sketch is engine-specific)."""
+    return win_ops.approx_distinct_user_count(load_table(spark, "events", sf_dir))
