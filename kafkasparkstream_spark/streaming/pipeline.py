@@ -1,0 +1,123 @@
+"""The continuous query: parse → watermark → tumbling window agg → two sinks.
+
+Spark-first re-expression of the reference's streaming job
+(spark-processor/processor.py:40-122). Same semantics:
+
+- ST1  1-minute event-time watermark (processor.py:83)
+- ST2  1-minute tumbling windows (processor.py:85)
+- ST3  update-mode aggregate stream (processor.py:105) — see sinks.py for the
+       duplicate-append caveat and the idempotent fix
+- ST4  append-mode raw stream (processor.py:110-117)
+- S4   per-query checkpoint locations (processor.py:106,116)
+- S5   awaitAnyTermination (processor.py:122)
+
+Scale notes: the streaming aggregate's state is partitioned by the group key
+(window × dims) across ``spark.sql.shuffle.partitions`` state stores; the
+1-minute watermark bounds state to ~2 windows × |dim combinations| entries
+regardless of throughput. Raw passthrough has no state at all. On a 1000-node
+cluster the only cross-executor traffic is the partial-agg exchange.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from kafkasparkstream_spark.schemas import SENSOR_READING_SCHEMA
+from kafkasparkstream_spark.sources.json_parse import parse_json_events
+from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+
+@dataclass
+class PipelineConfig:
+    watermark: str = "1 minute"
+    window: str = "1 minute"
+    dims: tuple[str, ...] = ("device_type", "location")
+    ts_col: str = "timestamp"
+    value_col: str = "value"
+    battery_col: str | None = "battery_level"
+    schema: StructType = field(default_factory=lambda: SENSOR_READING_SCHEMA)
+
+
+def parse_stage(raw: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """S6→S9: payload cast → from_json → flatten → event-time cast."""
+    return parse_json_events(raw, cfg.schema, payload_col="value", ts_col=cfg.ts_col)
+
+
+def windowed_aggregate_stage(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """ST1+ST2+S10: watermark → tumbling window → the reference's aggregate
+    set (avg/min/max value, avg battery, count — processor.py:89-95),
+    window struct flattened to start/end columns."""
+    aggs = [
+        F.avg(cfg.value_col).alias("avg_value"),
+        F.min(cfg.value_col).alias("min_value"),
+        F.max(cfg.value_col).alias("max_value"),
+    ]
+    if cfg.battery_col:
+        aggs.append(F.avg(cfg.battery_col).alias("avg_battery"))
+    aggs.append(F.count(F.lit(1)).alias("reading_count"))
+    return (
+        parsed.withWatermark(cfg.ts_col, cfg.watermark)
+        .groupBy(F.window(F.col(cfg.ts_col), cfg.window), *[F.col(d) for d in cfg.dims])
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *cfg.dims,
+            "avg_value",
+            "min_value",
+            "max_value",
+            *(["avg_battery"] if cfg.battery_col else []),
+            "reading_count",
+        )
+    )
+
+
+def start_pipeline(
+    raw_stream: DataFrame,
+    sink_root: str,
+    checkpoint_root: str,
+    cfg: PipelineConfig | None = None,
+    available_now: bool = False,
+) -> tuple[StreamingQuery, StreamingQuery]:
+    """Wire both output streams (processor.py:100-117 analog):
+
+    - aggregates → update mode → ``{sink_root}/sensor_aggregates``
+    - raw events → append mode → ``{sink_root}/sensor_data``
+
+    each via foreachBatch with its own checkpoint dir. ``available_now=True``
+    processes all available input then stops (deterministic tests/backfills).
+    """
+    cfg = cfg or PipelineConfig()
+    parsed = parse_stage(raw_stream, cfg)
+    parsed.createOrReplaceTempView("raw_sensor_data")  # processor.py:79 analog
+    agg = windowed_aggregate_stage(parsed, cfg)
+
+    def _start(df: DataFrame, table: str, mode: str) -> StreamingQuery:
+        writer = (
+            df.writeStream.foreachBatch(
+                foreach_batch_parquet_sink(f"{sink_root}/{table}")
+            )
+            .outputMode(mode)
+            .option("checkpointLocation", f"{checkpoint_root}/{table}")
+            .queryName(table)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    agg_q = _start(agg, "sensor_aggregates", "update")
+    raw_q = _start(parsed, "sensor_data", "append")
+    return agg_q, raw_q
+
+
+def await_any_termination(spark: SparkSession, timeout: int | None = None) -> None:
+    """S5 (processor.py:122)."""
+    if timeout is None:
+        spark.streams.awaitAnyTermination()
+    else:
+        spark.streams.awaitAnyTermination(timeout)

@@ -1,0 +1,71 @@
+"""foreachBatch sinks (S2/S3/ST7/ST8, SURVEY.md §2.1/§2.9).
+
+The reference routes every micro-batch through one callback that JDBC-appends
+to Postgres, skipping empty batches and swallowing write errors
+(processor.py:124-140). We keep that contract but write to the engine's own
+managed parquet tables, and fix the documented update-mode flaw:
+
+**ST3 caveat** — the reference appends update-mode batches blindly, so a
+window's row is re-written every time it refines and consumers see duplicate
+(window, dims) keys (processor.py:105+133). Our sink stamps each row with the
+micro-batch id; :func:`latest_state` resolves duplicates by taking the
+highest batch id per key — an idempotent read. On a production lakehouse the
+same callback body becomes a Delta/Iceberg MERGE keyed on (window, dims).
+
+Scale notes: each micro-batch write is a plain distributed parquet append
+(one file per partition, no driver collect). ``skip_empty`` avoids the
+empty-batch file churn. Errors isolate per batch (logged, stream continues)
+exactly like the reference — surface metrics instead of dying.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def foreach_batch_parquet_sink(
+    path: str,
+    skip_empty: bool = True,
+    swallow_errors: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Micro-batch callback appending to a parquet table, stamped with the
+    batch id (processor.py:124-140 analog; batch stamp added for idempotent
+    reads — see :func:`latest_state`)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            if skip_empty and batch_df.isEmpty():  # ST8 (processor.py:127)
+                log.info("batch %s empty, skipping %s", batch_id, path)
+                return
+            (
+                batch_df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(path)
+            )
+        except Exception:  # noqa: BLE001 — ST7 (processor.py:139-140)
+            if not swallow_errors:
+                raise
+            log.exception("batch %s write to %s failed (isolated)", batch_id, path)
+
+    return _write
+
+
+def latest_state(df: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
+    """Resolve update-mode duplicate appends: keep the row with the highest
+    ``_batch_id`` per key (ties broken arbitrarily-but-deterministically by
+    the max over remaining columns is unnecessary — a key appears at most
+    once per micro-batch). One window-rank pass, shuffled on the key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_batch_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )

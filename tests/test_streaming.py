@@ -1,0 +1,135 @@
+"""Golden end-to-end streaming tests (SURVEY.md §5.2).
+
+Replays a fixed sensor-event set through the parse → watermark → window → agg
+pipeline with file-source micro-batches under Trigger.AvailableNow, across a
+checkpoint restart, asserting:
+
+- the final aggregate state equals the batch shadow of the on-time rows
+  (ST1/ST2/ST3 semantics),
+- the late row (event time behind the persisted watermark) is dropped from
+  the aggregate but the raw append branch keeps every parsed row (ST4),
+- malformed JSON yields an all-null parsed row (PERMISSIVE, processor.py:48-55
+  nullable schema), not a stream failure,
+- recovery: the second run resumes from the checkpoint and only processes the
+  new file (ST6).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from kafkasparkstream_spark.sources.streams import file_json_stream, rate_sensor_stream
+from kafkasparkstream_spark.streaming.pipeline import (
+    PipelineConfig,
+    parse_stage,
+    start_pipeline,
+    windowed_aggregate_stage,
+)
+from kafkasparkstream_spark.streaming.sinks import latest_state
+
+
+def _event(device, dtype, loc, value, battery, ts):
+    return json.dumps(
+        {
+            "device_id": device,
+            "device_type": dtype,
+            "location": loc,
+            "value": value,
+            "battery_level": battery,
+            "timestamp": ts,
+        }
+    )
+
+
+ONTIME = [
+    _event("sensor_1", "temperature", "room1", 20.0, 90.0, "2024-01-01T10:00:05"),
+    _event("sensor_2", "temperature", "room1", 22.0, 80.0, "2024-01-01T10:00:30"),
+    _event("sensor_3", "humidity", "kitchen", 55.0, 70.0, "2024-01-01T10:01:10"),
+    _event("sensor_1", "temperature", "room1", 24.0, 89.0, "2024-01-01T10:02:50"),
+]
+MALFORMED = "{this is not json"
+RUN2_LATE = _event("sensor_9", "temperature", "room1", 99.0, 10.0, "2024-01-01T10:00:40")
+RUN2_ONTIME = _event("sensor_4", "humidity", "kitchen", 60.0, 60.0, "2024-01-01T10:03:10")
+
+
+def _run_available_now(spark, src_dir, sink, ckpt):
+    raw = file_json_stream(spark, src_dir, max_files_per_trigger=1)
+    agg_q, raw_q = start_pipeline(raw, sink, ckpt, available_now=True)
+    agg_q.awaitTermination()
+    raw_q.awaitTermination()
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    # ---- run 1: on-time events + a malformed line --------------------------
+    (src / "f1.json").write_text("\n".join(ONTIME + [MALFORMED]) + "\n")
+    _run_available_now(spark, str(src), sink, ckpt)
+
+    raw1 = spark.read.parquet(f"{sink}/sensor_data")
+    assert raw1.count() == 5  # 4 events + 1 all-null malformed row
+    assert raw1.filter(F.col("device_id").isNull()).count() == 1
+
+    # ---- run 2: restart from checkpoint; one late + one on-time event ------
+    (src / "f2.json").write_text("\n".join([RUN2_LATE, RUN2_ONTIME]) + "\n")
+    _run_available_now(spark, str(src), sink, ckpt)
+
+    raw2 = spark.read.parquet(f"{sink}/sensor_data")
+    # Recovery (ST6): only f2 processed in run 2 → exactly 2 new raw rows.
+    assert raw2.count() == 7
+    # Raw branch has no watermark (ST4): the late row IS in the raw table.
+    assert raw2.filter(F.col("device_id") == "sensor_9").count() == 1
+
+    # ---- final aggregate state == batch shadow of on-time rows only --------
+    agg = latest_state(
+        spark.read.parquet(f"{sink}/sensor_aggregates"),
+        ("window_start", "window_end", "device_type", "location"),
+    )
+    # Late row (10:00:40 behind watermark 10:01:50 persisted in run 1's
+    # checkpoint) must NOT appear: its window's state was evicted (ST1).
+    shadow_input = spark.createDataFrame(
+        [(v,) for v in ONTIME + [RUN2_ONTIME]], ["value"]
+    )
+    expected = windowed_aggregate_stage(
+        parse_stage(shadow_input, PipelineConfig()), PipelineConfig()
+    )
+    got = {tuple(r) for r in agg.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want, f"\ngot:  {sorted(got)}\nwant: {sorted(want)}"
+
+
+def test_rate_source_synthesizer(spark, tmp_path):
+    """G1 analog: the rate-source generator emits parseable sensor JSON."""
+    stream = rate_sensor_stream(spark, rows_per_second=50)
+    parsed = parse_stage(stream, PipelineConfig())
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM rate_smoke WHERE device_id IS NOT NULL"
+            ).collect()
+            if rows:
+                break
+            q.processAllAvailable()
+        assert rows, "rate source produced no parseable sensor events in 20s"
+        r = rows[0]
+        assert r.device_id.startswith("sensor_")
+        assert r.device_type in {"temperature", "humidity", "pressure", "motion", "light"}
+        assert r.timestamp is not None
+    finally:
+        q.stop()
