@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafkasparkstream_spark.operators.text import shingles_col
+from kafkasparkstream_spark.util import fanout
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -45,9 +46,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, one row per distinct shingle per doc."""
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col, n))).alias("shingle"))
+    """(id, shingle) pairs, one row per distinct shingle per doc.
+
+    fanout first: shingling + hashing is the expensive projection, and the
+    explode is narrow — spreading docs across the cluster before it keeps
+    every core busy (no-op when the scan already has enough splits).
+    """
+    return fanout(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col, n))).alias("shingle")
     )
 
 
@@ -194,15 +200,30 @@ def simhash(
     """
     from kafkasparkstream_spark.operators.text import tokens_col
 
-    toks = tokens_col(text_col)
-    bit_exprs = []
-    for j in range(bits):
-        coin = lambda t, j=j: F.when(
-            F.substring(F.md5(F.concat(t, F.lit(f":{j}")).cast("binary")), 1, 1).isin(
+    # Explode tokens, compute the per-(token, bit) coins as a codegen'd
+    # projection, then sum per doc in a Tungsten hash aggregate. Equivalent to
+    # a per-row higher-order fold, but the fold is interpreted per element
+    # (ArrayAggregate is CodegenFallback) while this shape stays fully
+    # code-generated and map-side-combines the ±1 sums, so the exchange
+    # carries one row of ``bits`` ints per doc regardless of document length.
+    toks = fanout(df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))).select(
+        F.col(id_col), F.explode("_toks").alias("_tok")
+    )
+    coin_cols = [
+        F.when(
+            F.substring(F.md5(F.concat(F.col("_tok"), F.lit(f":{j}")).cast("binary")), 1, 1).isin(
                 *"01234567"
             ),
             F.lit(1),
-        ).otherwise(F.lit(-1))
-        s = F.aggregate(toks, F.lit(0), lambda acc, t: acc + coin(t))
-        bit_exprs.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.select(F.col(id_col), F.concat(*bit_exprs).alias("simhash"))
+        )
+        .otherwise(F.lit(-1))
+        .alias(f"_c{j}")
+        for j in range(bits)
+    ]
+    sums = toks.select(F.col(id_col), *coin_cols).groupBy(id_col).agg(
+        *[F.sum(f"_c{j}").alias(f"_s{j}") for j in range(bits)]
+    )
+    bit_exprs = [
+        F.when(F.col(f"_s{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)
+    ]
+    return sums.select(F.col(id_col), F.concat(*bit_exprs).alias("simhash"))

@@ -142,7 +142,11 @@ def doc_fingerprint(
     digests, join with '|'. Documents sharing most content produce identical
     or near-identical fingerprints; used as a cheap containment-dedup key.
     """
+    from kafkasparkstream_spark.util import fanout
+
     sh = shingles_col(text_col, n)
     hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s.cast("binary"))))
     fp = F.concat_ws("|", F.slice(hashed, 1, k))
-    return df.select("doc_id", fp.alias("fingerprint"))
+    # Row-local min-k (no shuffle of shingle hashes — at scale that matters
+    # more than the fanout's one small repartition of raw docs).
+    return fanout(df.select("doc_id", text_col)).select("doc_id", fp.alias("fingerprint"))
