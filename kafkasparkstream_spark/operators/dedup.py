@@ -45,15 +45,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, one row per distinct shingle per doc.
+#: Universal-hash constants: h_i(x) = (A[i]*x + B[i]) mod MINHASH_P over a
+#: 32-bit base hash. One md5 per shingle feeds all `num_hashes` functions —
+#: 16× less hashing than independent md5s and a far smaller codegen unit.
+#: Deterministic Weyl-style constants so the DuckDB oracle can inline the
+#: same literals (queries.py generates its SQL from these lists).
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_A = [(2654435761 * (i + 1)) % MINHASH_P for i in range(64)]
+MINHASH_B = [(40503 * (i + 7) ** 2) % MINHASH_P for i in range(64)]
 
-    fanout first: shingling + hashing is the expensive projection, and the
-    explode is narrow — spreading docs across the cluster before it keeps
-    every core busy (no-op when the scan already has enough splits).
+
+def _shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int, persist: bool = True
+) -> DataFrame:
+    """Per-doc distinct shingle arrays: ``(id, sh_arr, n_sh)``.
+
+    The single expensive projection every shingle-based dedup shares.
+    ``persist=True`` caches it so signature-build and verification branches
+    of one query compute the shingling once (MEMORY_AND_DISK, ~same size as
+    the input text; at 100 TB the spill path handles it, or pass False to
+    trade recompute for memory).
+
+    fanout first: shingling is the expensive step — spreading docs across
+    the cluster before it keeps every core busy (no-op when the scan
+    already has enough splits).
     """
-    return fanout(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col, n))).alias("shingle")
+    out = fanout(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.array_distinct(shingles_col(text_col, n)).alias("sh_arr")
+    ).withColumn("n_sh", F.size("sh_arr"))
+    return out.persist() if persist else out
+
+
+def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, one row per distinct shingle per doc."""
+    return _shingle_arrays(df, text_col, id_col, n, persist=False).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -72,22 +98,25 @@ def ngram_jaccard_pairs(
     quadratically) — at 100 TB run :func:`minhash_lsh_pairs` first and feed
     its candidates here for exact verification.
     """
-    sh = _distinct_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    arr = _shingle_arrays(df, text_col, id_col, n)
+    # Carry n_sh through the explode: one int per row buys back two
+    # sizes-joins after the pair aggregate (n_sh is constant per doc, so
+    # min() recovers it exactly).
+    sh = arr.select(F.col(id_col), "n_sh", F.explode("sh_arr").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("a.n_sh").alias("n_a"),
+            F.min("b.n_sh").alias("n_b"),
+        )
     )
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        common.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .filter(jac >= threshold)
+        common.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -101,18 +130,25 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """MinHash signature per document: ``mh_h = min over shingles of
-    md5('h:' || shingle)``.
+    (A[h]*base + B[h]) mod P`` where ``base`` is the first 8 hex chars of
+    ``md5(shingle)`` as an int.
 
-    One explode + one grouped aggregate: the shuffle key is the doc id and
-    every hash is a parallel ``min`` — map-side combinable, so the exchange
-    carries one row per doc regardless of document length.
+    One md5 per shingle feeds all ``num_hashes`` functions (universal
+    hashing), so per-row cost is one digest + ``num_hashes`` int ops — and
+    the generated code stays small enough that Janino compile time doesn't
+    dominate cold runs. One explode + one grouped aggregate: the shuffle key
+    is the doc id and every hash is a parallel ``min`` — map-side
+    combinable, so the exchange carries one row of ints per doc regardless
+    of document length.
     """
     sh = _distinct_shingles(df, text_col, id_col, n)
+    base = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
+    withbase = sh.select(F.col(id_col), base.alias("_base"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")).cast("binary"))).alias(f"mh{h}")
+        F.min((F.lit(MINHASH_A[h]) * F.col("_base") + F.lit(MINHASH_B[h])) % F.lit(MINHASH_P)).alias(f"mh{h}")
         for h in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return withbase.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -137,13 +173,26 @@ def minhash_lsh_pairs(
     (the worst case) are already collapsed by :func:`exact_dedup`.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    arr = _shingle_arrays(df, text_col, id_col, n)
+    # Signatures from the cached array (computed once, shared with the
+    # verification branch below).
+    sh = arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    base = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
+    withbase = sh.select(F.col(id_col), base.alias("_base"))
+    sig = withbase.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[h]) * F.col("_base") + F.lit(MINHASH_B[h])) % F.lit(MINHASH_P)
+            ).alias(f"mh{h}")
+            for h in range(num_hashes)
+        ]
+    )
+    # Band buckets: the concatenated minhash run IS the bucket key (an extra
+    # md5 would only shorten an already-small join key).
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).cast("binary")
-            ).alias("bucket"),
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("bucket"),
         )
         for b in range(bands)
     ]
@@ -162,22 +211,20 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    # Exact-Jaccard verification of the candidate set only.
-    sh = _distinct_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
+    # Exact-Jaccard verification via per-doc array intersection: two compact
+    # joins keyed on doc id (arrays travel, not exploded rows) — candidate
+    # count is tiny relative to the corpus, so this is the cheap side of the
+    # plan at any scale.
+    sa = arr.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("_sh_a"), F.col("n_sh").alias("n_a"))
+    sb = arr.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("_sh_b"), F.col("n_sh").alias("n_b"))
+    verified = (
         candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("_sh_a", "_sh_b")))
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-        .filter(jac >= threshold)
+        verified.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

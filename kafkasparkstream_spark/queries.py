@@ -517,8 +517,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    # Mirrors dedup.minhash_signatures exactly: base = first 8 hex chars of
+    # md5(shingle) as int; mh_h = (A[h]*base + B[h]) mod P.
+    from kafkasparkstream_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
     mins = ",\n               ".join(
-        f"min(md5('{h}:' || sh)) AS mh{h}" for h in range(num_hashes)
+        f"min(({MINHASH_A[h]} * {base} + {MINHASH_B[h]}) % {MINHASH_P}) AS mh{h}"
+        for h in range(num_hashes)
     )
     return f"sig AS (SELECT doc_id,\n               {mins}\n        FROM s GROUP BY doc_id)"
 
@@ -527,7 +533,7 @@ def _band_sql(bands: int = 4, rows: int = 4) -> str:
     parts = []
     for b in range(bands):
         cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
-        parts.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
+        parts.append(f"SELECT doc_id, {b} AS band, {cols} AS bucket FROM sig")
     return "bk AS (" + "\n        UNION ALL ".join(parts) + ")"
 
 
