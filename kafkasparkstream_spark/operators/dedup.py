@@ -230,6 +230,12 @@ def minhash_lsh_pairs(
     )
 
 
+#: Hex chars whose nibble has bit 3/2/1/0 set — the per-bit coin test for
+#: simhash (bit j of a digest = membership of hex char j//4 in set j%4).
+#: queries.py generates the DuckDB oracle from the same lists.
+_NIBBLE_BIT_SETS = ("89abcdef", "4567cdef", "2367abef", "13579bdf")
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -237,31 +243,33 @@ def simhash(
     bits: int = 16,
 ) -> DataFrame:
     """SimHash signature: bit ``j`` is the sign of the sum over tokens of
-    ±1, where the ±1 is bit ``j`` of the token's hash.
+    ±1, where the ±1 is bit ``j`` of the token's md5 digest.
 
-    The per-(token, bit) coin is ``md5(token || ':' || j)``'s first hex char
-    < '8' — i.e. literally bit 0 of the digest — chosen because the identical
-    expression exists in any engine with md5, making the operator
-    oracle-checkable. Emitted as a bit-string column so collisions are plain
-    string equality (groupable / joinable at scale).
+    Bit ``j`` is bit ``3-(j%4)`` of hex char ``j//4`` — ONE md5 per token
+    feeds up to 128 coins, each a set-membership test on a single hex char
+    (`_NIBBLE_BIT_SETS`). Chosen because the identical expression exists in
+    any engine with md5, making the operator oracle-checkable. Emitted as a
+    bit-string column so collisions are plain string equality (groupable /
+    joinable at scale).
     """
     from kafkasparkstream_spark.operators.text import tokens_col
 
-    # Explode tokens, compute the per-(token, bit) coins as a codegen'd
-    # projection, then sum per doc in a Tungsten hash aggregate. Equivalent to
-    # a per-row higher-order fold, but the fold is interpreted per element
-    # (ArrayAggregate is CodegenFallback) while this shape stays fully
-    # code-generated and map-side-combines the ±1 sums, so the exchange
+    if bits > 128:
+        raise ValueError("simhash bits must be <= 128 (md5 has 128 bits)")
+    # Explode tokens, hash each once, compute the per-bit coins as a
+    # codegen'd projection, then sum per doc in a Tungsten hash aggregate.
+    # Equivalent to a per-row higher-order fold, but the fold is interpreted
+    # per element (ArrayAggregate is CodegenFallback) while this shape stays
+    # fully code-generated and map-side-combines the ±1 sums, so the exchange
     # carries one row of ``bits`` ints per doc regardless of document length.
-    toks = fanout(df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))).select(
-        F.col(id_col), F.explode("_toks").alias("_tok")
+    toks = (
+        fanout(df.select(F.col(id_col), tokens_col(text_col).alias("_toks")))
+        .select(F.col(id_col), F.explode("_toks").alias("_tok"))
+        .select(F.col(id_col), F.md5(F.col("_tok").cast("binary")).alias("_h"))
     )
     coin_cols = [
         F.when(
-            F.substring(F.md5(F.concat(F.col("_tok"), F.lit(f":{j}")).cast("binary")), 1, 1).isin(
-                *"01234567"
-            ),
-            F.lit(1),
+            F.substring(F.col("_h"), j // 4 + 1, 1).isin(*_NIBBLE_BIT_SETS[j % 4]), F.lit(1)
         )
         .otherwise(F.lit(-1))
         .alias(f"_c{j}")
@@ -274,3 +282,88 @@ def simhash(
         F.when(F.col(f"_s{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)
     ]
     return sums.select(F.col(id_col), F.concat(*bit_exprs).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    The standard 64-bit construction: split each signature into ``bands``
+    equal chunks (16 bits each) and hash-join docs sharing any chunk — the
+    Hamming analog of MinHash banding, with *guaranteed* recall when
+    ``max_hamming < bands`` (pigeonhole: k flipped bits can't touch all k+1
+    bands). Candidates are then verified with the exact per-bit distance,
+    so the output has no false positives. Chunk width is the selectivity
+    knob: 16-bit chunks collide at ~2^-16 per band for unrelated docs, so
+    the candidate set stays near-linear in corpus size.
+
+    At scale: both sides shuffle only (id, sig-string) rows keyed by the
+    band chunk; a degenerate all-same-signature corpus is pre-collapsed by
+    :func:`exact_dedup`, which bounds chunk skew.
+    """
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError("full recall requires max_hamming < bands")
+    width = bits // bands
+    # Persist: the signature build (token explode + `bits` sum-aggs) is the
+    # expensive subtree and both self-join branches need it. One row of
+    # (id, bits-char string) per doc — tiny relative to the corpus.
+    sig = simhash(df, text_col, id_col, bits).persist()
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * width + 1, width).alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    # Pack the bit-string into 32-bit ints up front so the per-candidate
+    # Hamming distance is bit_count(xor) — a handful of JVM ops — instead of
+    # `bits` per-row substring compares (measured ~30× slower).
+    n_words = (bits + 31) // 32
+    word_cols = [
+        F.conv(F.substring("simhash", w * 32 + 1, 32), 2, 10).cast("long").alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        F.col(id_col),
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+        *word_cols,
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    # Packed signatures ride along through the join, so verification needs
+    # no extra join back to `sig`.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[F.col(f"a.w{w}").alias(f"aw{w}") for w in range(n_words)],
+            *[F.col(f"b.w{w}").alias(f"bw{w}") for w in range(n_words)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"aw{w}").bitwiseXOR(F.col(f"bw{w}"))) for w in range(n_words)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

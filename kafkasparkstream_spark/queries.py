@@ -568,27 +568,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sig_cte(bits: int) -> str:
+    # Mirrors dedup.simhash: coin j = bit 3-(j%4) of hex char j//4 of
+    # md5(token), generated from the same _NIBBLE_BIT_SETS constants.
+    from kafkasparkstream_spark.operators.dedup import _NIBBLE_BIT_SETS
+
     bit_cases = []
     for j in range(bits):
+        charset = ",".join(f"'{c}'" for c in _NIBBLE_BIT_SETS[j % 4])
         bit_cases.append(
-            f"CASE WHEN list_sum(list_transform(toks, tk -> CASE WHEN substr(md5(tk || ':{j}'), 1, 1) "
-            f"IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"
+            f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substr(h, {j // 4 + 1}, 1) "
+            f"IN ({charset}) THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"
         )
-    return " || ".join(bit_cases)
+    sig = " || ".join(bit_cases)
+    return f"""
+    t AS (SELECT doc_id, list_transform(string_split_regex(trim(text), ' +'), tk -> md5(tk)) AS hs
+          FROM documents),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM t)
+"""
 
 
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents)
-    SELECT doc_id, {_simhash_sql(16)} AS simhash
-    FROM t
+    WITH {_simhash_sig_cte(16)}
+    SELECT doc_id, simhash FROM sig
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document (sign-of-sum over token-hash bits)."""
     return dedup.simhash(load_table(spark, "documents", sf_dir))
+
+
+def _hamming_sql(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN substr(sig_a, {j + 1}, 1) <> substr(sig_b, {j + 1}, 1) THEN 1 ELSE 0 END)"
+        for j in range(bits)
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_sig_cte(64)},
+    bk AS (
+        SELECT doc_id, simhash, b.band, substr(simhash, b.band * 16 + 1, 16) AS chunk
+        FROM sig, (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, CAST({_hamming_sql(64)} AS INT) AS hamming FROM cand
+    )
+    SELECT doc_a, doc_b, hamming
+    FROM scored WHERE hamming <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs: 4×16-bit banded candidates, exact
+    Hamming ≤ 3 verification (full recall by pigeonhole)."""
+    return dedup.simhash_pairs(load_table(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------
