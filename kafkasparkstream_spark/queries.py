@@ -864,3 +864,82 @@ def distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approx distinct (no oracle: sketch is engine-specific)."""
     return win_ops.approx_distinct_user_count(load_table(spark, "events", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing — binary assets decoded/feature-extracted through
+# Arrow-batched mapInPandas kernels. The payloads are synthesized
+# deterministically from `documents` (ASCII bytes of sha2(text) hex) so the
+# DuckDB oracle can mirror the byte-level math in string space; the decode
+# kernels are the container-safe fakes in operators/multimodal.py.
+# ---------------------------------------------------------------------------
+
+from kafkasparkstream_spark.operators import multimodal  # noqa: E402
+
+
+def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → asset table: payload = ASCII bytes of sha2(text) (64 B)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.sha2(F.col("text"), 256).cast("binary").alias("payload"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    oracle="""
+    WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS payload_hex FROM documents),
+    d AS (SELECT asset_id,
+                 sha256(payload_hex)             AS digest,
+                 sha256('emb:' || payload_hex)   AS emb_digest
+          FROM a)
+    SELECT asset_id,
+           CAST(64 + CAST(('0x' || substr(digest, 1, 2)) AS INT) % 192 AS INT) AS width,
+           CAST(64 + CAST(('0x' || substr(digest, 3, 2)) AS INT) % 192 AS INT) AS height,
+           CAST(64 AS BIGINT) AS n_bytes,
+           digest AS sha256,
+           ROUND(CAST(('0x' || substr(emb_digest, 1, 2)) AS INT) / 255.0 - 0.5, 6) AS e0,
+           ROUND(CAST(('0x' || substr(emb_digest, 3, 2)) AS INT) / 255.0 - 0.5, 6) AS e1,
+           ROUND(CAST(('0x' || substr(emb_digest, 5, 2)) AS INT) / 255.0 - 0.5, 6) AS e2,
+           ROUND(CAST(('0x' || substr(emb_digest, 7, 2)) AS INT) / 255.0 - 0.5, 6) AS e3
+    FROM d
+    ORDER BY asset_id
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature extraction (Arrow mapInPandas kernel), with
+    the embedding head flattened to scalar columns for the value-hash."""
+    feats = multimodal.image_features(_doc_assets(spark, sf_dir), embedding_dim=4)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "n_bytes",
+        "sha256",
+        *[F.element_at("embedding", k + 1).alias(f"e{k}") for k in range(4)],
+    ).orderBy("asset_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS payload_hex FROM documents),
+    f AS (SELECT asset_id, unnest([0, 2]) AS frame_index, payload_hex FROM a)
+    SELECT asset_id, CAST(frame_index AS INT) AS frame_index,
+           substr(payload_hex, frame_index * 16 + 1, 16) AS frame_str
+    FROM f
+    ORDER BY asset_id, frame_index
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1 row in → N frame rows out through mapInPandas);
+    64-byte payloads → 4 16-byte frames, every 2nd kept → frames 0 and 2.
+    Frames are ASCII by construction, so the oracle compares them as text."""
+    frames = multimodal.sample_frames(_doc_assets(spark, sf_dir), every_n=2, max_frames=3)
+    return frames.select(
+        "asset_id",
+        "frame_index",
+        F.col("frame").cast("string").alias("frame_str"),
+    ).orderBy("asset_id", "frame_index")
