@@ -56,28 +56,68 @@ def brute_force_topk(
     """Exact cosine top-k of every candidate for each of the first
     ``num_queries`` vectors (query set = ``vec_id < num_queries``).
 
-    Plan: broadcast-nested-loop the tiny query side against the candidates
-    (linear scan, no candidate shuffle), then a window top-k per query —
-    ``row_number`` ties broken by neighbor id for determinism.
+    Plan: collect the tiny query set to a numpy matrix and broadcast it;
+    ``mapInPandas`` scores each candidate partition as one BLAS GEMM
+    (``block @ queries.T``) and emits only each partition's top-k per query
+    (``argpartition``), so the shuffle carries ≤ k·partitions rows per query
+    no matter how many candidates were scanned. A final window picks the
+    global top-k — ``row_number`` ties broken by neighbor id for
+    determinism. The query side is O(num_queries·d) on the driver; the
+    candidate side never leaves the executors.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
     from pyspark.sql.window import Window
 
-    q = embeddings.filter(F.col(id_col) < num_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    spark = embeddings.sparkSession
+    qrows = (
+        embeddings.filter(F.col(id_col) < num_queries)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
     )
-    # fanout: the candidate scan carries the per-pair cosine work; a single
-    # input split would serialize it onto one core.
-    c = fanout(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"))
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("_cos", DoubleType(), False),
+        ]
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("_cos"),
-        )
-    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            c_ids = batch[id_col].to_numpy()
+            c_mat = np.array([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ mat_q.T  # (n_cand, n_q)
+            sims[c_ids[:, None] == ids_q[None, :]] = -np.inf  # mask self-match
+            # k+1: a masked self-match may occupy one slot in its partition.
+            take = min(k + 1, len(c_ids))
+            # Partial top-k per query within this partition.
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, n_q)
+            qi = np.broadcast_to(ids_q, part.shape)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi.ravel(),
+                    "neighbor_id": c_ids[part].ravel().astype("int64"),
+                    "_cos": np.take_along_axis(sims, part, axis=0).ravel(),
+                }
+            )
+
+    # fanout: the candidate scan carries the GEMM work; a single input split
+    # would serialize it onto one core.
+    c = fanout(embeddings.select(F.col(id_col), F.col(vec_col)))
+    scored = c.mapInPandas(kernel, out_schema).filter(F.col("_cos") != float("-inf"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
