@@ -46,11 +46,15 @@ def main() -> None:
     queries = entrymod.queries()
 
     # Warm-up: touch every table once so first-timed query isn't billed for
-    # JVM classloading / parquet footer reads.
+    # JVM classloading / parquet footer reads, and spin up the Python UDF
+    # worker pool so Arrow-kernel queries aren't billed for worker forks.
     from kafkasparkstream_spark.tables import TABLE_NAMES, load_table
 
     for t in TABLE_NAMES:
         load_table(spark, t, sf_dir).count()
+    spark.range(64, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
