@@ -867,6 +867,104 @@ def approx_distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming end-to-end — the reference's continuous query (S1-S10, ST1-ST8)
+# run for real: JSON wire format → file-source micro-batch → parse chain →
+# watermark → tumbling window state → update-mode foreachBatch sink →
+# idempotent read-back. The final state must hash-match the *batch* oracle,
+# proving the incremental computation converges to the declarative answer.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Wire schema for events serialized as sensor-style JSON (`ts` as ISO string,
+#: cast downstream — the reference's regime, processor.py:48-55,76).
+EVENT_WIRE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("ts", StringType(), True),
+    ]
+)
+
+
+@register(
+    "streaming_windowed_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 minute', ts)                      AS window_start,
+           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+           event_type,
+           ROUND(AVG(value), 4) AS avg_value,
+           MIN(value)           AS min_value,
+           MAX(value)           AS max_value,
+           COUNT(*)             AS reading_count
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full continuous query, executed for real via Structured Streaming:
+    events → JSON lines → file stream (Kafka-payload-shaped) → parse →
+    watermark → 1-min tumbling agg → update-mode foreachBatch parquet sink →
+    latest-state read. Single availableNow batch keeps watermark drops out so
+    the final state equals the batch answer exactly."""
+    import tempfile
+
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.pipeline import PipelineConfig, start_pipeline
+    from kafkasparkstream_spark.streaming.sinks import latest_state
+
+    events = load_table(spark, "events", sf_dir)
+    workdir = tempfile.mkdtemp(prefix="kss_stream_")
+    src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
+    # G1 analog: serialize to the wire format the Kafka producer would send.
+    events.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ).alias("value")
+    ).write.mode("overwrite").text(src)
+
+    cfg = PipelineConfig(
+        dims=("event_type",),
+        ts_col="ts",
+        value_col="value",
+        battery_col=None,
+        schema=EVENT_WIRE_SCHEMA,
+    )
+    raw = file_json_stream(spark, src, max_files_per_trigger=None)
+    agg_q, raw_q = start_pipeline(raw, sink, ckpt, cfg, available_now=True)
+    agg_q.awaitTermination()
+    raw_q.awaitTermination()
+
+    final = latest_state(
+        spark.read.parquet(f"{sink}/sensor_aggregates"),
+        ("window_start", "window_end", "event_type"),
+    )
+    return final.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.round("avg_value", 4).alias("avg_value"),
+        "min_value",
+        "max_value",
+        "reading_count",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing — binary assets decoded/feature-extracted through
 # Arrow-batched mapInPandas kernels. The payloads are synthesized
 # deterministically from `documents` (ASCII bytes of sha2(text) hex) so the
