@@ -1,0 +1,128 @@
+"""Temporal operators Spark lacks as built-ins: as-of join, sessionization.
+
+Both are single-shuffle compositions of DataFrame primitives — no Python in
+the hot path, no range-explosion joins:
+
+- **as-of join** — "attach the most recent right-side row at or before each
+  left row's event time, per key". The classic implementations are a range
+  join (quadratic blowup) or a per-key merge (imperative). The Spark-native
+  shape used here: union both sides tagged, sort within each key partition
+  by (ts, side), and carry the right side's values forward with
+  ``last(..., ignoreNulls=True)`` over the preceding-rows frame. ONE shuffle
+  on the key, linear work, and the sort is Tungsten's — this is the plan a
+  1000-executor cluster wants (each key's timeline lands on one partition;
+  skewed keys fall back to AQE skew handling).
+- **sessionization** — gap-based session ids per key: ``lag`` to detect
+  gaps, cumulative sum of gap flags to number sessions, then a grouped
+  rollup. Same single shuffle on the key.
+
+The DuckDB oracles check the as-of join against DuckDB's *native*
+``ASOF JOIN`` operator — two independent implementations, one answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: tuple[str, ...],
+    prefix: str = "prev_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` and the same key (inclusive as-of semantics).
+
+    ``right`` must be unique per (key, ts) — pre-aggregate ties upstream
+    (see ``asof_purchase_click`` for the ``max_by`` pattern); otherwise the
+    "most recent" row is ambiguous in ANY engine.
+
+    Returns every left column plus ``{prefix}{ts_col}`` and
+    ``{prefix}{col}`` for each value col (null when no right row precedes).
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key_col, ts_col)],
+    )
+    tagged_l = left.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        *[F.col(c) for c in lcols if c not in (key_col, ts_col)],
+    )
+    # Right rows sort before left rows at equal ts (side 0 < 1) → inclusive
+    # `<=` semantics, matching ASOF JOIN's `l.ts >= r.ts`.
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_r.unionByName(tagged_l).select(
+        "*",
+        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{prefix}{ts_col}"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols, f"{prefix}{ts_col}", *[f"{prefix}{c}" for c in value_cols]
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the key's previous event exceeds ``gap_seconds``.
+
+    Returns the input plus ``session_id`` (1-based per key, in time order).
+    One shuffle on the key; both window passes reuse the same sort.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > F.lit(gap_seconds))
+    ).cast("int")
+    return df.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ).drop("_new")
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session rollup: bounds, event count, value sum (4dp grid)."""
+    s = sessionize(df, key_col, ts_col, order_col, gap_seconds)
+    return (
+        s.groupBy(key_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .orderBy(key_col, "session_id")
+    )

@@ -867,6 +867,92 @@ def approx_distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal operators — as-of join and sessionization over `events`.
+# The as-of oracle uses DuckDB's NATIVE ASOF JOIN: two independent
+# implementations (union+carry-forward vs merge-join), one answer.
+# ---------------------------------------------------------------------------
+
+from kafkasparkstream_spark.operators import temporal  # noqa: E402
+
+
+@register(
+    "asof_purchase_click",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    l AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS prev_ts, r.value AS prev_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent click at or
+    before it. Right side deduped per (user, ts) by max event_id so the
+    'most recent row' is unambiguous in every engine."""
+    events = load_table(spark, "events", sf_dir)
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = temporal.asof_join(
+        left, right, key_col="user_id", ts_col="ts", value_cols=("value",)
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("prev_ts"), F.col("prev_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "session_stats",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM s
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session rollup."""
+    events = load_table(spark, "events", sf_dir)
+    out = temporal.session_stats(events, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming end-to-end — the reference's continuous query (S1-S10, ST1-ST8)
 # run for real: JSON wire format → file-source micro-batch → parse chain →
 # watermark → tumbling window state → update-mode foreachBatch sink →
