@@ -110,3 +110,64 @@ def time_range(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.min(ts_col).alias("min_ts"),
         F.max(ts_col).alias("max_ts"),
     )
+
+
+def salted_group_agg(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    salt_col: str = "event_id",
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant two-phase aggregate: phase 1 groups on
+    (key, hash(salt_col) % buckets) so a hot key's rows split across
+    ``buckets`` reducers; phase 2 merges the partials on the key alone.
+
+    count/sum/min/max are all decomposable, so the merge is exact. With AQE
+    skew handling this is rarely needed for joins, but a single pathological
+    group-by key (one tenant = 40% of rows) still serializes its final
+    reduce — salting caps any reducer's share at 1/buckets of the hot key.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_col)), F.lit(buckets)))
+    partial = salted.groupBy(key_col, "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(value_col).alias("_sum"),
+        F.min(value_col).alias("_min"),
+        F.max(value_col).alias("_max"),
+    )
+    return (
+        partial.groupBy(key_col)
+        .agg(
+            F.sum("_cnt").alias("cnt"),
+            F.round(F.sum("_sum"), FLOAT_DP).alias("sum_value"),
+            F.min("_min").alias("min_value"),
+            F.max("_max").alias("max_value"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def distribution_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    aux_col: str = "user_id",
+) -> DataFrame:
+    """Exact order statistics + moments per group: median, p95 (exact
+    interpolated percentile — Catalyst's `percentile`, not the approximate
+    sketch), sample stddev, and correlation against ``aux_col``.
+
+    At 100 TB exact percentiles buffer each group's values on its reducer —
+    swap `percentile` for `approx_percentile(…, accuracy)` when groups stop
+    fitting; the query shape is unchanged.
+    """
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.round(F.expr(f"percentile({value_col}, 0.5)"), FLOAT_DP).alias("p50"),
+            F.round(F.expr(f"percentile({value_col}, 0.95)"), FLOAT_DP).alias("p95"),
+            F.round(F.stddev_samp(value_col), FLOAT_DP).alias("stddev_value"),
+            F.round(F.corr(value_col, F.col(aux_col).cast("double")), 6).alias("corr_value_aux"),
+        )
+        .orderBy(key_col)
+    )

@@ -126,3 +126,47 @@ def session_stats(
         )
         .orderBy(key_col, "session_id")
     )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_seconds: int = 60,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """For each left row, count right rows with the same key whose time is
+    in ``(left.ts - window_seconds, left.ts]`` — a range join.
+
+    A naive inequality join degenerates to a per-key nested loop. The
+    Spark-native shape: bin both sides into ``window_seconds`` buckets and
+    equi-join on (key, bin), with each left row probing its own bin and the
+    previous one (any right row in range lives in one of the two). The
+    inequality becomes a post-join filter on an already-tiny candidate set,
+    and the join is a plain hash join on well-distributed keys — this is the
+    plan that survives 1000 executors.
+
+    Returns every left row (count 0 when nothing in range).
+    """
+    bin_ = lambda c: F.floor(F.col(c).cast("long") / window_seconds)  # noqa: E731
+    r = right.select(
+        F.col(key_col), F.col(ts_col).alias("_r_ts"), bin_(ts_col).alias("_bin")
+    )
+    l_binned = left.withColumn("_bin0", bin_(ts_col)).withColumn(
+        "_bin", F.explode(F.array(F.col("_bin0") - 1, F.col("_bin0")))
+    )
+    matched = (
+        l_binned.join(r, [key_col, "_bin"])
+        .filter(
+            (F.col("_r_ts") > F.col(ts_col) - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+            & (F.col("_r_ts") <= F.col(ts_col))
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_in_range"))
+    )
+    return (
+        left.join(matched, id_col, "left")
+        .withColumn("n_in_range", F.coalesce("n_in_range", F.lit(0)))
+        .orderBy(id_col)
+    )

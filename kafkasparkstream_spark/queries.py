@@ -952,6 +952,70 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "clicks_before_error_60s",
+    oracle="""
+    WITH r AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error')
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           CAST(COUNT(r.ts) AS BIGINT) AS n_in_range
+    FROM l LEFT JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts - INTERVAL 60 SECONDS AND r.ts <= l.ts
+    GROUP BY l.event_id, l.user_id, l.ts, l.value
+    ORDER BY l.event_id
+    """,
+)
+def clicks_before_error_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within the 60 s before each error, per user —
+    bucketized equi-join shape (no nested-loop range join)."""
+    events = load_table(spark, "events", sf_dir)
+    left = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return temporal.range_join_count(
+        left, right, key_col="user_id", ts_col="ts", window_seconds=60
+    )
+
+
+@register(
+    "salted_value_stats_by_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase (salted) aggregate — must equal the plain
+    one-phase GROUP BY exactly (count/sum/min/max are decomposable)."""
+    events = load_table(spark, "events", sf_dir)
+    return aggregates.salted_group_agg(events, key_col="event_type")
+
+
+@register(
+    "value_distribution_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(stddev_samp(value), 4)         AS stddev_value,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_aux
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + moments per group (Catalyst
+    `percentile` ≡ DuckDB `quantile_cont`)."""
+    events = load_table(spark, "events", sf_dir)
+    return aggregates.distribution_stats(events)
+
+
 # ---------------------------------------------------------------------------
 # Streaming end-to-end — the reference's continuous query (S1-S10, ST1-ST8)
 # run for real: JSON wire format → file-source micro-batch → parse chain →
