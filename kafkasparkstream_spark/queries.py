@@ -1017,6 +1017,62 @@ def value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / dataset splits — hash-keyed, engine-portable
+# (the oracle runs the identical md5 arithmetic).
+# ---------------------------------------------------------------------------
+
+from kafkasparkstream_spark.operators import sampling  # noqa: E402
+
+_BUCKET_SQL = "CAST(('0x' || substr(md5('{salt}' || CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+@register(
+    "dataset_split_stats",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT *, CASE WHEN {_BUCKET_SQL.format(salt='split0', id='event_id')} < 80 THEN 'train'
+                       WHEN {_BUCKET_SQL.format(salt='split0', id='event_id')} < 90 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM events
+    )
+    SELECT split, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+    FROM labeled GROUP BY split ORDER BY split
+    """,
+)
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by id hash — stable under reprocessing,
+    repartitioning, and appends; here rolled up to per-split stats."""
+    events = load_table(spark, "events", sf_dir)
+    labeled = sampling.dataset_split(events, "event_id")
+    return (
+        labeled.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE {_BUCKET_SQL.format(salt='s0', id='event_id')} <
+          CASE event_type WHEN 'purchase' THEN 100 WHEN 'click' THEN 10
+                          WHEN 'view' THEN 10 ELSE 0 END
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling: keep all purchases, 10% of clicks/views,
+    drop the rest — one pushable filter expression, zero shuffle."""
+    events = load_table(spark, "events", sf_dir)
+    sampled = sampling.stratified_hash_sample(
+        events, "event_id", "event_type", {"purchase": 100, "click": 10, "view": 10}
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # Streaming end-to-end — the reference's continuous query (S1-S10, ST1-ST8)
 # run for real: JSON wire format → file-source micro-batch → parse chain →
 # watermark → tumbling window state → update-mode foreachBatch sink →
