@@ -173,6 +173,104 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k.
+
+    Coarse quantizer: the first ``n_centroids`` vectors serve as centroids
+    (deterministic "training" — swap in k-means output without changing the
+    plan). Every vector is assigned to its max-cosine centroid (ties →
+    lowest centroid id); each query probes its ``nprobe`` nearest centroid
+    lists and scores only those vectors.
+
+    Scale shape: centroids and queries broadcast (O((C+Q)·d)); one
+    mapInPandas pass assigns + scores each partition with BLAS GEMMs and
+    emits local top-(k+1) per query, so the shuffle carries k·partitions
+    rows. On a real deployment the assignment would be precomputed and the
+    table bucketed by centroid id, turning each probe into partition
+    pruning — the kernel is unchanged.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    spark = embeddings.sparkSession
+
+    def _mat(rows):
+        ids = np.array([r[0] for r in rows], dtype="int64")
+        m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+        return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    cent_ids, cent_mat = _mat(
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids, q_mat = _mat(
+        embeddings.filter(F.col(id_col) < num_queries).select(id_col, vec_col).collect()
+    )
+    # Probe lists: each query's nprobe nearest centroids (ties → lowest id).
+    q_cent = q_mat @ cent_mat.T  # (n_q, C)
+    order = np.lexsort((np.broadcast_to(cent_ids, q_cent.shape), -q_cent), axis=1)
+    probes = cent_ids[order[:, :nprobe]]  # (n_q, nprobe)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, cent_ids, cent_mat, probes))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("_cos", DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, ids_c, mat_c, probe_sets = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            v_ids = batch[id_col].to_numpy()
+            v_mat = np.array([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            v_mat /= np.linalg.norm(v_mat, axis=1, keepdims=True)
+            # Assign each vector to its max-cosine centroid (argmax picks the
+            # lowest index on ties; ids_c is sorted ascending).
+            assign = ids_c[np.argmax(v_mat @ mat_c.T, axis=1)]  # (n_v,)
+            sims = v_mat @ mat_q.T  # (n_v, n_q)
+            allowed = (assign[:, None, None] == probe_sets[None, :, :]).any(-1)
+            sims[~allowed] = -np.inf
+            sims[v_ids[:, None] == ids_q[None, :]] = -np.inf
+            take = min(k + 1, len(v_ids))
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            qi = np.broadcast_to(ids_q, part.shape)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi.ravel(),
+                    "neighbor_id": v_ids[part].ravel().astype("int64"),
+                    "_cos": np.take_along_axis(sims, part, axis=0).ravel(),
+                }
+            )
+
+    c = fanout(embeddings.select(F.col(id_col), F.col(vec_col)))
+    scored = c.mapInPandas(kernel, out_schema).filter(F.col("_cos") != float("-inf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,

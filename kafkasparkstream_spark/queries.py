@@ -700,6 +700,49 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, emb, cid FROM (
+            SELECT e.vec_id, e.emb, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+            FROM e CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, q_emb, cid FROM (
+            SELECT e.vec_id AS query_id, e.emb AS q_emb, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+            FROM e CROSS JOIN c WHERE e.vec_id < 10
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.q_emb, a.emb) AS cos
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-10: 16 deterministic centroids, 2 probes."""
+    df = similarity.ivf_topk(load_table(spark, "embeddings", sf_dir))
+    return df.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@register(
     "embedding_neardup",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
