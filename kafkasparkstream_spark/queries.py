@@ -909,6 +909,37 @@ def approx_distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_ops.approx_distinct_user_count(load_table(spark, "events", sf_dir))
 
 
+@register(
+    "json_roundtrip_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7+F1 (generator.py:22 / processor.py:74): to_json → from_json
+    round-trip, then aggregate — the serialized wire format must be
+    lossless, so the rollup equals the direct aggregate exactly."""
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from pyspark.sql.types import StructType as _St
+
+    events = load_table(spark, "events", sf_dir)
+    wire_schema = _St(
+        [f for f in schemas.EVENT_SCHEMA.fields if f.name in ("event_type", "value")]
+    )
+    wire = events.select(
+        F.to_json(F.struct("event_type", "value")).alias("value")
+    )
+    parsed = parse_json_events(wire, wire_schema, ts_col=None)
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal operators — as-of join and sessionization over `events`.
 # The as-of oracle uses DuckDB's NATIVE ASOF JOIN: two independent

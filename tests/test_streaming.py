@@ -133,3 +133,58 @@ def test_rate_source_synthesizer(spark, tmp_path):
         assert r.timestamp is not None
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across micro-batches
+    (state store carries (count, sum) between triggers)."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.streaming.stateful import running_user_totals
+
+    wire = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("ts", StringType(), True),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "out")
+    rows1 = [
+        json.dumps({"user_id": 1, "value": 10.0, "ts": "2024-01-01T10:00:00"}),
+        json.dumps({"user_id": 1, "value": 5.0, "ts": "2024-01-01T10:00:10"}),
+        json.dumps({"user_id": 2, "value": 7.0, "ts": "2024-01-01T10:00:20"}),
+    ]
+    rows2 = [
+        json.dumps({"user_id": 1, "value": 2.5, "ts": "2024-01-01T10:01:00"}),
+    ]
+    (src / "a.json").write_text("\n".join(rows1) + "\n")
+    (src / "b.json").write_text("\n".join(rows2) + "\n")
+
+    raw = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    parsed = parse_json_events(raw, wire, ts_col="ts")
+    totals = running_user_totals(parsed)
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    q = (
+        totals.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(sink).toPandas()
+    # Final (highest) emission per user must be the cross-batch total.
+    final = out.sort_values("n_events").groupby("user_id").last()
+    assert final.loc[1, "n_events"] == 3 and abs(final.loc[1, "sum_value"] - 17.5) < 1e-9
+    assert final.loc[2, "n_events"] == 1 and abs(final.loc[2, "sum_value"] - 7.0) < 1e-9
+    # User 1 appeared in two micro-batches -> two emissions with growing totals.
+    u1 = sorted(out[out.user_id == 1]["n_events"].tolist())
+    assert u1 == [2, 3], f"expected state carry across batches, got emissions {u1}"
