@@ -134,3 +134,137 @@ def approx_distinct_user_count(df: DataFrame, rsd: float = 0.02) -> DataFrame:
     distinct shuffle; sketches merge associatively). Engine-specific sketch →
     no SQL oracle; driver does the rows-only check."""
     return df.agg(F.approx_count_distinct("user_id", rsd=rsd).alias("approx_distinct_users"))
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "2 minutes",
+    slide: str = "1 minute",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Overlapping (sliding) time windows: each event lands in
+    duration/slide windows. Same partial-aggregation shape as the tumbling
+    variant — the explode to multiple windows happens before the map-side
+    combine, so the exchange still carries one row per (partition, window,
+    dims)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide), *dims)
+        .agg(
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("reading_count"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *dims,
+            "avg_value",
+            "reading_count",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Spark's native session windows (dynamic-length, gap-merged): each
+    event claims [ts, ts+gap); overlapping ranges merge into one session
+    whose window is [first_ts, last_ts+gap). Usable identically in batch
+    and streaming (where it is state-store-backed with watermark-driven
+    close)."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy(key_col, "session_start")
+    )
+
+
+def zscore_per_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key z-score normalization via applyInPandas (grouped-map Pandas
+    UDF): each key's rows arrive as one pandas DataFrame, are normalized
+    with vectorized numpy, and return with the same cardinality.
+
+    The oracle computes the identical normalization with window functions —
+    a Python grouped-map kernel cross-checked against pure SQL. Use this
+    shape when the per-group logic outgrows SQL (model scoring, complex
+    resampling); for plain z-scores the window-function form is preferred
+    (no Python hop). Groups shuffle whole — skewed keys gate the stage, so
+    pre-split pathological keys upstream.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField(key_col, LongType(), False),
+            StructField(value_col, DoubleType(), True),
+            StructField("zscore", DoubleType(), True),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf[value_col].mean()
+        sd = pdf[value_col].std(ddof=1)  # sample stddev, matches stddev_samp
+        z = (pdf[value_col] - mu) / sd if sd and sd > 0 else pdf[value_col] * 0.0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                key_col: pdf[key_col],
+                value_col: pdf[value_col],
+                "zscore": z.round(4),
+            }
+        )
+
+    return (
+        df.select(id_col, key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(kernel, out_schema)
+        .orderBy(id_col)
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    pivot_col: str = "event_type",
+    values: tuple[str, ...] = ("click", "view", "purchase", "signup", "error"),
+) -> DataFrame:
+    """Pivot: one row per key, one count column per pivot value. Passing the
+    value list explicitly skips Spark's extra distinct-collection job and
+    keeps the plan a single hash aggregate."""
+    out = (
+        df.groupBy(key_col)
+        .pivot(pivot_col, list(values))
+        .agg(F.count(F.lit(1)))
+        .orderBy(key_col)
+    )
+    return out.select(
+        key_col, *[F.coalesce(F.col(v), F.lit(0)).alias(f"n_{v}") for v in values]
+    )

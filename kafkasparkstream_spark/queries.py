@@ -903,6 +903,92 @@ def distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_ops.distinct_user_count(load_table(spark, "events", sf_dir))
 
 
+@register(
+    "sliding_window_avg",
+    oracle="""
+    WITH exploded AS (
+        SELECT time_bucket(INTERVAL '1 minute', ts) - k.k * INTERVAL 1 MINUTE AS window_start,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT window_start, window_start + INTERVAL 2 MINUTES AS window_end,
+           event_type, ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS reading_count
+    FROM exploded
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-min duration, 1-min slide): every event lands in
+    two windows; oracle derives the same windows by explicit explosion."""
+    events = load_table(spark, "events", sf_dir)
+    return win_ops.sliding_window_agg(events).orderBy("window_start", "event_type")
+
+
+@register(
+    "session_window_user",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    n AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM n GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-merged [ts, ts+gap) ranges) checked
+    against a first-principles islands construction: merge iff ranges
+    overlap, i.e. new session when the gap is >= 30 min."""
+    events = load_table(spark, "events", sf_dir)
+    return win_ops.session_window_agg(events)
+
+
+@register(
+    "zscore_per_user",
+    oracle="""
+    SELECT event_id, user_id, value,
+           ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    ORDER BY event_id
+    """,
+)
+def zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (vectorized per-key kernel) cross-checked
+    against the pure-SQL window-function normalization."""
+    events = load_table(spark, "events", sf_dir)
+    return win_ops.zscore_per_key(events)
+
+
+@register(
+    "pivot_user_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-user count columns (explicit value list →
+    single hash aggregate, no distinct-collection pre-job)."""
+    events = load_table(spark, "events", sf_dir)
+    return win_ops.pivot_counts(events)
+
+
 @register("approx_distinct_user_count")  # engine-specific sketch → rows-only check
 def approx_distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approx distinct (no oracle: sketch is engine-specific)."""
