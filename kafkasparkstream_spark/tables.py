@@ -65,3 +65,21 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> dict[str, 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("event_date",),
+    mode: str = "overwrite",
+) -> None:
+    """Date/key-partitioned parquet sink — the 100 TB table layout.
+
+    Partition columns become directory levels, so time-ranged queries (A2)
+    and per-day backfills touch only matching directories: Catalyst turns
+    the predicate into PartitionFilters and never lists the other
+    partitions. Keep partition cardinality in the hundreds-to-thousands
+    (e.g. a date, not a timestamp) or the file listing itself becomes the
+    bottleneck.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

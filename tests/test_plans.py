@@ -91,3 +91,28 @@ def test_dedup_exact_single_shuffle(spark):
     plan = df._jdf.queryExecution().explainString(jvm_mode)
     # One hash-agg exchange on the digest; anything more is wasted motion.
     assert plan.count("Exchange") == 1
+
+
+def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """The engine's managed-table layout: a date-partitioned write must let
+    a time filter prune to PartitionFilters (directory-level skip) instead
+    of scanning every file."""
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.tables import load_table, write_partitioned
+
+    events = load_table(spark, "events", SF_DIR).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(events, path)
+
+    one_day = events.select(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    q = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
+    jvm_mode = q._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = q._jdf.queryExecution().explainString(jvm_mode)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_date" in pf_line, f"filter not pushed to partition level: {pf_line}"
+    # And the pruned read returns exactly that day's rows.
+    expected = events.filter(F.col("event_date") == F.lit(one_day)).count()
+    assert q.count() == expected > 0

@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis): distributed operators vs pure-Python
+reference implementations on adversarial small inputs.
+
+The oracle-parity suite checks fixed datasets; these generate edge-case
+shapes (empty sides, all-ties timestamps, single keys, gap boundaries) that
+fixed fixtures miss. The Spark result must equal a 20-line in-memory
+reference implementation on every generated input.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=3),      # key
+    st.integers(min_value=0, max_value=120),    # seconds offset
+    st.integers(min_value=-50, max_value=50),   # value
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+def _mk_df(spark, rows):
+    data = [
+        (i, k, BASE + dt.timedelta(seconds=s), float(v))
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, EVENT_SCHEMA)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=st.lists(_row, max_size=12), right=st.lists(_row, max_size=12))
+def test_asof_join_matches_reference(spark, left, right):
+    from kafkasparkstream_spark.operators.temporal import asof_join
+
+    ldf = _mk_df(spark, left)
+    # Dedup right per (key, ts) by max event_id — the operator's contract.
+    rdf = (
+        _mk_df(spark, right)
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    got = {
+        r["event_id"]: (r["prev_ts"], r["prev_value"])
+        for r in asof_join(
+            ldf.select("event_id", "user_id", "ts", "value"),
+            rdf,
+            key_col="user_id",
+            ts_col="ts",
+            value_cols=("value",),
+        ).collect()
+    }
+
+    # Reference: latest deduped right row with r.ts <= l.ts per key.
+    rref = {}
+    for i, (k, s, v) in enumerate(right):
+        ts = BASE + dt.timedelta(seconds=s)
+        cur = rref.get((k, ts))
+        if cur is None or i > cur[0]:
+            rref[(k, ts)] = (i, float(v))
+    for i, (k, s, v) in enumerate(left):
+        lts = BASE + dt.timedelta(seconds=s)
+        cands = [(ts, val) for (kk, ts), (_, val) in rref.items() if kk == k and ts <= lts]
+        want = max(cands) if cands else (None, None)
+        assert got[i] == want, f"left row {i}: got {got[i]}, want {want}"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, max_size=15), gap=st.integers(min_value=1, max_value=60))
+def test_sessionize_matches_reference(spark, rows, gap):
+    from kafkasparkstream_spark.operators.temporal import sessionize
+
+    df = _mk_df(spark, rows)
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+
+    # Reference: sort each key's rows by (ts, event_id); gap > `gap` starts
+    # a new session.
+    per_key: dict[int, list[tuple[dt.datetime, int]]] = {}
+    for i, (k, s, _) in enumerate(rows):
+        per_key.setdefault(k, []).append((BASE + dt.timedelta(seconds=s), i))
+    want = {}
+    for k, items in per_key.items():
+        items.sort()
+        sid, prev = 0, None
+        for ts, i in items:
+            if prev is None or (ts - prev).total_seconds() > gap:
+                sid += 1
+            want[i] = sid
+            prev = ts
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, min_size=1, max_size=15), w=st.integers(min_value=5, max_value=60))
+def test_range_join_count_matches_reference(spark, rows, w):
+    from kafkasparkstream_spark.operators.temporal import range_join_count
+
+    df = _mk_df(spark, rows)
+    left = df
+    right = df.select("user_id", "ts")
+    got = {
+        r["event_id"]: r["n_in_range"]
+        for r in range_join_count(left, right, "user_id", "ts", window_seconds=w).collect()
+    }
+    for i, (k, s, _) in enumerate(rows):
+        lts = BASE + dt.timedelta(seconds=s)
+        n = sum(
+            1
+            for (kk, ss, _) in rows
+            if kk == k
+            and BASE + dt.timedelta(seconds=ss) > lts - dt.timedelta(seconds=w)
+            and BASE + dt.timedelta(seconds=ss) <= lts
+        )
+        assert got[i] == n, f"row {i}: got {got[i]}, want {n}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True))
+def test_dataset_split_is_stable_and_total(spark, ids):
+    """Split labels are a pure function of the id: invariant under row order
+    and partitioning, and the three splits partition the input."""
+    from kafkasparkstream_spark.operators.sampling import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    a = {r["event_id"]: r["split"] for r in dataset_split(df, "event_id").collect()}
+    b = {
+        r["event_id"]: r["split"]
+        for r in dataset_split(df.repartition(7).sort(F.desc("event_id")), "event_id").collect()
+    }
+    assert a == b
+    assert set(a) == set(ids)
