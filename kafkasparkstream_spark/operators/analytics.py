@@ -186,3 +186,75 @@ def customer_nation_rollup(
         )
         .orderBy(F.desc("total_spend"), F.asc("n_name"))
     )
+
+
+def bi_nation_volume(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nations: tuple[str, str] = ("NATION_0", "NATION_1"),
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair, both
+    directions. The nation filter is pushed into BOTH broadcast sides
+    before the fact join, so only qualifying supplier/customer keys ever
+    touch lineitem."""
+    n = nation.filter(F.col("n_name").isin(*nations)).select("n_nationkey", "n_name")
+    s = (
+        supplier.join(F.broadcast(n), supplier.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        customer.join(F.broadcast(n), customer.c_nationkey == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = orders.select("o_orderkey", "o_custkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders — a correlated
+    scalar subquery (per-part 0.2×avg(qty) threshold) decorrelated into a
+    pre-aggregate + equi-join, the plan Catalyst itself would produce."""
+    thresholds = lineitem.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, FLOAT_DP).alias("avg_yearly"))
+    )
+
+
+def stale_order_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """NOT EXISTS as a left-anti join: orders with no lineitem shipped
+    after the cutoff, counted per priority (the dual of
+    order_priority_counts' semi join)."""
+    li_late = lineitem.filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    ).select("l_orderkey")
+    return (
+        orders.join(li_late, orders.o_orderkey == li_late.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

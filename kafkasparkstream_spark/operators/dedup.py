@@ -367,3 +367,54 @@ def simhash_pairs(
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into groups: ``(doc_id, cluster_id)``
+    with cluster_id = the smallest doc id in the connected component.
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors (one join + one min-agg per
+    round), converging in O(graph diameter) rounds — near-dup graphs are
+    unions of small cliques, so diameter is tiny. The driver loop only
+    checks a changed-row count per round; all data stays distributed.
+    Persist + unpersist per round keeps lineage and memory bounded.
+
+    The oracle replays the same semantics as a recursive CTE (reachable-set
+    minimum), so the iterative distributed algorithm is checked against a
+    declarative single-node one.
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            .select("u", "lbl")
+        )
+        new_labels = (
+            labels.select("u", "lbl")
+            .union(neighbor)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id")).orderBy(
+        "doc_id"
+    )

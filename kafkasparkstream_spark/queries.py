@@ -342,6 +342,73 @@ def customer_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bi_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+      AND n2.n_name IN ('NATION_0', 'NATION_1')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def bi_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between a nation pair, both directions."""
+    return analytics.bi_nation_volume(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery, decorrelated into a
+    pre-aggregate + join on the Spark side."""
+    return analytics.small_quantity_revenue(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
+    )
+
+
+@register(
+    "stale_order_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-06-01'
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def stale_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (dual of order_priority_counts)."""
+    return analytics.stale_order_counts(
+        load_table(spark, "orders", sf_dir), load_table(spark, "lineitem", sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis — training-data-pipeline operators over `documents`
 # (north-star extensions; pure column expressions, no Python UDFs).
@@ -566,6 +633,52 @@ def _band_sql(bands: int = 4, rows: int = 4) -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) candidates, exact-Jaccard verified."""
     return dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql(16)},
+    {_band_sql(4, 4)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT doc_a, doc_b, count(*) AS common
+        FROM cand
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sz x ON doc_a = x.doc_id
+        JOIN sz y ON doc_b = y.doc_id
+        WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(u, lbl) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS doc_id, MIN(lbl) AS cluster_id
+    FROM walk GROUP BY u ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups: MinHash+LSH pairs clustered into connected
+    components by distributed min-label propagation; the oracle computes
+    the same components with a recursive CTE (reachable-set minimum)."""
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+    return dedup.connected_components(pairs)
 
 
 def _simhash_sig_cte(bits: int) -> str:
