@@ -531,6 +531,29 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.doc_fingerprint(load_table(spark, "documents", sf_dir))
 
 
+@register(
+    "top_vocab",
+    oracle="""
+    WITH t AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents)
+    SELECT tok, COUNT(*) AS cnt
+    FROM t GROUP BY tok
+    ORDER BY cnt DESC, tok
+    LIMIT 50
+    """,
+)
+def top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 by frequency — explode + map-side-combined
+    count + TakeOrdered; the canonical word-count at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(text_ops.tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication — exact, n-gram Jaccard, MinHash+LSH, SimHash over `documents`.
 # ---------------------------------------------------------------------------

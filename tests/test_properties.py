@@ -153,3 +153,43 @@ def test_dataset_split_is_stable_and_total(spark, ids):
     }
     assert a == b
     assert set(a) == set(ids)
+
+
+def test_minhash_lsh_no_false_positives(spark):
+    """LSH candidates are verified with exact Jaccard, so every emitted pair
+    must also appear (same score) in the exhaustive n-gram Jaccard output —
+    LSH may only *miss* pairs, never invent them."""
+    from kafkasparkstream_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from kafkasparkstream_spark.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(docs).collect()}
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    # And recall is sane for this corpus (the S-curve should catch most).
+    assert len(lsh) >= 0.8 * len(exact), f"LSH recall collapsed: {len(lsh)}/{len(exact)}"
+
+
+def test_simhash_banding_full_recall(spark):
+    """4 bands over 64 bits guarantee recall for Hamming <= 3 (pigeonhole):
+    banded candidate generation must find EVERY pair the exhaustive
+    all-pairs Hamming scan finds."""
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.operators.dedup import simhash, simhash_pairs
+    from kafkasparkstream_spark.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    banded = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs).collect()}
+
+    sig = simhash(docs, bits=64).collect()
+    exact = {}
+    rows = [(r.doc_id, r.simhash) for r in sig]
+    for i, (ida, sa) in enumerate(rows):
+        for idb, sb in rows[i + 1 :]:
+            h = sum(1 for x, y in zip(sa, sb) if x != y)
+            if h <= 3:
+                key = (min(ida, idb), max(ida, idb))
+                exact[key] = h
+    assert banded == exact
