@@ -1100,10 +1100,29 @@ def session_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas (vectorized per-key kernel) cross-checked
-    against the pure-SQL window-function normalization."""
+    """Per-user z-score in the window-function form (codegen, one shuffle —
+    the right shape for many small keys; see zscore_per_type_grouped_map
+    for the Python grouped-map twin on few large keys)."""
     events = load_table(spark, "events", sf_dir)
-    return win_ops.zscore_per_key(events)
+    return win_ops.zscore_per_key_window(events)
+
+
+@register(
+    "zscore_per_type_grouped_map",
+    oracle="""
+    SELECT event_id, event_type, value,
+           ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    ORDER BY event_id
+    """,
+)
+def zscore_per_type_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (vectorized numpy kernel per group, few
+    large groups — the regime where grouped-map shines) cross-checked
+    against pure window-function SQL."""
+    events = load_table(spark, "events", sf_dir)
+    return win_ops.zscore_per_key(events, key_col="event_type")
 
 
 @register(
