@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Four families, all expressed as compositions of built-in DataFrame ops (no
+Five families, all expressed as compositions of built-in DataFrame ops (no
 Python in the hot path) so Catalyst/Tungsten handle execution:
 
 - **exact**       — hash-groupBy on a content digest.
@@ -8,14 +8,18 @@ Python in the hot path) so Catalyst/Tungsten handle execution:
   worst case, use for candidate *verification*.
 - **MinHash + LSH** — banded minhash signatures; candidate generation is
   linear-ish (explode → hash-join on band buckets) and is the 100 TB path:
-  the only shuffles are by shingle (signature build) and by band bucket
+  the only shuffles are by doc id (signature build) and by band bucket
   (candidate join), both well-distributed keys.
-- **SimHash**     — bit-sign aggregate over token hashes; near-identical docs
-  collide on the 16-bit signature.
+- **SimHash**     — bit-sign aggregate over token-hash bits; near-dup pairs
+  via banded chunk join + bit_count(xor) Hamming verification.
+- **clustering**  — near-dup pairs → connected components by distributed
+  min-label propagation (cluster id = smallest member id).
 
-Determinism: every hash is md5 over an explicit string — reproducible across
-engines (the DuckDB oracles use the same construction), runs, and partitions.
-Spark's built-in ``hash``/``xxhash64`` would be faster; md5 keeps the oracle
+Determinism: every hash derives from ONE md5 per shingle/token — the minhash
+family expands it with integer universal hashing ((A·x+B) mod P), simhash
+slices the digest's bits — so the DuckDB oracles reproduce results exactly
+from the same constants, across engines, runs, and partitionings. Spark's
+built-in ``xxhash64`` would be marginally faster; md5 keeps the oracle
 cross-checkable, and the swap is a one-line change.
 """
 
