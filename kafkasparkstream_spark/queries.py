@@ -1150,6 +1150,23 @@ def approx_distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_ops.approx_distinct_user_count(load_table(spark, "events", sf_dir))
 
 
+@register("approx_value_percentiles")  # sketch-based → rows-only check
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-sketch approximate percentiles per group — the documented
+    at-scale swap for `value_distribution_stats`' exact percentiles (no
+    oracle: sketch internals are engine-specific; the exact twin is the
+    value-hash-checked query)."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "json_roundtrip_agg",
     oracle="""

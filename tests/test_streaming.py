@@ -188,3 +188,89 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     # User 1 appeared in two micro-batches -> two emissions with growing totals.
     u1 = sorted(out[out.user_id == 1]["n_events"].tolist())
     assert u1 == [2, 3], f"expected state carry across batches, got emissions {u1}"
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session windows under Structured Streaming: a watermarked
+    session_window aggregate over file micro-batches (availableNow) must
+    converge to the batch session_window answer on the same rows."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+
+    wire = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("ts", StringType(), True),
+        ]
+    )
+    rows = [
+        # user 1: two sessions (gap > 30 min between 10:10 and 11:00)
+        {"user_id": 1, "value": 1.0, "ts": "2024-01-01T10:00:00"},
+        {"user_id": 1, "value": 2.0, "ts": "2024-01-01T10:10:00"},
+        {"user_id": 1, "value": 4.0, "ts": "2024-01-01T11:00:00"},
+        # user 2: one session
+        {"user_id": 2, "value": 8.0, "ts": "2024-01-01T10:05:00"},
+        {"user_id": 2, "value": 16.0, "ts": "2024-01-01T10:20:00"},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    import time as _time
+
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    # Flush events (filtered from the assertion): each later file advances
+    # the watermark so append mode closes and emits the earlier sessions.
+    _time.sleep(0.05)
+    (src / "b.json").write_text(
+        json.dumps({"user_id": 999, "value": 0.0, "ts": "2024-01-01T13:00:00"}) + "\n"
+    )
+    _time.sleep(0.05)
+    (src / "c.json").write_text(
+        json.dumps({"user_id": 999, "value": 0.0, "ts": "2024-01-01T14:00:00"}) + "\n"
+    )
+
+    def agg(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("start"),
+                F.col("session_window.end").alias("end"),
+                "n",
+                "s",
+            )
+        )
+
+    raw = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    parsed = parse_json_events(raw, wire, ts_col="ts").withWatermark("ts", "1 minute")
+    sink = str(tmp_path / "out")
+    # Append mode: a session row is emitted once, when the watermark passes
+    # its end (the only supported mode for streaming session windows).
+    q = (
+        agg(parsed)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["start"], r["end"]): (r["n"], r["s"])
+        for r in spark.read.parquet(sink).filter(F.col("user_id") != 999).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], float(r["value"]), r["ts"].replace("T", " ")) for r in rows],
+        "user_id long, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["user_id"], r["start"], r["end"]): (r["n"], r["s"])
+        for r in agg(batch_df).collect()
+    }
+    assert got == want and len(want) == 3
