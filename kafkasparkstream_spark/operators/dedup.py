@@ -145,9 +145,10 @@ def minhash_signatures(
     combinable, so the exchange carries one row of ints per doc regardless
     of document length.
     """
+    from kafkasparkstream_spark.functions.hashing import md5_int
+
     sh = _distinct_shingles(df, text_col, id_col, n)
-    base = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
-    withbase = sh.select(F.col(id_col), base.alias("_base"))
+    withbase = sh.select(F.col(id_col), md5_int(F.col("shingle")).alias("_base"))
     aggs = [
         F.min((F.lit(MINHASH_A[h]) * F.col("_base") + F.lit(MINHASH_B[h])) % F.lit(MINHASH_P)).alias(f"mh{h}")
         for h in range(num_hashes)
@@ -180,9 +181,10 @@ def minhash_lsh_pairs(
     arr = _shingle_arrays(df, text_col, id_col, n)
     # Signatures from the cached array (computed once, shared with the
     # verification branch below).
+    from kafkasparkstream_spark.functions.hashing import md5_int
+
     sh = arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
-    base = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
-    withbase = sh.select(F.col(id_col), base.alias("_base"))
+    withbase = sh.select(F.col(id_col), md5_int(F.col("shingle")).alias("_base"))
     sig = withbase.groupBy(id_col).agg(
         *[
             F.min(

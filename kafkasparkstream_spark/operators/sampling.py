@@ -19,17 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafkasparkstream_spark.functions.hashing import hash_bucket
+
 
 def _hash_bucket(id_col: Column, salt: str, buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets): first 8 hex chars of
-    md5(salt || id) as an int, mod buckets. Same construction is expressible
-    in any engine with md5 (see the oracle SQL twins)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string")).cast("binary")), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return F.pmod(h, F.lit(buckets))
+    """Deterministic bucket in [0, buckets) — see functions.hashing for the
+    construction and its SQL twin."""
+    return hash_bucket(id_col, buckets, salt)
 
 
 def hash_sample(

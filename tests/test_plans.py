@@ -16,10 +16,11 @@ import __spark_entry__ as E
 SF_DIR = "/root/testdata/sf0.01"
 
 
+from kafkasparkstream_spark.plans.audit import explain_str, plan_report
+
+
 def _plan(spark, name: str) -> str:
-    df = E.queries()[name](spark, SF_DIR)
-    jvm_mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return df._jdf.queryExecution().explainString(jvm_mode)
+    return explain_str(E.queries()[name](spark, SF_DIR))
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -78,19 +79,17 @@ def test_no_degenerate_joins_anywhere():
             continue
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
-        if "BroadcastNestedLoopJoin" in plan and name != "recent_aggregates_24h":
-            # recent_aggregates_24h joins a 1-row max(ts) anchor — a
-            # deliberate single-row broadcast, the one sanctioned BNLJ.
+        if "BroadcastNestedLoopJoin" in plan and name not in (
+            "recent_aggregates_24h",  # 1-row max(ts) anchor — sanctioned BNLJ
+        ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
 
 
 def test_dedup_exact_single_shuffle(spark):
-    df = E.queries()["dedup_exact"](spark, SF_DIR)
-    jvm_mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
-    plan = df._jdf.queryExecution().explainString(jvm_mode)
+    report = plan_report(E.queries()["dedup_exact"](spark, SF_DIR))
     # One hash-agg exchange on the digest; anything more is wasted motion.
-    assert plan.count("Exchange") == 1
+    assert report.exchanges == 1 and not report.degenerate
 
 
 def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
@@ -109,10 +108,10 @@ def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
 
     one_day = events.select(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
     q = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
-    jvm_mode = q._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    plan = q._jdf.queryExecution().explainString(jvm_mode)
-    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
-    assert "event_date" in pf_line, f"filter not pushed to partition level: {pf_line}"
+    report = plan_report(q)
+    assert any("event_date" in pf for pf in report.partition_filters), (
+        f"filter not pushed to partition level: {report}"
+    )
     # And the pruned read returns exactly that day's rows.
     expected = events.filter(F.col("event_date") == F.lit(one_day)).count()
     assert q.count() == expected > 0
