@@ -424,3 +424,74 @@ def connected_components(
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id")).orderBy(
         "doc_id"
     )
+
+
+def incremental_minhash_pairs(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dups of ``incoming`` docs against an existing ``corpus`` — the
+    production dedup shape: each new crawl/batch is checked against the
+    already-indexed corpus without re-comparing corpus-vs-corpus.
+
+    Same banded-minhash machinery as :func:`minhash_lsh_pairs`, but the
+    candidate join is incoming-buckets ⋈ corpus-buckets (not a self-join),
+    so work scales with |incoming| × collision-rate, not |corpus|². On a
+    real deployment the corpus side's signatures/buckets are precomputed
+    and stored; here they're derived on the fly from the corpus table.
+
+    Returns (incoming_id, corpus_id, jaccard) pairs ≥ threshold.
+    """
+    rows = num_hashes // bands
+
+    def _buckets_and_arrays(df: DataFrame):
+        arr = _shingle_arrays(df, text_col, id_col, n)
+        sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+            F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        return buckets, arr
+
+    in_b, in_arr = _buckets_and_arrays(incoming)
+    co_b, co_arr = _buckets_and_arrays(corpus)
+    candidates = (
+        in_b.alias("i")
+        .join(co_b.alias("c"), ["band", "bucket"])
+        .select(
+            F.col(f"i.{id_col}").alias("incoming_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sa = in_arr.select(
+        F.col(id_col).alias("incoming_id"), F.col("sh_arr").alias("_sh_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = co_arr.select(
+        F.col(id_col).alias("corpus_id"), F.col("sh_arr").alias("_sh_b"), F.col("n_sh").alias("n_b")
+    )
+    verified = (
+        candidates.join(sa, "incoming_id")
+        .join(sb, "corpus_id")
+        .withColumn("common", F.size(F.array_intersect("_sh_a", "_sh_b")))
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        verified.filter(jac >= threshold)
+        .select("incoming_id", "corpus_id", F.round(jac, 4).alias("jaccard"))
+        .orderBy("incoming_id", "corpus_id")
+    )

@@ -150,3 +150,25 @@ def doc_fingerprint(
     # Row-local min-k (no shuffle of shingle hashes — at scale that matters
     # more than the fanout's one small repartition of raw docs).
     return fanout(df.select("doc_id", text_col)).select("doc_id", fp.alias("fingerprint"))
+
+
+def normalize_text_col(text_col: str = "text") -> Column:
+    """Canonical text normalization for dedup/fingerprint pre-processing:
+    lowercase → strip non-alphanumerics to spaces → collapse whitespace →
+    trim. Pure Catalyst expressions (SQL twin: lower / regexp_replace /
+    trim), so it runs inside codegen and is reproducible in any engine."""
+    lowered = F.lower(F.col(text_col))
+    alnum = F.regexp_replace(lowered, "[^a-z0-9]+", " ")
+    return F.trim(F.regexp_replace(alnum, " +", " "))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document normalized text + before/after size accounting (the
+    shrinkage ratio is a cheap corpus-quality signal)."""
+    norm = normalize_text_col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("raw_chars"),
+        F.length(norm).alias("norm_chars"),
+        norm.alias("norm_text"),
+    )

@@ -704,6 +704,106 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _minhash_side_sql(sfx: str, where: str, num_hashes: int = 16, bands: int = 4) -> str:
+    """Shingle→signature→bucket CTE chain for one side of the incremental
+    dedup oracle (suffix distinguishes incoming vs corpus)."""
+    from kafkasparkstream_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    rows = num_hashes // bands
+    base = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
+    mins = ",\n             ".join(
+        f"min(({MINHASH_A[h]} * {base} + {MINHASH_B[h]}) % {MINHASH_P}) AS mh{h}"
+        for h in range(num_hashes)
+    )
+    band_parts = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_parts.append(f"SELECT doc_id, {b} AS band, {cols} AS bucket FROM sig{sfx}")
+    bands_sql = "\n        UNION ALL ".join(band_parts)
+    return f"""
+    t{sfx} AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+               FROM documents WHERE {where}),
+    s{sfx} AS (SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+          FROM t{sfx}),
+    sz{sfx} AS (SELECT doc_id, count(*) AS n_sh FROM s{sfx} GROUP BY doc_id),
+    sig{sfx} AS (SELECT doc_id, {mins} FROM s{sfx} GROUP BY doc_id),
+    bk{sfx} AS ({bands_sql})
+"""
+
+
+# Same construction as _BUCKET_SQL (defined in the sampling section below).
+_INC_SPLIT = (
+    "CAST(('0x' || substr(md5('inc' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10"
+)
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_minhash_side_sql('_i', _INC_SPLIT)},
+    {_minhash_side_sql('_c', 'NOT (' + _INC_SPLIT + ')')},
+    cand AS (
+        SELECT DISTINCT i.doc_id AS incoming_id, c.doc_id AS corpus_id
+        FROM bk_i i JOIN bk_c c ON i.band = c.band AND i.bucket = c.bucket
+    ),
+    common AS (
+        SELECT incoming_id, corpus_id, count(*) AS common
+        FROM cand
+        JOIN s_i sa ON sa.doc_id = incoming_id
+        JOIN s_c sb ON sb.doc_id = corpus_id AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    )
+    SELECT incoming_id, corpus_id,
+           ROUND(common * 1.0 / (x.n_sh + y.n_sh - common), 4) AS jaccard
+    FROM common
+    JOIN sz_i x ON incoming_id = x.doc_id
+    JOIN sz_c y ON corpus_id = y.doc_id
+    WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+    ORDER BY incoming_id, corpus_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup shape: a ~10% 'incoming' batch (hash-split) checked
+    against the remaining 'corpus' — cross-set banded-minhash candidates,
+    exact-Jaccard verified; no corpus-vs-corpus work."""
+    from kafkasparkstream_spark.operators.sampling import _hash_bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = _hash_bucket(F.col("doc_id"), "inc")
+    incoming = docs.filter(bucket < 10)
+    corpus = docs.filter(~(bucket < 10))
+    return dedup.incremental_minhash_pairs(incoming, corpus, threshold=0.5)
+
+
+@register(
+    "text_normalize_stats",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS raw_chars,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, raw_chars, CAST(length(norm_text) AS INT) AS norm_chars, norm_text
+    FROM n ORDER BY doc_id
+    """,
+)
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase / strip punctuation /
+    collapse whitespace) with before/after size accounting."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = text_ops.normalize_text(docs)
+    return out.select(
+        "doc_id",
+        F.col("raw_chars").cast("int").alias("raw_chars"),
+        F.col("norm_chars").cast("int").alias("norm_chars"),
+        "norm_text",
+    ).orderBy("doc_id")
+
+
 def _simhash_sig_cte(bits: int) -> str:
     # Mirrors dedup.simhash: coin j = bit 3-(j%4) of hex char j//4 of
     # md5(token), generated from the same _NIBBLE_BIT_SETS constants.
