@@ -704,9 +704,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-def _minhash_side_sql(sfx: str, where: str, num_hashes: int = 16, bands: int = 4) -> str:
-    """Shingle→signature→bucket CTE chain for one side of the incremental
-    dedup oracle (suffix distinguishes incoming vs corpus)."""
+def _minhash_side_sql(
+    sfx: str, where: str, num_hashes: int = 16, bands: int = 4, src: str = "documents"
+) -> str:
+    """Shingle→signature→bucket CTE chain over ``src`` (suffix distinguishes
+    multiple chains in one query, e.g. incoming vs corpus)."""
     from kafkasparkstream_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
     rows = num_hashes // bands
@@ -722,7 +724,7 @@ def _minhash_side_sql(sfx: str, where: str, num_hashes: int = 16, bands: int = 4
     bands_sql = "\n        UNION ALL ".join(band_parts)
     return f"""
     t{sfx} AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
-               FROM documents WHERE {where}),
+               FROM {src} WHERE {where}),
     s{sfx} AS (SELECT doc_id,
                unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
@@ -802,6 +804,94 @@ def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm_chars").cast("int").alias("norm_chars"),
         "norm_text",
     ).orderBy("doc_id")
+
+
+@register(
+    "training_pipeline_e2e",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(least(len(toks) / 64.0, 1.0)
+                     * (0.5 + 0.5 * least(len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in','that'], tk))) / greatest(len(toks) * 0.05, 1.0), 1.0))
+                     * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4) AS quality
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents)
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text, q.quality
+        FROM documents d JOIN q USING (doc_id)
+        WHERE q.quality >= 0.25
+    ),
+    norm AS (
+        SELECT doc_id, text, quality,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS norm_text
+        FROM kept
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(norm_text)),
+    kd AS (SELECT n.doc_id, n.text, n.quality FROM norm n JOIN keepers USING (doc_id)),
+    {_minhash_side_sql('_p', 'TRUE', src='kd')},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk_p a JOIN bk_p b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT doc_a, doc_b, count(*) AS common
+        FROM cand
+        JOIN s_p sa ON sa.doc_id = doc_a
+        JOIN s_p sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    ),
+    nd_drop AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM common
+        JOIN sz_p x ON doc_a = x.doc_id
+        JOIN sz_p y ON doc_b = y.doc_id
+        WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+    ),
+    final AS (
+        SELECT doc_id, quality FROM kd
+        WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)
+    ),
+    labeled AS (
+        SELECT quality,
+               CASE WHEN CAST(('0x' || substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM final
+    )
+    SELECT split, COUNT(*) AS n_docs, ROUND(AVG(quality), 4) AS avg_quality
+    FROM labeled GROUP BY split ORDER BY split
+    """,
+)
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE lazy Catalyst plan:
+    quality-filter → normalize → exact dedup (keep smallest id per
+    normalized-content hash) → MinHash near-dup drop → deterministic
+    train/val/test split → per-split stats. Every stage is an operator from
+    this package composed declaratively — Catalyst fuses and optimizes the
+    whole thing end to end."""
+    from kafkasparkstream_spark.operators import sampling as sampling_ops
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = text_ops.quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(q, "doc_id").filter(F.col("quality") >= 0.25)
+    norm = kept.withColumn("norm_text", text_ops.normalize_text_col("text"))
+    keepers = norm.groupBy(F.md5(F.col("norm_text").cast("binary")).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kd = norm.join(keepers.select("doc_id"), "doc_id").select("doc_id", "text", "quality")
+    pairs = dedup.minhash_lsh_pairs(kd.select("doc_id", "text"), threshold=0.5)
+    nd_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = kd.join(nd_drop, "doc_id", "left_anti")
+    labeled = sampling_ops.dataset_split(final, "doc_id")
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )
 
 
 def _simhash_sig_cte(bits: int) -> str:
