@@ -80,3 +80,28 @@ def rate_sensor_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFr
         F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("timestamp"),
     )
     return rate.select(F.to_json(record).alias("value"))
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_location: str,
+    output_mode: str = "append",
+):
+    """Kafka streaming sink: serializes every row to a JSON ``value`` and
+    publishes to ``topic`` — the write-side twin of :func:`kafka_stream`
+    (requires the same spark-sql-kafka package; construction is lazy so
+    code paths stay importable without it).
+
+    Returns the started StreamingQuery.
+    """
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -193,3 +193,35 @@ def test_simhash_banding_full_recall(spark):
                 key = (min(ida, idb), max(ida, idb))
                 exact[key] = h
     assert banded == exact
+
+
+def test_salted_agg_correct_under_extreme_skew(spark):
+    """One key owning 90% of rows — the case salting exists for. The
+    two-phase result must equal the plain one-phase aggregate exactly."""
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.operators.aggregates import salted_group_agg
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 997).cast("double").alias("value"),
+    )
+    got = {
+        r["k"]: (r["cnt"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in salted_group_agg(df, key_col="k").collect()
+    }
+    plain = {
+        r["k"]: (r["cnt"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == plain
+    assert got["hot"][0] == 18_000
