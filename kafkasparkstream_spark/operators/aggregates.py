@@ -171,3 +171,72 @@ def distribution_stats(
         )
         .orderBy(key_col)
     )
+
+
+def profile_table(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Column-level data profile: null count and exact distinct count per
+    column, one output row per column.
+
+    One pass per column pair of aggregates, unioned — at 100 TB swap the
+    exact ``countDistinct`` for ``approx_count_distinct`` (same shape) or
+    compute all columns in a single pass with ``count(DISTINCT)`` grouping
+    sets if the table is scanned once anyway.
+    """
+    parts = [
+        df.select(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid per key with
+    forward fill — the hypertable/"gap fill" operator.
+
+    Plan: per-key per-bucket average (one shuffle) → per-key span →
+    ``sequence()`` explode generates the dense grid (no driver loop) →
+    left join actual points → ``last(ignoreNulls)`` carries the previous
+    value across gaps. Grid generation is O(span/unit) rows per key,
+    produced distributed; the only shuffles are the bucket agg and the
+    key-partitioned fill window.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    pts = (
+        df.groupBy(F.col(key_col), bucket.alias("bucket"))
+        .agg(F.avg(value_col).alias("_v"))
+    )
+    span = pts.groupBy(key_col).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence("_b0", "_b1", F.expr(f"INTERVAL 1 {unit}"))).alias("bucket"),
+    )
+    joined = grid.join(pts, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("bucket"),
+        F.round(F.last("_v", ignorenulls=True).over(w), 4).alias("value_ffill"),
+        F.col("_v").isNull().alias("is_gap"),
+    ).orderBy(key_col, "bucket")

@@ -1334,6 +1334,60 @@ def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_ops.pivot_counts(events)
 
 
+@register(
+    "profile_events",
+    oracle="""
+    SELECT 'event_type' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT event_type) AS n_distinct FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*),
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT props) FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT user_id) FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT value) FROM events
+    ORDER BY "column"
+    """,
+)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (rows / nulls / exact distinct) — the
+    first query anyone runs on an unfamiliar 100 TB table."""
+    events = load_table(spark, "events", sf_dir)
+    return aggregates.profile_table(events, ("event_type", "props", "user_id", "value"))
+
+
+@register(
+    "resample_hourly_ffill",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, AVG(value) AS v
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM pts GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket FROM span),
+    j AS (SELECT g.user_id, g.bucket, p.v FROM grid g LEFT JOIN pts p USING (user_id, bucket))
+    SELECT user_id, bucket,
+           ROUND(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+                                                  ROWS UNBOUNDED PRECEDING), 4) AS value_ffill,
+           v IS NULL AS is_gap
+    FROM j
+    ORDER BY user_id, bucket
+    """,
+)
+def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: hourly grid per user (users 0-19),
+    forward-filled from the last observed hourly average."""
+    events = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    return aggregates.resample_ffill(events, unit="hour")
+
+
 @register("approx_distinct_user_count")  # engine-specific sketch → rows-only check
 def approx_distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approx distinct (no oracle: sketch is engine-specific)."""
