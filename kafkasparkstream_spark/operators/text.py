@@ -172,3 +172,51 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(norm).alias("norm_chars"),
         norm.alias("norm_text"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: score =
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)), idf = ln((N-df+0.5)/(df+0.5)+1).
+
+    Plan: one explode → (doc, term) counts for the query terms only
+    (filter pushed before the aggregate), document lengths as a narrow
+    projection, corpus stats (N, avgdl) as a 1-row broadcast, per-term df
+    as a tiny broadcast join — the fact-table scan happens exactly once.
+    Scores are deterministic closed-form arithmetic, so the DuckDB oracle
+    reproduces them bit-for-bit at the 4dp grid.
+    """
+    from kafkasparkstream_spark.util import fanout
+
+    toks = fanout(df.select(F.col(id_col), tokens_col(text_col).alias("_toks")))
+    lengths = toks.select(F.col(id_col), F.size("_toks").alias("dl"))
+    exploded = toks.select(F.col(id_col), F.explode("_toks").alias("term")).filter(
+        F.col("term").isin(*query_terms)
+    )
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_k)

@@ -571,6 +571,41 @@ _SHINGLES_CTE = """
 
 
 @register(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+    ),
+    lengths AS (SELECT doc_id, len(t) AS dl FROM toks),
+    exploded AS (
+        SELECT doc_id, unnest(t) AS term FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM exploded
+        WHERE term IN ('hash', 'join', 'filter')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lengths),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+        FROM tf JOIN dfreq USING (term) JOIN lengths USING (doc_id), stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s, 4) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (query: hash, join, filter) — top-20 docs by
+    closed-form score; complements the embedding-space ANN operators."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.bm25_scores(docs, ("hash", "join", "filter"))
+
+
+@register(
     "dedup_exact",
     oracle="""
     SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
@@ -1332,6 +1367,46 @@ def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     single hash aggregate, no distinct-collection pre-job)."""
     events = load_table(spark, "events", sf_dir)
     return win_ops.pivot_counts(events)
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INT) AS weeks_since,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    distinct-active counts per weeks-since-cohort — two shuffles (first-seen
+    agg + distinct activity), then a broadcastable cohort join."""
+    events = load_table(spark, "events", sf_dir)
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .withColumn(
+            "weeks_since",
+            (F.datediff(F.col("w").cast("date"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
 
 
 @register(
