@@ -258,3 +258,158 @@ def stale_order_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
+    distribution of orders-per-customer, zero-order customers included.
+
+    The outer join shuffles both sides on custkey once; the first groupBy
+    reuses that partitioning (no extra exchange), and the second groupBy's
+    key (`c_count`, O(10^2) distinct values) makes the final exchange
+    trivially small. At 100 TB the only big shuffle is the custkey one, and
+    bucketing customer+orders on custkey removes even that.
+    """
+    o = orders.select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey")
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left_outer").groupBy(
+        "c_custkey"
+    ).agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    month_start: str = "1998-06-01",
+    month_end: str = "1998-07-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact↔dim join — the
+    percentage of a month's revenue that came from PROMO parts.
+
+    The shipdate range predicate pushes to the lineitem scan, so only one
+    month of the fact table is ever joined; part broadcasts (or AQE
+    converts). The CASE WHEN lives inside the same hash aggregate — one
+    pass, no second join or self-union.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(month_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(month_end).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = part.select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+            / F.sum(disc),
+            FLOAT_DP,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def top_supplier_revenue(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    period_start: str = "1998-01-01",
+    period_end: str = "1998-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-then-max-filter — the supplier(s) with the
+    highest revenue in a quarter.
+
+    Computed as revenue-per-supplier (one shuffled agg over the
+    date-pruned fact slice) then a rank-by-max filter via a single
+    unpartitioned max over the *aggregated* rows (|suppliers| rows, not
+    |lineitem|), broadcast back as a 1-row join — the decorrelated form of
+    Q15's `revenue = (SELECT max(...))` subquery.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(period_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(period_end).cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
+        ).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = supplier.select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate used as a semi-join key
+    list — customers who placed orders above a total-quantity threshold.
+
+    The per-order quantity sum is one shuffled agg on orderkey; the
+    HAVING filter shrinks it to a key list orders of magnitude smaller
+    than the fact table, which then drives broadcast joins against orders
+    and (for the final sum) a re-join to lineitem that reuses the same
+    orderkey partitioning.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > qty_threshold)
+    )
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = customer.select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("sum_qty"), FLOAT_DP).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+def wealthy_inactive_customers(
+    customer: DataFrame, orders: DataFrame, recent_cutoff: str = "2001-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: ungrouped scalar subquery (global average) consumed
+    as a broadcast 1-row cross join + NOT EXISTS as a left-anti join —
+    above-average-balance customers with no recent orders, rolled up per
+    nation.
+
+    The global average reduces to one row before touching the big side, so
+    the filter is a codegen'd comparison, not a join; the anti join's build
+    side is the date-pruned orders key list.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(recent_cutoff).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), FLOAT_DP).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -82,6 +82,7 @@ def test_no_degenerate_joins_anywhere():
         if "BroadcastNestedLoopJoin" in plan and name not in (
             "recent_aggregates_24h",  # 1-row max(ts) anchor — sanctioned BNLJ
             "bm25_search",  # 1-row corpus-stats (N, avgdl) broadcast
+            "wealthy_inactive_customers",  # 1-row global-avg(acctbal) broadcast
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
