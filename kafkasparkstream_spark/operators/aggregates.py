@@ -240,3 +240,23 @@ def resample_ffill(
         F.round(F.last("_v", ignorenulls=True).over(w), 4).alias("value_ffill"),
         F.col("_v").isNull().alias("is_gap"),
     ).orderBy(key_col, "bucket")
+
+
+def value_histogram(df: DataFrame, value_col: str = "value", bucket_width: float = 10.0) -> DataFrame:
+    """Fixed-width histogram: bucketize then count — the width_bucket shape.
+
+    The bucket id is a pure projection, so this is a single map-side-combined
+    aggregate on O(range/width) keys; at 100 TB the exchange carries one row
+    per (partition × bucket)."""
+    bucket = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int")
+    return (
+        df.select(bucket.alias("bucket"), F.col(value_col))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min(value_col), FLOAT_DP).alias("min_value"),
+            F.round(F.max(value_col), FLOAT_DP).alias("max_value"),
+            F.round(F.avg(value_col), FLOAT_DP).alias("avg_value"),
+        )
+        .orderBy("bucket")
+    )

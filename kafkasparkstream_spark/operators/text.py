@@ -220,3 +220,42 @@ def bm25_scores(
         .agg(F.round(F.sum("_s"), 4).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_k)
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 1) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (idf = ln(N/df), no smoothing).
+
+    Shape at scale: one explode → (doc, term) tf aggregate (shuffles on the
+    composite key, map-side combined), a term-level df aggregate whose output
+    is vocabulary-sized (broadcastable), and a 1-row corpus-count broadcast —
+    so the fact-sized data shuffles exactly once. The top-k rank partitions
+    by doc_id, reusing fine-grained parallelism; scores are rounded to the
+    4dp grid *before* ranking so the rank order is identical in any engine.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "doc_id", F.col("tok").alias("top_term"), "tf", "doc_freq", "tfidf"
+        )
+        .orderBy("doc_id")
+    )

@@ -290,3 +290,64 @@ def pivot_counts(
     return out.select(
         key_col, *[F.coalesce(F.col(v), F.lit(0)).alias(f"n_{v}") for v in values]
     )
+
+
+def ntile_decile_stats(
+    df: DataFrame, value_col: str = "value", tiebreak: str = "event_id", n: int = 10
+) -> DataFrame:
+    """NTILE(n) over a global value order, rolled up per tile.
+
+    A global ntile needs a total order — Spark plans a single-partition
+    window, which is the honest cost of the semantics (same as any engine).
+    The rollup immediately collapses it to n rows, so the single-partition
+    stage emits almost nothing. At 100 TB swap in `approx_percentile`
+    boundaries + a bucket join for the same decile labels without the
+    total order (see `approx_value_percentiles`).
+    """
+    w = Window.orderBy(F.asc(value_col), F.asc(tiebreak))
+    # Exact decimal sum → division in double: summation-order-independent,
+    # so the 4dp grid can't straddle a float rounding boundary.
+    exact_sum = F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+    return (
+        df.select(value_col, F.ntile(n).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min(value_col), 4).alias("min_value"),
+            F.round(F.max(value_col), 4).alias("max_value"),
+            F.round(exact_sum / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+        .orderBy("decile")
+    )
+
+
+def moving_avg_time_range(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing time-range moving average: RANGE BETWEEN `window_seconds`
+    PRECEDING AND CURRENT ROW per key, ordered by event time.
+
+    The frame is defined on *microsecond epoch* (`unix_micros`) — an exact
+    int64 in both Spark and the DuckDB oracle, so the frame boundary has no
+    float edge cases. One shuffle on the key; the range frame is evaluated
+    with a sliding two-pointer pass inside each partition (Spark's
+    WindowExec), never re-scanning the window per row.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(us.alias("ts_us"))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.select(
+        key,
+        tiebreak,
+        ts_col,
+        F.round(F.avg(value_col).over(w), 4).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("trailing_cnt"),
+    ).orderBy(tiebreak)

@@ -659,6 +659,31 @@ def top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, tok, tf, doc_freq,
+                      ROUND(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 4) AS tfidf
+               FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, tok) AS rn
+               FROM scored)
+    SELECT doc_id, tok AS top_term, tf, doc_freq, tfidf
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (idf = ln(N/df)) top term per document — explode → tf agg →
+    broadcast vocabulary df → rank per doc."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.tfidf_top_terms(docs)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication — exact, n-gram Jaccard, MinHash+LSH, SimHash over `documents`.
 # ---------------------------------------------------------------------------
@@ -1770,6 +1795,64 @@ def value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` ≡ DuckDB `quantile_cont`)."""
     events = load_table(spark, "events", sf_dir)
     return aggregates.distribution_stats(events)
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 10.0) AS INT) AS bucket,
+           COUNT(*)             AS cnt,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket shape): bucketize + count."""
+    events = load_table(spark, "events", sf_dir)
+    return aggregates.value_histogram(events)
+
+
+@register(
+    "ntile_decile_stats",
+    oracle="""
+    WITH t AS (
+        SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS decile
+        FROM events
+    )
+    SELECT decile, COUNT(*) AS cnt,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+)
+def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) equal-frequency buckets rolled up to per-decile stats."""
+    events = load_table(spark, "events", sf_dir)
+    return win_ops.ntile_decile_stats(events)
+
+
+@register(
+    "moving_avg_1h",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(AVG(value) OVER w, 4) AS trailing_avg,
+           COUNT(*) OVER w             AS trailing_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving average per user: RANGE frame on int64
+    microsecond epoch (exact frame boundary in both engines)."""
+    events = load_table(spark, "events", sf_dir)
+    return win_ops.moving_avg_time_range(events)
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,7 @@ def test_no_degenerate_joins_anywhere():
             "recent_aggregates_24h",  # 1-row max(ts) anchor — sanctioned BNLJ
             "bm25_search",  # 1-row corpus-stats (N, avgdl) broadcast
             "wealthy_inactive_customers",  # 1-row global-avg(acctbal) broadcast
+            "tfidf_top_terms",  # 1-row corpus doc-count broadcast
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
