@@ -395,32 +395,56 @@ def connected_components(
     minimum), so the iterative distributed algorithm is checked against a
     declarative single-node one.
     """
-    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
-    for _ in range(max_iters):
-        neighbor = (
-            edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
-            .select("u", "lbl")
-        )
-        new_labels = (
-            labels.select("u", "lbl")
-            .union(neighbor)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("lbl"))
+    # Materialize the pair list ONCE before mirroring: the union references
+    # `e` twice, and without a populated cache both branches would re-run the
+    # (expensive) candidate-generation lineage that produced `pairs`.
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).persist()
+    n_edges = e.count()
+
+    # Size the propagation shuffles to the GRAPH, not the corpus: near-dup
+    # edge lists are orders of magnitude smaller than the documents that
+    # produced them, and each round is join+agg over only the graph. With
+    # the session's corpus-scale shuffle.partitions every tiny round pays
+    # full scheduling overhead (measured ~10s for a few-hundred-edge graph
+    # at 32 partitions). ~1M edges per partition keeps partitions
+    # executor-memory-sized at any scale.
+    spark = pairs.sparkSession
+    graph_parts = max(2, min(2048, n_edges // 1_000_000 + 2))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(graph_parts))
+    try:
+        edges = (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition(graph_parts, "v")
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
+        for _ in range(max_iters):
+            neighbor = (
+                edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+                .select("u", "lbl")
+            )
+            new_labels = (
+                labels.select("u", "lbl")
+                .union(neighbor)
+                .groupBy("u")
+                .agg(F.min("lbl").alias("lbl"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     edges.unpersist()
+    e.unpersist()
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id")).orderBy(
         "doc_id"
     )
