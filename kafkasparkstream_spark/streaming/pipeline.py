@@ -121,3 +121,30 @@ def await_any_termination(spark: SparkSession, timeout: int | None = None) -> No
         spark.streams.awaitAnyTermination()
     else:
         spark.streams.awaitAnyTermination(timeout)
+
+
+def dedup_stage(
+    parsed: DataFrame,
+    keys: tuple[str, ...] = ("device_id", "timestamp"),
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Streaming deduplication: drop re-deliveries of the same logical event
+    (at-least-once sources like Kafka re-emit on retry) before they reach
+    state or sinks.
+
+    ``dropDuplicates`` on a watermarked stream keeps one state entry per key
+    until the watermark passes the event's time, so state is bounded by the
+    key arrival rate × watermark horizon — the standard exactly-once-ish
+    ingest guard the reference lacks (its JDBC append happily duplicates,
+    SURVEY.md ST3).
+    """
+    cfg = cfg or PipelineConfig()
+    return parsed.withWatermark(cfg.ts_col, cfg.watermark).dropDuplicates(list(keys))
+
+
+def enrich_stage(parsed: DataFrame, dim: DataFrame, on: str = "device_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins against the
+    (small, broadcast) static dimension — no streaming state involved. The
+    static side is re-resolved per batch, so a Delta/parquet dim table can
+    be updated between batches without restarting the query."""
+    return parsed.join(F.broadcast(dim), on, "left")

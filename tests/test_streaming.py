@@ -274,3 +274,73 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         for r in agg(batch_df).collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicates on a watermarked stream: a re-delivered event (same
+    device_id+timestamp, arriving again in a later micro-batch while still
+    inside the watermark horizon) reaches the sink exactly once."""
+    from kafkasparkstream_spark.streaming.pipeline import dedup_stage
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink" / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+
+    dup = ONTIME[0]  # sensor_1 @ 10:00:05 — re-delivered in batch 2
+    (src / "b1.json").write_text("\n".join(ONTIME) + "\n")
+    (src / "b2.json").write_text("\n".join([dup, RUN2_ONTIME]) + "\n")
+
+    raw = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    deduped = dedup_stage(parse_stage(raw, PipelineConfig()))
+    q = (
+        deduped.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(sink)
+    # 4 distinct on-time events + 1 new event; the re-delivery is dropped.
+    assert out.count() == 5
+    assert (
+        out.filter(F.col("device_id") == "sensor_1").count() == 2
+    )  # 10:00:05 once + 10:02:50 once
+    assert out.select("device_id", "timestamp").distinct().count() == 5
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static broadcast join: every micro-batch row is enriched from
+    the static dimension; unmatched keys survive with a null (left join)."""
+    from kafkasparkstream_spark.streaming.pipeline import enrich_stage
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink" / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "b1.json").write_text("\n".join(ONTIME) + "\n")
+
+    dim = spark.createDataFrame(
+        [("sensor_1", "building-A"), ("sensor_2", "building-B")],
+        ["device_id", "site"],
+    )
+    raw = file_json_stream(spark, str(src), max_files_per_trigger=None)
+    enriched = enrich_stage(parse_stage(raw, PipelineConfig()), dim)
+    q = (
+        enriched.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(sink)
+    rows = {r["device_id"]: r["site"] for r in out.collect()}
+    assert rows["sensor_1"] == "building-A"
+    assert rows["sensor_2"] == "building-B"
+    assert rows["sensor_3"] is None  # unmatched key kept by the left join
