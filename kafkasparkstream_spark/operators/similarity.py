@@ -336,3 +336,115 @@ def cosine_neardup_pairs(
 
     dist = fanout(embeddings.select(F.col(id_col), F.col(vec_col)))
     return dist.mapInPandas(kernel, out_schema).orderBy("id_a", "id_b")
+
+
+def kmeans_cluster_stats(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, fully deterministic:
+    centroids initialize to the first ``k`` vectors by id, each iteration
+    assigns every vector to its nearest (squared-L2) centroid — ties to the
+    lowest centroid id — then recomputes centroids as element-wise means.
+    Returns per-cluster stats after the final assignment.
+
+    Scale shape (the IVF training step at 100 TB): the centroid matrix is
+    O(k·d) — broadcast; assignment is one vectorized distance kernel per
+    Arrow batch (`mapInPandas`, no shuffle); the centroid update is a
+    posexplode → (cluster, dim) grouped mean — map-side combined, exchange
+    carries k·d rows — collected back only as the k·d aggregate. Driver
+    traffic per iteration is exactly the centroid matrix, never the data.
+    Empty clusters drop out (their centroid has no members to average),
+    matching the declarative oracle.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = embeddings.sparkSession
+    emb = embeddings.select(id_col, vec_col, label_col)
+
+    init = sorted(
+        emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    c_ids = [int(r[0]) for r in init]
+    c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in init])
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("cluster_id", LongType(), False),
+            StructField(vec_col, ArrayType(FloatType()), True),
+            StructField(label_col, IntegerType(), True),
+        ]
+    )
+
+    def make_kernel(bc):
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_c, mat_c = bc.value
+            ids_c = np.asarray(ids_c, dtype="int64")
+            for batch in batches:
+                if not len(batch):
+                    continue
+                x = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+                )
+                # argmin over squared L2; first occurrence = lowest cid
+                # because the centroid matrix is sorted by id.
+                d2 = ((x[:, None, :] - mat_c[None, :, :]) ** 2).sum(axis=-1)
+                yield pd.DataFrame(
+                    {
+                        id_col: batch[id_col].to_numpy(),
+                        "cluster_id": ids_c[np.argmin(d2, axis=1)],
+                        vec_col: batch[vec_col],
+                        label_col: batch[label_col].to_numpy(),
+                    }
+                )
+
+        return kernel
+
+    assigned = None
+    for it in range(iters):
+        bc = spark.sparkContext.broadcast((c_ids, c_mat))
+        assigned = fanout(emb).mapInPandas(make_kernel(bc), out_schema)
+        if it < iters - 1:
+            means = (
+                assigned.select(
+                    "cluster_id", F.posexplode(vec_col).alias("pos", "val")
+                )
+                .groupBy("cluster_id", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("val"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = r["val"]
+            c_ids = sorted(by_cluster)
+            c_mat = np.array(
+                [
+                    [by_cluster[c][p] for p in range(len(by_cluster[c]))]
+                    for c in c_ids
+                ]
+            )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg(F.col(label_col).cast("double")), 4).alias("avg_label"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1244,6 +1244,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
 )
+@register(
+    "kmeans_embeddings",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb FROM e WHERE vec_id < 8),
+    d1 AS (SELECT e.vec_id, c0.cid, list_distance(e.emb, c0.emb) AS d FROM e CROSS JOIN c0),
+    a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+           WHERE rn = 1),
+    x1 AS (SELECT a1.cid, unnest(e.emb) AS val, unnest(range(len(e.emb))) AS pos
+           FROM e JOIN a1 USING (vec_id)),
+    m1 AS (SELECT cid, pos, AVG(val) AS val FROM x1 GROUP BY 1, 2),
+    c1 AS (SELECT cid, list(val ORDER BY pos) AS emb FROM m1 GROUP BY cid),
+    d2 AS (SELECT e.vec_id, c1.cid, list_distance(e.emb, c1.emb) AS d FROM e CROSS JOIN c1),
+    a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+           WHERE rn = 1)
+    SELECT cid AS cluster_id, COUNT(*) AS n_members,
+           ROUND(AVG(CAST(label AS DOUBLE)), 4) AS avg_label
+    FROM a2 JOIN e USING (vec_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-iteration Lloyd's k-means (k=8, init = first k ids)
+    over the embedding column; the oracle unrolls the same two assign/update
+    rounds as CTEs. The distributed twin of IVF centroid training."""
+    return similarity.kmeans_cluster_stats(load_table(spark, "embeddings", sf_dir))
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding-cosine near-duplicates at threshold 0.35."""
     return similarity.cosine_neardup_pairs(load_table(spark, "embeddings", sf_dir))

@@ -69,3 +69,37 @@ def latest_state(df: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_batch_id")
     )
+
+
+def foreach_batch_jdbc_sink(
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    skip_empty: bool = True,
+    swallow_errors: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Micro-batch callback appending to a JDBC table — the reference's
+    actual sink (S3, processor.py:124-140: ``batch_df.write.jdbc(url, table,
+    mode="append", properties)`` behind an empty-batch skip and a
+    swallow-and-continue error guard).
+
+    Parquet (:func:`foreach_batch_parquet_sink`) is this engine's primary
+    sink; the JDBC path exists for reference-parity serving stores. The
+    write is executor-distributed (one connection per partition) — for
+    stores that dislike wide fan-in, ``coalesce`` the batch first. Requires
+    the JDBC driver jar on the classpath (the reference pins
+    ``org.postgresql:postgresql:42.5.1``, processor.py:35).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            if skip_empty and batch_df.isEmpty():  # ST8 (processor.py:127)
+                log.info("batch %s empty, skipping jdbc %s", batch_id, table)
+                return
+            batch_df.write.jdbc(url, table, mode="append", properties=properties or {})
+        except Exception:  # noqa: BLE001 — ST7 (processor.py:139-140)
+            if not swallow_errors:
+                raise
+            log.exception("batch %s jdbc write to %s failed (isolated)", batch_id, table)
+
+    return _write

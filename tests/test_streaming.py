@@ -344,3 +344,23 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     assert rows["sensor_1"] == "building-A"
     assert rows["sensor_2"] == "building-B"
     assert rows["sensor_3"] is None  # unmatched key kept by the left join
+
+
+def test_jdbc_sink_error_isolation(spark, tmp_path):
+    """S3/ST7: the JDBC sink callback skips empty batches and isolates write
+    failures (no driver on the classpath here → the append raises inside the
+    guard; the stream must survive, matching processor.py:139-140)."""
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_jdbc_sink
+
+    sink = foreach_batch_jdbc_sink("jdbc:postgresql://nowhere:5432/nodb", "t")
+    batch = spark.createDataFrame([(1, "a")], ["id", "v"])
+    sink(batch, 0)  # must not raise (isolated failure)
+    sink(batch.filter("id < 0"), 1)  # empty batch → skipped before any JDBC call
+
+    import pytest as _pytest
+
+    strict = foreach_batch_jdbc_sink(
+        "jdbc:postgresql://nowhere:5432/nodb", "t", swallow_errors=False
+    )
+    with _pytest.raises(Exception):
+        strict(batch, 2)
