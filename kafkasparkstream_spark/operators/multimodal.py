@@ -157,3 +157,45 @@ def synthesize_assets(spark, n: int = 64, media_type: str = "image") -> DataFram
             ).alias("meta"),
         )
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("energy", LongType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Decode + summarize audio assets via Arrow-batched mapInPandas.
+
+    The fake decode treats each payload byte as one centered PCM sample
+    (b − 128); a real kernel would torchaudio/soundfile-decode. Energy is an
+    exact integer sum (engine-order-independent) and RMS is one IEEE sqrt of
+    an exact ratio, so the oracle matches bit-for-bit — the same
+    determinism-by-construction discipline as the image kernel.
+    """
+    import math
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "n_samples": [], "energy": [], "rms": []}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+                energy = int((x * x).sum())
+                n = len(x)
+                out["asset_id"].append(asset_id)
+                out["n_samples"].append(n)
+                out["energy"].append(energy)
+                out["rms"].append(math.sqrt(energy / n) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA
+    )

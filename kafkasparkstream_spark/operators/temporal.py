@@ -170,3 +170,44 @@ def range_join_count(
         .withColumn("n_in_range", F.coalesce("n_in_range", F.lit(0)))
         .orderBy(id_col)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average: each reading holds its value until the
+    next reading, so its weight is that interval's duration (the last
+    reading of a key carries no weight — its holding interval is unknown).
+    The hypertable time-series-rollup semantics: irregular sampling must
+    not let burst periods dominate the mean.
+
+    One shuffle on the key; the next-timestamp lookup is a `lead` in the
+    same window pass. Durations are exact int64 microseconds; the weighted
+    sum divides only at the end, so the oracle (identical SQL) reproduces
+    the arithmetic bit-for-bit up to the final rounding grid.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc(tiebreak))
+    us = F.unix_micros(F.col(ts_col))
+    dur = F.lead(us, 1).over(w) - us
+    weighted = df.select(
+        key, F.col(value_col).alias("_v"), dur.alias("_dur_us")
+    ).filter(F.col("_dur_us").isNotNull())
+    return (
+        weighted.groupBy(key)
+        .agg(
+            F.round(
+                F.sum(F.col("_v") * (F.col("_dur_us") / 1_000_000.0))
+                / F.sum(F.col("_dur_us") / 1_000_000.0),
+                4,
+            ).alias("twa_value"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round((F.sum("_dur_us") / 1_000_000.0), 4).alias("span_seconds"),
+        )
+        .orderBy(key)
+    )

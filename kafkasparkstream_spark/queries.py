@@ -1234,17 +1234,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_neardup",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
-    ORDER BY id_a, id_b
-    """,
-)
-@register(
     "kmeans_embeddings",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
@@ -1274,6 +1263,17 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_cluster_stats(load_table(spark, "embeddings", sf_dir))
 
 
+@register(
+    "embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding-cosine near-duplicates at threshold 0.35."""
     return similarity.cosine_neardup_pairs(load_table(spark, "embeddings", sf_dir))
@@ -1365,6 +1365,33 @@ def cube_type_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_bucket", F.col("user_id") % 4
     )
     return win_ops.cube_counts(df, ("event_type", "user_bucket"))
+
+
+@register(
+    "grouping_sets_counts",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS cnt,
+           GROUPING(event_type) AS g_type, GROUPING(user_id % 10) AS g_bucket
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    ORDER BY g_type, g_bucket, event_type, user_bucket
+    """,
+)
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the spark.sql entry point — the
+    engine's raw-SQL surface (Catalyst parses the same ANSI text the oracle
+    runs; the Expand operator evaluates all sets in one pass, map-side
+    partial-aggregated, exactly like rollup/cube)."""
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS cnt,
+               GROUPING(event_type) AS g_type, GROUPING(user_id % 10) AS g_bucket
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY g_type, g_bucket, event_type, user_bucket
+        """
+    )
 
 
 @register(
@@ -1723,6 +1750,30 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         F.col("prev_ts"), F.col("prev_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "time_weighted_avg_user",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * (dur_us / 1000000.0)) / SUM(dur_us / 1000000.0), 4) AS twa_value,
+           COUNT(*) AS n_intervals,
+           ROUND(SUM(dur_us) / 1000000.0, 4) AS span_seconds
+    FROM d WHERE dur_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-weighted average per user: each reading is
+    weighted by how long it remained current (lead-interval weighting)."""
+    events = load_table(spark, "events", sf_dir)
+    return temporal.time_weighted_avg(events)
 
 
 @register(
@@ -2092,6 +2143,28 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "sha256",
         *[F.element_at("embedding", k + 1).alias(f"e{k}") for k in range(4)],
+    ).orderBy("asset_id")
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS hex FROM documents),
+    s AS (SELECT asset_id, ord(substr(hex, CAST(i AS INT), 1)) - 128 AS b
+          FROM a, range(1, 65) t(i))
+    SELECT asset_id, COUNT(*) AS n_samples,
+           CAST(SUM(b * b) AS BIGINT) AS energy,
+           ROUND(sqrt(CAST(SUM(b * b) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM s GROUP BY asset_id ORDER BY asset_id
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + energy/RMS summary (fake PCM = centered payload
+    bytes): integer-exact energy, IEEE-exact sqrt — deterministic by
+    construction across engines."""
+    feats = multimodal.audio_features(_doc_assets(spark, sf_dir))
+    return feats.select(
+        "asset_id", "n_samples", "energy", F.round("rms", 6).alias("rms")
     ).orderBy("asset_id")
 
 
