@@ -211,3 +211,41 @@ def time_weighted_avg(
         )
         .orderBy(key)
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) compaction: collapse each key's
+    event stream into attribute-validity intervals — one row per *change*,
+    with ``valid_from``/``valid_to`` bounds and an ``is_current`` flag on
+    the open interval. The CDC→dimension-table transformation.
+
+    Two window passes over one shuffle on the key: ``lag`` flags change
+    rows, ``lead`` over the filtered change rows closes each interval.
+    Everything is column arithmetic on exact types — no Python, no second
+    shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc(tiebreak))
+    changed = (
+        df.select(key, ts_col, attr_col, tiebreak)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+    )
+    w2 = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc(tiebreak))
+    return (
+        changed.select(
+            key,
+            F.col(attr_col),
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy(key, "valid_from")
+    )

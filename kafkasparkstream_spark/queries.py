@@ -1753,6 +1753,34 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_event_type_history",
+    oracle="""
+    WITH changed AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changed
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 compaction: per-user event_type change intervals with
+    valid_from/valid_to bounds and an is_current flag (the CDC→dimension
+    transformation)."""
+    events = load_table(spark, "events", sf_dir)
+    return temporal.scd2_history(events)
+
+
+@register(
     "time_weighted_avg_user",
     oracle="""
     WITH d AS (

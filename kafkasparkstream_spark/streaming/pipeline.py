@@ -148,3 +148,34 @@ def enrich_stage(parsed: DataFrame, dim: DataFrame, on: str = "device_id") -> Da
     static side is re-resolved per batch, so a Delta/parquet dim table can
     be updated between batches without restarting the query."""
     return parsed.join(F.broadcast(dim), on, "left")
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 minute",
+    within_seconds: int = 600,
+) -> DataFrame:
+    """Stream-stream inner join: pair each left row with right rows of the
+    same key whose time falls in ``[left_ts, left_ts + within_seconds]``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state and evict rows the other
+    side can no longer match (state ≈ arrival rate × (watermark + interval)
+    per side, regardless of stream length). Without the time bound the
+    state would grow forever — Spark rejects that plan for good reason.
+    """
+    l_wm = left.withWatermark(left_ts, watermark).alias("l")
+    r_wm = right.withWatermark(right_ts, watermark).alias("r")
+    return l_wm.join(
+        r_wm,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within_seconds} SECONDS")
+        ),
+    )

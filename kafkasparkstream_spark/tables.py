@@ -83,3 +83,29 @@ def write_partitioned(
     bottleneck.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the shuffle-elimination layout for 100 TB
+    co-located joins.
+
+    Both sides of a recurring equi-join written with the same
+    (bucket_col, num_buckets) hash-layout join WITHOUT a shuffle: Spark's
+    scan reports the bucketing as its output partitioning, so the exchange
+    that a plain parquet join needs on each side disappears (pinned by
+    tests/test_plans.py). Add ``sortBy`` to also pre-sort within buckets and
+    drop the join's sort step. This is the at-rest answer to the
+    orders⋈lineitem co-partitioning called out in
+    `analytics.top_orders_by_revenue`.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -118,3 +118,53 @@ def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
     # And the pruned read returns exactly that day's rows.
     expected = events.filter(F.col("event_date") == F.lit(one_day)).count()
     assert q.count() == expected > 0
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must hash-join with ZERO
+    exchanges — the at-rest co-location strategy for the big recurring
+    orders⋈lineitem join at 100 TB. A plain parquet join of the same data
+    needs an exchange on each side; bucketing moves that shuffle to write
+    time, once, instead of per query."""
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.tables import load_table, write_bucketed
+
+    orders = load_table(spark, "orders", SF_DIR)
+    lineitem = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed(orders, "orders_b", "o_orderkey", num_buckets=8)
+    write_bucketed(lineitem, "lineitem_b", "l_orderkey", num_buckets=8)
+
+    # AQE's planner must not demote the bucketed scan's reported
+    # partitioning; autoBroadcast must not paper over the exchange question.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("orders_b")
+            .join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        plan = explain_str(joined)
+        pre_agg = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "Exchange" not in pre_agg, (
+            "bucketed join must not shuffle either side:\n" + plan
+        )
+        # Same answer as the plain-parquet join.
+        expected = (
+            orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        )
+        got = {r["o_orderpriority"]: r["cnt"] for r in joined.collect()}
+        assert got == {r["o_orderpriority"]: r["count"] for r in expected}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

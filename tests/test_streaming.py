@@ -364,3 +364,84 @@ def test_jdbc_sink_error_isolation(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         strict(batch, 2)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + a time-bound condition:
+    click→purchase attribution within 10 minutes. Purchases outside any
+    click's window, and unmatched clicks, must not emit."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.streaming.pipeline import stream_interval_join
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    wire = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("kind", StringType(), True),
+            StructField("ts", StringType(), True),
+        ]
+    )
+
+    def _ev(user, kind, ts):
+        return json.dumps({"user_id": user, "kind": kind, "ts": ts})
+
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    (clicks_dir / "c.json").write_text(
+        "\n".join(
+            [
+                _ev(1, "click", "2024-01-01T10:00:00"),
+                _ev(2, "click", "2024-01-01T10:00:00"),
+                _ev(3, "click", "2024-01-01T12:00:00"),  # no purchase near
+            ]
+        )
+        + "\n"
+    )
+    (buys_dir / "b.json").write_text(
+        "\n".join(
+            [
+                _ev(1, "purchase", "2024-01-01T10:05:00"),  # within 10 min ✓
+                _ev(2, "purchase", "2024-01-01T11:00:00"),  # 60 min later ✗
+            ]
+        )
+        + "\n"
+    )
+
+    def _stream(path):
+        raw = file_json_stream(spark, str(path), max_files_per_trigger=None)
+        return parse_json_events(raw, wire, payload_col="value", ts_col="ts")
+
+    joined = stream_interval_join(
+        _stream(clicks_dir),
+        _stream(buys_dir),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        within_seconds=600,
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("purchase_ts"),
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        joined.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1
+    assert str(rows[0]["purchase_ts"]).startswith("2024-01-01 10:05:00")
