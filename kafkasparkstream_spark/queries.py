@@ -1753,6 +1753,53 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rate_spike_windows",
+    oracle="""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start, COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT window_start, cnt,
+               ROUND(AVG(cnt) OVER (ORDER BY window_start
+                                    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 4)
+                   AS trailing_avg,
+               ROUND(cnt / AVG(cnt) OVER (ORDER BY window_start
+                                          ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 4)
+                   AS spike_ratio
+        FROM w
+    )
+    WHERE trailing_avg IS NOT NULL
+    ORDER BY window_start
+    """,
+)
+def rate_spike_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput anomaly detection: per-minute event counts compared to the
+    trailing 5-window average (rows-frame over the aggregated windows — the
+    monitoring query an ops team runs on the reference's aggregate table).
+    The first window of the stream has no history and is excluded."""
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    counts = (
+        events.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    trail = W.orderBy("window_start").rowsBetween(-5, -1)
+    return (
+        counts.select(
+            "window_start",
+            "cnt",
+            F.round(F.avg("cnt").over(trail), 4).alias("trailing_avg"),
+            F.round(F.col("cnt") / F.avg("cnt").over(trail), 4).alias("spike_ratio"),
+        )
+        .filter(F.col("trailing_avg").isNotNull())
+        .orderBy("window_start")
+    )
+
+
+@register(
     "scd2_event_type_history",
     oracle="""
     WITH changed AS (
