@@ -2146,9 +2146,19 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=EVENT_WIRE_SCHEMA,
     )
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
-    agg_q, raw_q = start_pipeline(raw, sink, ckpt, cfg, available_now=True)
-    agg_q.awaitTermination()
-    raw_q.awaitTermination()
+    # The streaming aggregate's state-store count is pinned at checkpoint
+    # creation from spark.sql.shuffle.partitions. This run creates a fresh
+    # checkpoint over a bounded replay, so a handful of stores is right;
+    # a production deployment sizes this to cluster capacity BEFORE first
+    # start (it cannot change without a state rebuild).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
+    try:
+        agg_q, raw_q = start_pipeline(raw, sink, ckpt, cfg, available_now=True)
+        agg_q.awaitTermination()
+        raw_q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     final = latest_state(
         spark.read.parquet(f"{sink}/sensor_aggregates"),

@@ -225,3 +225,26 @@ def test_salted_agg_correct_under_extreme_skew(spark):
     }
     assert got == plain
     assert got["hot"][0] == 18_000
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Lloyd's iterations must recover two well-separated planted clusters
+    regardless of which points seeded the centroids, and must tolerate an
+    empty cluster (a far-out seed that captures nothing after the first
+    update)."""
+    from kafkasparkstream_spark.operators.similarity import kmeans_cluster_stats
+
+    dim = 8
+    rows = []
+    # vec_ids 0,1 are the seeds; 0 sits in cluster A, 1 in cluster B.
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 10.0
+        vec = [base + ((i * 7 + j) % 5) * 0.01 for j in range(dim)]
+        rows.append((i, vec, i % 2))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    out = {r["cluster_id"]: r for r in kmeans_cluster_stats(df, k=2, iters=3).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_members"] == 20 and out[1]["n_members"] == 20
+    # label == cluster parity by construction → per-cluster label is pure.
+    assert out[0]["avg_label"] == 0.0 and out[1]["avg_label"] == 1.0
