@@ -113,3 +113,51 @@ def stats(df: DataFrame, ts_col: str, dims: tuple[str, ...]) -> dict[str, DataFr
     for d in dims:
         out[f"by_{d}"] = group_count(df, d)
     return out
+
+
+class ReadThroughCache:
+    """The Redis-analog serving cache (app.py:143-148,180-185): key →
+    collected result with a TTL, filling only on non-empty results when at
+    least one filter is set — the reference's exact policy ("don't pin the
+    unfiltered firehose, don't cache misses").
+
+    Driver-side and deliberately tiny: the engine's *data* never flows
+    through here, only final serving-layer result lists (the reference
+    caps them at LIMIT 100). Swap the dict for Redis by replacing
+    ``_store`` get/set — the policy logic is the part worth keeping.
+    ``clock`` is injectable for deterministic tests.
+    """
+
+    def __init__(self, ttl_seconds: float = 300.0, clock=None):
+        import time as _time
+
+        self.ttl = ttl_seconds
+        self._clock = clock or _time.monotonic
+        self._store: dict[str, tuple[float, list]] = {}
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def key(endpoint: str, **params) -> str:
+        parts = [endpoint] + [f"{k}={params[k]}" for k in sorted(params) if params[k] is not None]
+        return ":".join(parts)  # latest:{device_type}:{location} analog (app.py:144)
+
+    def get(self, key: str):
+        entry = self._store.get(key)
+        if entry is None or self._clock() >= entry[0]:
+            self._store.pop(key, None)
+            self.misses += 1
+            return None
+        self.hits += 1
+        return entry[1]
+
+    def fetch(self, key: str, df_fn, any_filter_set: bool) -> list:
+        """Read-through: cache hit → stored rows; miss → run the DataFrame
+        query, fill only when non-empty AND filtered (app.py:178-185)."""
+        cached = self.get(key)
+        if cached is not None:
+            return cached
+        rows = df_fn().collect()
+        if rows and any_filter_set:
+            self._store[key] = (self._clock() + self.ttl, rows)
+        return rows

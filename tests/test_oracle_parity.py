@@ -28,3 +28,51 @@ def test_query_matches_oracle(spark, name):
         assert df.count() >= 0
         return
     assert_matches_oracle(df, ORACLES[name], SF_CORRECT, name=name)
+
+
+
+def test_read_through_cache_policy(spark):
+    """Serving cache parity with the reference (app.py:143-185): TTL expiry,
+    fill-only-when-filtered, fill-only-when-nonempty, key scheme."""
+    from kafkasparkstream_spark.operators.serving import (
+        ReadThroughCache,
+        latest_readings,
+    )
+    from kafkasparkstream_spark.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+
+    t = [0.0]
+    cache = ReadThroughCache(ttl_seconds=300.0, clock=lambda: t[0])
+    calls = [0]
+
+    def q():
+        calls[0] += 1
+        return latest_readings(events, limit=5, event_type="click")
+
+    key = ReadThroughCache.key("latest", event_type="click", location=None)
+    assert key == "latest:event_type=click"
+
+    r1 = cache.fetch(key, q, any_filter_set=True)
+    r2 = cache.fetch(key, q, any_filter_set=True)
+    assert calls[0] == 1 and r1 == r2 and cache.hits == 1  # second read = hit
+
+    t[0] = 301.0  # past TTL -> re-run
+    cache.fetch(key, q, any_filter_set=True)
+    assert calls[0] == 2
+
+    # Unfiltered results are never pinned (app.py:180: `if device_type or location`).
+    k2 = ReadThroughCache.key("latest")
+    cache.fetch(k2, q, any_filter_set=False)
+    cache.fetch(k2, q, any_filter_set=False)
+    assert calls[0] == 4
+
+    # Empty results are not cached.
+    def empty():
+        calls[0] += 1
+        return latest_readings(events, limit=5, event_type="no_such_type")
+
+    k3 = ReadThroughCache.key("latest", event_type="no_such_type")
+    assert cache.fetch(k3, empty, any_filter_set=True) == []
+    cache.fetch(k3, empty, any_filter_set=True)
+    assert calls[0] == 6
