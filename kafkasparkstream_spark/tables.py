@@ -109,3 +109,59 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = (),
+) -> int:
+    """Rewrite a parquet table into ~``target_file_bytes`` files — the
+    maintenance job that keeps a streaming sink healthy.
+
+    Every micro-batch append (streaming.sinks) adds one file per task;
+    after days of 1-minute triggers a table is thousands of KB-sized files
+    and scan planning (footer reads, task scheduling) dwarfs the scan
+    itself. Compaction = read → repartition to ceil(bytes/target) →
+    atomic-ish rewrite (write to a sibling dir, then swap), preserving any
+    partition columns. Returns the output file count.
+
+    On a lakehouse table format (Delta/Iceberg) this is OPTIMIZE /
+    rewrite_data_files; over raw parquet the swap window is the caller's
+    scheduling concern (run it when no writer is active).
+    """
+    import math
+    import shutil
+
+    src_files = [
+        (p, sz)
+        for p, sz in _list_parquet_files(path)
+    ]
+    total_bytes = sum(sz for _, sz in src_files) or 1
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+
+    backup = path.rstrip("/") + "._compact_old"
+    shutil.move(path, backup)
+    shutil.move(tmp, path)
+    shutil.rmtree(backup)
+    return len(_list_parquet_files(path))
+
+
+def _list_parquet_files(path: str) -> list[tuple[str, int]]:
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out.append((p, os.path.getsize(p)))
+    return out

@@ -445,3 +445,40 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["user_id"] == 1
     assert str(rows[0]["purchase_ts"]).startswith("2024-01-01 10:05:00")
+
+
+def test_compaction_after_streaming_appends(spark, tmp_path):
+    """A streaming sink leaves one small file per (micro-batch × task);
+    compaction must collapse them to the size-targeted count with identical
+    data."""
+    from kafkasparkstream_spark.tables import _list_parquet_files, compact_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink" / "sensor_data")
+    ckpt = str(tmp_path / "ckpt")
+    # 3 micro-batches (maxFilesPerTrigger=1) → many small files.
+    (src / "f1.json").write_text("\n".join(ONTIME[:2]) + "\n")
+    (src / "f2.json").write_text("\n".join(ONTIME[2:]) + "\n")
+    (src / "f3.json").write_text(RUN2_ONTIME + "\n")
+    raw = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    q = (
+        parse_stage(raw, PipelineConfig())
+        .writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    before_files = len(_list_parquet_files(sink))
+    before = sorted(tuple(r) for r in spark.read.parquet(sink).drop("_batch_id").collect())
+    assert before_files >= 3
+
+    n_out = compact_table(spark, sink, target_file_bytes=1 << 30)
+    assert n_out == 1 < before_files
+    after = sorted(tuple(r) for r in spark.read.parquet(sink).drop("_batch_id").collect())
+    assert after == before
