@@ -1557,6 +1557,44 @@ def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_window_stats",
+    oracle="""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+               ROUND(AVG(value), 4) AS avg_value,
+               MIN(value)           AS min_value,
+               MAX(value)           AS max_value
+        FROM events GROUP BY 1
+    )
+    SELECT window_start, metric, metric_value
+    FROM w UNPIVOT (metric_value FOR metric IN (avg_value, min_value, max_value))
+    ORDER BY window_start, metric
+    """,
+)
+def unpivot_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the per-window multi-aggregate reshaped to long
+    (window, metric, value) rows — pivot's inverse, the layout metric
+    stores and plotting layers want. Spark's `unpivot` is a zero-shuffle
+    Expand projection over the already-aggregated rows."""
+    events = load_table(spark, "events", sf_dir)
+    wide = (
+        events.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "avg_value", "min_value", "max_value")
+    )
+    return wide.unpivot(
+        ["window_start"],
+        ["avg_value", "min_value", "max_value"],
+        "metric",
+        "metric_value",
+    ).orderBy("window_start", "metric")
+
+
+@register(
     "cohort_retention",
     oracle="""
     WITH firsts AS (
