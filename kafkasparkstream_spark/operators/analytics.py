@@ -413,3 +413,106 @@ def wealthy_inactive_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+def revenue_change_forecast(
+    lineitem: DataFrame,
+    year_start: str = "1998-01-01",
+    year_end: str = "1999-01-01",
+    discount_center: float = 0.05,
+    qty_cap: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: the simplest possible plan that matters — one scan
+    with every predicate (date range, discount band, quantity cap) pushed
+    into the parquet reader, one ungrouped agg. At 100 TB this query is
+    pure scan bandwidth; anything beyond a single pushed-filter scan +
+    partial agg in the plan is a regression.
+    """
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+        & (F.col("l_discount") >= discount_center - 0.01001)
+        & (F.col("l_discount") <= discount_center + 0.01001)
+        & (F.col("l_quantity") < qty_cap)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), FLOAT_DP).alias(
+            "revenue_increase"
+        )
+    )
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_0",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of supplier revenue per
+    order-year — a per-group conditional-aggregate ratio over a fact⋈dim
+    join. The nation tag rides the broadcast supplier side, so the CASE
+    WHEN inside the aggregate needs no second join or self-union; one
+    shuffle on the (year) group key.
+    """
+    n = nation.select("n_nationkey", "n_name")
+    s = (
+        supplier.join(F.broadcast(n), supplier.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                FLOAT_DP,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def disjunctive_filter_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue under OR-of-ANDs predicates spanning both
+    join sides (brand × size-band × quantity-band). Catalyst extracts the
+    common join key and pushes each side's single-table conjuncts into its
+    scan; the residual disjunction evaluates post-join in codegen — the
+    plan stays one broadcast hash join, never a union of three joins.
+    """
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = part.select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )

@@ -410,6 +410,64 @@ def stale_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_change_forecast",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_increase
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.05 - 0.01001 AND 0.05 + 0.01001
+      AND l_quantity < 24
+    """,
+)
+def revenue_change_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: all predicates pushed to one scan, one ungrouped agg."""
+    return analytics.revenue_change_forecast(load_table(spark, "lineitem", sf_dir))
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           ROUND(SUM(CASE WHEN n_name = 'NATION_0'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-year conditional-aggregate revenue share."""
+    return analytics.nation_market_share(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicates across both join sides."""
+    return analytics.disjunctive_filter_revenue(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
+    )
+
+
+@register(
     "customer_order_distribution",
     oracle="""
     SELECT c_count, COUNT(*) AS custdist
