@@ -168,3 +168,23 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is pure scan bandwidth at 100 TB: every predicate must reach the
+    parquet reader, and the plan must be scan → filter → partial/final agg
+    with no exchange beyond the single-row final."""
+    plan = _plan(spark, "revenue_change_forecast")
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan and "LessThan(l_quantity" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q19_single_join_not_union(spark):
+    """Q19's OR-of-ANDs must stay ONE join with a residual disjunction —
+    not expand into a union of three joins."""
+    plan = _plan(spark, "disjunctive_filter_revenue")
+    # formatted explain lists each node once in the tree and once in the
+    # details; "Join type:" appears exactly once per physical join node.
+    assert plan.count("Join type:") == 1, plan
+    assert "Union" not in plan
