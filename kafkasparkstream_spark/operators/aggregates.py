@@ -260,3 +260,59 @@ def value_histogram(df: DataFrame, value_col: str = "value", bucket_width: float
         )
         .orderBy("bucket")
     )
+
+
+def window_partials(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 minute",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Decomposable per-window partial aggregates: (sum, count, min, max)
+    — every component merges associatively, so partials from independent
+    ingest batches combine into the exact full answer (avg is derived at
+    read time as sum/count). This is the batch form of incremental view
+    maintenance: a new day's partition appends its partials; nothing old
+    is ever recomputed."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration), *[F.col(d) for d in dims])
+        .agg(
+            F.sum(value_col).alias("sum_value"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *dims,
+            "sum_value",
+            "cnt",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def merge_window_partials(
+    *parts: DataFrame, dims: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Merge partial-aggregate tables into final per-window stats. The
+    merge is the same shuffle a fresh aggregate would need — but over
+    partial rows (one per window×dims per batch), orders of magnitude
+    smaller than the events that produced them."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    keys = ["window_start", "window_end", *dims]
+    return (
+        merged.groupBy(*keys)
+        .agg(
+            F.round(F.sum("sum_value") / F.sum("cnt"), FLOAT_DP).alias("avg_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("cnt").alias("reading_count"),
+        )
+        .orderBy(*keys)
+    )

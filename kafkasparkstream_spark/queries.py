@@ -64,6 +64,34 @@ def windowed_agg_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 minute', ts)                       AS window_start,
+           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+           event_type,
+           ROUND(SUM(value) / COUNT(*), 4) AS avg_value,
+           MIN(value)                      AS min_value,
+           MAX(value)                      AS max_value,
+           COUNT(*)                        AS reading_count
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the event stream split into two ingest
+    batches at a time cutoff, each reduced to decomposable per-window
+    partials (sum/count/min/max), partials merged — and the result must
+    equal the full single-pass aggregate (the oracle). At 100 TB only the
+    new batch's events are ever touched; history lives as partial rows."""
+    events = load_table(spark, "events", sf_dir)
+    cutoff = F.lit("2024-01-03").cast("timestamp")
+    p1 = aggregates.window_partials(events.filter(F.col("ts") < cutoff))
+    p2 = aggregates.window_partials(events.filter(F.col("ts") >= cutoff))
+    return aggregates.merge_window_partials(p1, p2)
+
+
+@register(
     "distinct_dims",
     oracle="""
     SELECT DISTINCT user_id, event_type
