@@ -248,3 +248,110 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert out[0]["n_members"] == 20 and out[1]["n_members"] == 20
     # label == cluster parity by construction → per-cluster label is pure.
     assert out[0]["avg_label"] == 0.0 and out[1]["avg_label"] == 1.0
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, max_size=16))
+def test_time_weighted_avg_matches_reference(spark, rows):
+    """TWA vs a pure-Python reference: per key, ordered by (ts, event_id),
+    each value weighted by the interval to the next reading; last reading
+    carries no weight; single-reading keys emit nothing."""
+    from collections import defaultdict
+
+    from kafkasparkstream_spark.operators.temporal import time_weighted_avg
+
+    df = _mk_df(spark, rows)
+    got = {
+        r["user_id"]: (r["twa_value"], r["n_intervals"], r["span_seconds"])
+        for r in time_weighted_avg(df).collect()
+    }
+
+    by_key = defaultdict(list)
+    for i, (k, s, v) in enumerate(rows):
+        by_key[k].append((s, i, float(v)))
+    want = {}
+    for k, seq in by_key.items():
+        seq.sort()
+        if len(seq) < 2:
+            continue
+        ws, span = 0.0, 0.0
+        for (s0, _, v0), (s1, _, _) in zip(seq, seq[1:]):
+            dur = float(s1 - s0)
+            ws += v0 * dur
+            span += dur
+        want[k] = (
+            round(ws / span, 4) if span else None,
+            len(seq) - 1,
+            round(span, 4),
+        )
+    # Zero-span keys (all readings at the same instant) divide 0/0 → null.
+    assert set(got) == set(want)
+    for k in want:
+        if want[k][0] is None:
+            assert got[k][0] is None
+        else:
+            assert abs(got[k][0] - want[k][0]) < 1e-9, (k, got[k], want[k])
+        assert got[k][1:] == want[k][1:]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=2),   # key
+    st.integers(min_value=0, max_value=60),  # seconds
+    st.sampled_from(["a", "b"]),             # attribute
+), min_size=1, max_size=16))
+def test_scd2_history_matches_reference(spark, rows):
+    """SCD2 vs a pure-Python reference: change rows only, intervals closed
+    by the next change, exactly one open (is_current) interval per key."""
+    from collections import defaultdict
+
+    from kafkasparkstream_spark.operators.temporal import scd2_history
+
+    data = [
+        (i, k, BASE + dt.timedelta(seconds=s), attr)
+        for i, (k, s, attr) in enumerate(rows)
+    ]
+    from pyspark.sql.types import StringType as _Str
+
+    scd_schema = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("user_id", LongType(), False),
+            StructField("ts", TimestampType(), False),
+            StructField("event_type", _Str(), False),
+        ]
+    )
+    df = spark.createDataFrame(data, scd_schema)
+    got = [
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df).collect()
+    ]
+
+    by_key = defaultdict(list)
+    for i, (k, s, attr) in enumerate(rows):
+        by_key[k].append((s, i, attr))
+    want = []
+    for k, seq in sorted(by_key.items()):
+        seq.sort()
+        changes = []
+        prev = None
+        for s, _i, attr in seq:
+            if prev is None or attr != prev:
+                changes.append((s, attr))
+            prev = attr
+        for (s, attr), nxt in zip(changes, changes[1:] + [None]):
+            want.append(
+                (
+                    k,
+                    attr,
+                    BASE + dt.timedelta(seconds=s),
+                    BASE + dt.timedelta(seconds=nxt[0]) if nxt else None,
+                    nxt is None,
+                )
+            )
+    far = dt.datetime(9999, 1, 1)
+
+    def canon(t):
+        return (t[0], t[2], t[1], t[3] or far, t[4])
+
+    assert sorted(got, key=canon) == sorted(want, key=canon)
