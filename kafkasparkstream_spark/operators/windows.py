@@ -351,3 +351,33 @@ def moving_avg_time_range(
         F.round(F.avg(value_col).over(w), 4).alias("trailing_avg"),
         F.count(F.lit(1)).over(w).alias("trailing_cnt"),
     ).orderBy(tiebreak)
+
+
+def approx_decile_labels(
+    df: DataFrame, value_col: str = "value", n: int = 10, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB swap for :func:`ntile_decile_stats`: label rows with their
+    approximate decile WITHOUT a total order.
+
+    ``approx_percentile`` computes the n-1 boundary values in one pass of
+    mergeable sketches (no sort, no single-partition stage); rows are then
+    labeled by comparing against the broadcast 1-row boundary array — a
+    codegen'd projection. Labels can differ from exact NTILE only for rows
+    whose value ties/straddles a boundary within sketch error, which is the
+    accepted trade for removing the global sort.
+    """
+    probs = F.array(*[F.lit(i / n) for i in range(1, n)])
+    bounds = df.agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("_bounds")
+    )
+    labeled = df.join(F.broadcast(bounds)).withColumn(
+        "decile",
+        (
+            F.aggregate(
+                "_bounds",
+                F.lit(1),
+                lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
+            )
+        ).cast("int"),
+    )
+    return labeled.drop("_bounds")

@@ -355,3 +355,25 @@ def test_scd2_history_matches_reference(spark, rows):
         return (t[0], t[2], t[1], t[3] or far, t[4])
 
     assert sorted(got, key=canon) == sorted(want, key=canon)
+
+
+def test_approx_decile_labels_consistent_with_exact(spark):
+    """The sketch-based decile labeler must agree with exact NTILE away from
+    bucket boundaries and never be off by more than one decile at them."""
+    from kafkasparkstream_spark.operators.windows import approx_decile_labels
+    from kafkasparkstream_spark.tables import load_table
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", "/root/testdata/sf0.01")
+    w = Window.orderBy(F.asc("value"), F.asc("event_id"))
+    exact = events.select(
+        "event_id", "value", F.ntile(10).over(w).alias("exact_decile")
+    )
+    approx = approx_decile_labels(events).select("event_id", "decile")
+    joined = exact.join(approx, "event_id")
+    diffs = joined.select(
+        F.max(F.abs(F.col("exact_decile") - F.col("decile"))).alias("max_diff"),
+        F.avg((F.col("exact_decile") == F.col("decile")).cast("double")).alias("agree"),
+    ).collect()[0]
+    assert diffs["max_diff"] <= 1
+    assert diffs["agree"] > 0.95
