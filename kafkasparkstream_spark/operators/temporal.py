@@ -198,16 +198,22 @@ def time_weighted_avg(
     weighted = df.select(
         key, F.col(value_col).alias("_v"), dur.alias("_dur_us")
     ).filter(F.col("_dur_us").isNotNull())
+    # A key whose readings all share one instant has zero total span — its
+    # TWA is undefined (and a 0/0 under ANSI mode); exclude it, as the
+    # oracle does with HAVING.
     return (
         weighted.groupBy(key)
         .agg(
-            F.round(
-                F.sum(F.col("_v") * (F.col("_dur_us") / 1_000_000.0))
-                / F.sum(F.col("_dur_us") / 1_000_000.0),
-                4,
-            ).alias("twa_value"),
+            F.sum(F.col("_v") * (F.col("_dur_us") / 1_000_000.0)).alias("_ws"),
+            F.sum(F.col("_dur_us") / 1_000_000.0).alias("_span_sec"),
             F.count(F.lit(1)).alias("n_intervals"),
-            F.round((F.sum("_dur_us") / 1_000_000.0), 4).alias("span_seconds"),
+        )
+        .filter(F.col("_span_sec") > 0)  # before the divide: ANSI-safe
+        .select(
+            key,
+            F.round(F.col("_ws") / F.col("_span_sec"), 4).alias("twa_value"),
+            "n_intervals",
+            F.round("_span_sec", 4).alias("span_seconds"),
         )
         .orderBy(key)
     )

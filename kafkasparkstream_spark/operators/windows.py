@@ -207,7 +207,10 @@ def zscore_per_key_window(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key_col)
-    z = (F.col(value_col) - F.avg(value_col).over(w)) / F.stddev_samp(value_col).over(w)
+    # nullif(sd, 0): a constant-valued key has sd = 0 — its z-score is
+    # undefined (null), not an ANSI divide-by-zero failure.
+    sd = F.nullif(F.stddev_samp(value_col).over(w), F.lit(0.0))
+    z = (F.col(value_col) - F.avg(value_col).over(w)) / sd
     return df.select(
         id_col, key_col, value_col, F.round(z, 4).alias("zscore")
     ).orderBy(id_col)

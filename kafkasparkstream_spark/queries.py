@@ -1591,7 +1591,8 @@ def session_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zscore_per_user",
     oracle="""
     SELECT event_id, user_id, value,
-           ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+           ROUND((value - AVG(value) OVER w)
+                 / NULLIF(stddev_samp(value) OVER w, 0), 4) AS zscore
     FROM events
     WINDOW w AS (PARTITION BY user_id)
     ORDER BY event_id
@@ -1965,7 +1966,9 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_intervals,
            ROUND(SUM(dur_us) / 1000000.0, 4) AS span_seconds
     FROM d WHERE dur_us IS NOT NULL
-    GROUP BY user_id ORDER BY user_id
+    GROUP BY user_id
+    HAVING SUM(dur_us) > 0
+    ORDER BY user_id
     """,
 )
 def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:

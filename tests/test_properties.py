@@ -269,6 +269,11 @@ def test_time_weighted_avg_matches_reference(spark, rows):
     by_key = defaultdict(list)
     for i, (k, s, v) in enumerate(rows):
         by_key[k].append((s, i, float(v)))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_half_up(x, dp=4):  # Spark/DuckDB ROUND, not Python banker's
+        return float(Decimal(repr(x)).quantize(Decimal("1e-%d" % dp), ROUND_HALF_UP))
+
     want = {}
     for k, seq in by_key.items():
         seq.sort()
@@ -279,18 +284,12 @@ def test_time_weighted_avg_matches_reference(spark, rows):
             dur = float(s1 - s0)
             ws += v0 * dur
             span += dur
-        want[k] = (
-            round(ws / span, 4) if span else None,
-            len(seq) - 1,
-            round(span, 4),
-        )
-    # Zero-span keys (all readings at the same instant) divide 0/0 → null.
+        if span == 0:
+            continue  # zero-span keys are excluded (undefined TWA)
+        want[k] = (round_half_up(ws / span), len(seq) - 1, round_half_up(span))
     assert set(got) == set(want)
     for k in want:
-        if want[k][0] is None:
-            assert got[k][0] is None
-        else:
-            assert abs(got[k][0] - want[k][0]) < 1e-9, (k, got[k], want[k])
+        assert abs(got[k][0] - want[k][0]) < 1e-9, (k, got[k], want[k])
         assert got[k][1:] == want[k][1:]
 
 
