@@ -7,6 +7,18 @@ with a count-collect, and prints ONE JSON line:
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
+The driver that consumes this output captures only the LAST 2000 bytes of
+stdout, so the JSON line must fit in that window with every per-query timing
+present.  88+ full query names don't fit, so the ``queries`` keys are
+abbreviated with the deterministic token dictionary below (``ann_cosine_topk``
+-> ``ann_cos_topk``).  The full-fidelity record is written to
+``BENCH_DETAIL.json`` (full names, 4-decimal timings) and the short->full
+mapping to ``BENCH_KEYS.json``, both in the repo root; per-query lines with
+full names also go to stderr.  If the registry grows so large that even the
+abbreviated line exceeds the window, precision degrades 3dp -> 2dp and then
+keys are prefix-truncated (with numeric disambiguation) until it fits —
+correctness of the *set* of timings is never sacrificed, only key length.
+
 Notes:
 - A warm-up query runs first so JVM/codegen startup isn't billed to q1.
 - Each query is timed end-to-end (plan + execute + fetch), matching how the
@@ -23,9 +35,117 @@ import os
 import sys
 import time
 
-from kafkasparkstream_spark.session import get_spark
+# Stdout budget for the final JSON line. The driver keeps the last 2000 bytes
+# of stdout; leave slack for the trailing newline and any stray runtime chatter.
+STDOUT_BUDGET = 1900
 
-import __spark_entry__ as entrymod
+# Deterministic token abbreviations for bench-line keys. Longest-token coverage
+# of the current registry; unknown tokens pass through unchanged. Keep entries
+# stable across rounds so BENCH_r{N}.json files stay comparable.
+ABBREV = {
+    "count": "cnt", "counts": "cnts", "revenue": "rev", "customer": "cust",
+    "customers": "custs", "window": "win", "windowed": "win", "windows": "wins",
+    "embedding": "emb", "embeddings": "embs", "distribution": "distr",
+    "purchase": "purch", "multimodal": "mm", "streaming": "strm",
+    "incremental": "incr", "percentiles": "pctls", "normalize": "norm",
+    "fingerprint": "fngr", "histogram": "hist", "retention": "retn",
+    "forecast": "fcst", "grouped": "grp", "grouping": "grpg",
+    "weighted": "wtd", "quantity": "qty", "priority": "prio",
+    "supplier": "supp", "training": "trn", "pipeline": "pipe",
+    "session": "sess", "sliding": "sld", "resample": "rsmp",
+    "stratified": "strat", "inactive": "inact", "distinct": "dist",
+    "approx": "apx", "aggregates": "aggs", "aggregate": "agg",
+    "filtered": "fltd", "latest": "last", "moving": "mov", "average": "avg",
+    "features": "feat", "nation": "ntn", "market": "mkt", "share": "shr",
+    "events": "evts", "event": "evt", "quality": "qual", "values": "vals",
+    "value": "val", "stats": "st", "orders": "ords", "order": "ord",
+    "wealthy": "wlth", "disjunctive": "disj", "clusters": "clust",
+    "profile": "prof", "tagged": "tag", "signup": "sgnp", "before": "bfr",
+    "users": "usrs", "user": "usr", "sample": "smp", "energy": "enrg",
+    "search": "srch", "volume": "vol", "change": "chg", "recent": "rcnt",
+    "region": "rgn", "summary": "summ", "total": "tot", "terms": "trm",
+    "spike": "spk", "salted": "salt", "pricing": "price", "pivot": "pvt",
+    "unpivot": "unpvt", "hourly": "hrly", "small": "sm", "large": "lg",
+    "brand": "brnd", "cohort": "coh", "type": "ty", "dedup": "dd",
+    "exact": "ex", "minhash": "mh", "simhash": "sh", "ngram": "ng",
+    "jaccard": "jac", "neardup": "nd", "cosine": "cos", "image": "img",
+    "audio": "aud", "frame": "frm", "running": "run", "zscore": "z",
+    "bucket": "bkt", "error": "err", "clicks": "clk", "click": "clk",
+    "decile": "dec", "history": "hst", "rollup": "rlp", "merge": "mrg",
+    "quantile": "qtl", "quantiles": "qtls", "weekly": "wkly", "daily": "dly",
+    "anomaly": "anom", "interval": "ivl", "overlap": "ovlp", "range": "rng",
+    "template": "tmpl", "document": "doc", "documents": "docs",
+    "shipping": "ship", "returns": "rtn", "returned": "rtn",
+    "secondary": "sec2", "global": "glb", "partition": "part",
+    "watermark": "wm", "dimension": "dim", "dimensions": "dims",
+    "entropy": "entr", "language": "lang", "detect": "det",
+    "similarity": "sim", "frequency": "freq", "vector": "vec",
+    "vectors": "vecs", "product": "prod", "products": "prods",
+    "weight": "wt", "weights": "wts", "median": "med", "funnel": "fnl",
+    "conversion": "conv", "attribution": "attr", "balance": "bal",
+    "inventory": "inv", "velocity": "velo", "lineitem": "li",
+    "supplier_part": "sp", "percent": "pct", "ratio": "ratio",
+}
+
+
+def short_name(name: str) -> str:
+    """Deterministic per-token abbreviation of a registry query name."""
+    return "_".join(ABBREV.get(tok, tok) for tok in name.split("_"))
+
+
+def _disambiguate(keys: list[str]) -> dict[str, str]:
+    """Map full names -> unique short names (suffix -2, -3... on collision)."""
+    out: dict[str, str] = {}
+    seen: dict[str, int] = {}
+    for k in keys:
+        s = short_name(k)
+        n = seen.get(s, 0)
+        seen[s] = n + 1
+        out[k] = s if n == 0 else f"{s}-{n + 1}"
+    return out
+
+
+def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[str, str]]:
+    """Build the stdout JSON line under STDOUT_BUDGET bytes.
+
+    Degrades gracefully: abbreviated keys at 3dp -> 2dp -> prefix-truncated
+    keys. Returns (line, short->full mapping).
+    """
+    names = sorted(timings)
+    mapping = _disambiguate(names)
+
+    def build(keymap: dict[str, str], dp: int) -> str:
+        q = {keymap[n]: round(timings[n], dp) for n in names}
+        return json.dumps(
+            {"metric": "total_query_sec", "value": round(total, 3),
+             "unit": "sec", "sf": sf, "queries": q},
+            separators=(",", ":"),
+        )
+
+    for dp in (3, 2):
+        line = build(mapping, dp)
+        if len(line) <= STDOUT_BUDGET:
+            return line, {v: k for k, v in mapping.items()}
+
+    # Last resort: truncate short names to unique prefixes of shrinking length.
+    for width in (10, 8, 6, 5, 4):
+        trunc: dict[str, str] = {}
+        seen: dict[str, int] = {}
+        for n in names:
+            s = short_name(n)[:width]
+            c = seen.get(s, 0)
+            seen[s] = c + 1
+            trunc[n] = s if c == 0 else f"{s}{c + 1}"
+        line = build(trunc, 2)
+        if len(line) <= STDOUT_BUDGET:
+            return line, {v: k for k, v in trunc.items()}
+    # Give up on fitting (thousands of queries): emit totals-only line.
+    line = json.dumps(
+        {"metric": "total_query_sec", "value": round(total, 3),
+         "unit": "sec", "sf": sf, "queries": {}},
+        separators=(",", ":"),
+    )
+    return line, {}
 
 
 def _force(df) -> int:
@@ -34,6 +154,10 @@ def _force(df) -> int:
 
 
 def main() -> None:
+    from kafkasparkstream_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     try:
@@ -57,6 +181,8 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    from kafkasparkstream_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         best = None
@@ -66,20 +192,27 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+        release_caches()  # dedup intermediates don't outlive their query
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = sum(timings.values())
+    line, key_map = _fit_line(timings, total, sf)
+
+    # Full-fidelity record for humans/judges; the stdout line is the driver's.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(
+                {"metric": "total_query_sec", "value": round(total, 4),
+                 "unit": "sec", "sf": sf, "queries": timings},
+                f, indent=1, sort_keys=True,
+            )
+        with open(os.path.join(here, "BENCH_KEYS.json"), "w") as f:
+            json.dump(key_map, f, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout shouldn't kill the bench
+        print(f"# detail write skipped: {exc}", file=sys.stderr)
+
+    print(line)
 
 
 if __name__ == "__main__":
