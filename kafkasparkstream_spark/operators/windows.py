@@ -106,10 +106,16 @@ def event_type_user_overlap(df: DataFrame, type_a: str, type_b: str) -> DataFram
 
 
 def event_type_user_except(df: DataFrame, type_a: str, type_b: str) -> DataFrame:
-    """Users with type_a events but no type_b events (EXCEPT)."""
+    """Users with type_a events but NO type_b events (set EXCEPT).
+
+    ``subtract`` is Spark's set-semantics EXCEPT (left-anti on distinct
+    rows): a user with even one type_b event is excluded regardless of how
+    many type_a events they have. (The earlier exceptAll+distinct form was a
+    multiset subtraction — a user with more type_a than type_b events
+    survived it, contradicting this docstring.)"""
     ua = df.filter(F.col("event_type") == type_a).select("user_id")
     ub = df.filter(F.col("event_type") == type_b).select("user_id")
-    return ua.exceptAll(ub).distinct().orderBy("user_id")
+    return ua.subtract(ub).orderBy("user_id")
 
 
 def tagged_union(df: DataFrame, type_a: str, type_b: str) -> DataFrame:
@@ -257,13 +263,19 @@ def zscore_per_key(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf[value_col].mean()
         sd = pdf[value_col].std(ddof=1)  # sample stddev, matches stddev_samp
-        z = (pdf[value_col] - mu) / sd if sd and sd > 0 else pdf[value_col] * 0.0
+        if sd and sd > 0:  # NaN (single-row group) fails sd > 0 too
+            z = ((pdf[value_col] - mu) / sd).round(4).astype("Float64")
+        else:
+            # degenerate group (constant values or a single row): z-score is
+            # undefined — real NULLs, matching NULLIF(stddev, 0) in the
+            # window-function twin and the SQL oracle (not 0.0, not NaN).
+            z = pd.array([None] * len(pdf), dtype="Float64")
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],
                 key_col: pdf[key_col],
                 value_col: pdf[value_col],
-                "zscore": z.round(4),
+                "zscore": z,
             }
         )
 

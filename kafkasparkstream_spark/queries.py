@@ -1499,16 +1499,14 @@ def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "users_signup_not_purchase",
     oracle="""
-    SELECT DISTINCT user_id FROM (
-        SELECT user_id FROM events WHERE event_type = 'signup'
-        EXCEPT ALL
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-    )
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
     ORDER BY user_id
     """,
 )
 def users_signup_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL + DISTINCT: signup users with no purchase coverage."""
+    """Set EXCEPT: signup users with zero purchase events."""
     return win_ops.event_type_user_except(
         load_table(spark, "events", sf_dir), "signup", "purchase"
     )
@@ -1610,7 +1608,8 @@ def zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zscore_per_type_grouped_map",
     oracle="""
     SELECT event_id, event_type, value,
-           ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+           ROUND((value - AVG(value) OVER w)
+                 / NULLIF(stddev_samp(value) OVER w, 0), 4) AS zscore
     FROM events
     WINDOW w AS (PARTITION BY event_type)
     ORDER BY event_id
