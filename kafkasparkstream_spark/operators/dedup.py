@@ -31,6 +31,34 @@ from pyspark.sql import functions as F
 from kafkasparkstream_spark.operators.text import shingles_col
 from kafkasparkstream_spark.util import fanout
 
+#: Persisted intermediates (shingle arrays, simhash signatures) live past the
+#: operator call because the returned DataFrame is lazy — the cache must be
+#: populated when the CALLER materializes. Long-lived sessions running many
+#: dedup queries should call :func:`release_caches` between runs; bench.py
+#: does this after every timed query.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every cache created by dedup operators; returns the count.
+
+    Safe to call at any time — an unpersisted DataFrame silently recomputes
+    if its plan is re-executed later."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content digest: one row per distinct content with the
@@ -77,7 +105,7 @@ def _shingle_arrays(
     out = fanout(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.array_distinct(shingles_col(text_col, n)).alias("sh_arr")
     ).withColumn("n_sh", F.size("sh_arr"))
-    return out.persist() if persist else out
+    return _tracked_persist(out) if persist else out
 
 
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -321,7 +349,7 @@ def simhash_pairs(
     # Persist: the signature build (token explode + `bits` sum-aggs) is the
     # expensive subtree and both self-join branches need it. One row of
     # (id, bits-char string) per doc — tiny relative to the corpus.
-    sig = simhash(df, text_col, id_col, bits).persist()
+    sig = _tracked_persist(simhash(df, text_col, id_col, bits))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -391,6 +419,15 @@ def connected_components(
     checks a changed-row count per round; all data stays distributed.
     Persist + unpersist per round keeps lineage and memory bounded.
 
+    Shuffle sizing: every join/agg input is explicitly ``repartition(
+    graph_parts, key)`` — the propagation runs at graph scale (edge-list
+    sized, ~1M edges per partition) regardless of the session's corpus-scale
+    ``spark.sql.shuffle.partitions``, and because both sides of each join
+    and the agg share the same hash partitioning Catalyst inserts no extra
+    exchanges. (An earlier version set the session conf around the loop,
+    which silently resized any concurrent query on the session — explicit
+    per-plan partitioning is safe for shared sessions.)
+
     The oracle replays the same semantics as a recursive CTE (reachable-set
     minimum), so the iterative distributed algorithm is checked against a
     declarative single-node one.
@@ -400,51 +437,48 @@ def connected_components(
     # (expensive) candidate-generation lineage that produced `pairs`.
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).persist()
     n_edges = e.count()
-
-    # Size the propagation shuffles to the GRAPH, not the corpus: near-dup
-    # edge lists are orders of magnitude smaller than the documents that
-    # produced them, and each round is join+agg over only the graph. With
-    # the session's corpus-scale shuffle.partitions every tiny round pays
-    # full scheduling overhead (measured ~10s for a few-hundred-edge graph
-    # at 32 partitions). ~1M edges per partition keeps partitions
-    # executor-memory-sized at any scale.
-    spark = pairs.sparkSession
     graph_parts = max(2, min(2048, n_edges // 1_000_000 + 2))
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(graph_parts))
-    try:
-        edges = (
-            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .repartition(graph_parts, "v")
+
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(graph_parts, "v")
+        .persist()
+    )
+    labels = (
+        edges.select("u")
+        .repartition(graph_parts, "u")
+        .distinct()  # reuses the hash partitioning — no second exchange
+        .withColumn("lbl", F.col("u"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # labels is hash-partitioned on u; the rename to v keeps the
+        # partitioning attribute, so this join matches edges' partitioning.
+        neighbor = (
+            edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            .select("u", "lbl")
+        )
+        new_labels = (
+            labels.select("u", "lbl")
+            .union(neighbor)
+            .repartition(graph_parts, "u")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
             .persist()
         )
-        labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
-        for _ in range(max_iters):
-            neighbor = (
-                edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
-                .select("u", "lbl")
-            )
-            new_labels = (
-                labels.select("u", "lbl")
-                .union(neighbor)
-                .groupBy("u")
-                .agg(F.min("lbl").alias("lbl"))
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "u")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
     edges.unpersist()
     e.unpersist()
+    _LIVE_CACHES.append(labels)  # released by release_caches() after use
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id")).orderBy(
         "doc_id"
     )
