@@ -15,7 +15,9 @@ Three operators:
   the plan shape is identical). At 100 TB: candidates are hash-partitioned
   by bucket, queries broadcast, so each executor scans only its buckets.
 - :func:`cosine_neardup_pairs` — embedding-cosine near-duplicate pairs
-  (all-pairs ≥ threshold); quadratic, intended for within-bucket use.
+  (all-pairs ≥ threshold): block-tiled distributed GEMM by default (per-task
+  memory bounded by the block size, nothing collected to the driver), with
+  the legacy driver-broadcast path behind ``small_corpus=True``.
 
 Norms are precomputed per row (one pass) rather than per pair.
 """
@@ -276,23 +278,132 @@ def cosine_neardup_pairs(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 1024,
+    n_blocks: int | None = None,
+    small_corpus: bool = False,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-duplicate scan).
 
-    Plan: broadcast the row-normalized matrix (numpy, via a Spark broadcast
-    variable), then ``mapInPandas`` over the distributed rows computes each
-    partition's block of the similarity matrix as one BLAS GEMM
-    (``block @ full.T``) and emits only the above-threshold upper-triangle
-    pairs. Arrow moves the vectors columnar both ways; no per-pair expression
-    evaluation anywhere — ~20× faster than the same plan with a JVM
-    higher-order-function dot product (ArrayAggregate is CodegenFallback).
+    Default plan — **block-tiled exact all-pairs, fully distributed**: rows
+    hash into ``n_blocks`` blocks (≈ ``block_rows`` rows each); every
+    unordered block pair (i ≤ j) is one tile, and each vector is routed to
+    its tiles by exploding a tile-id list (left copy to tiles (blk, j ≥ blk),
+    right copy to tiles (i < blk, blk)), so each unordered *row* pair is
+    scored in exactly one tile. ``groupBy(tile).applyInPandas`` scores a tile
+    as one BLAS GEMM and emits only above-threshold pairs. Nothing is ever
+    collected to the driver; per-task memory is two blocks
+    (O(block_rows·d)), so the executor footprint is flat no matter the
+    corpus size. Replication factor is n_blocks+1 copies of the (id, vec)
+    projection — the price of exact all-pairs without a broadcast.
 
-    All-pairs is O(n²) compute but the broadcast is O(n·d): fine while the
-    matrix fits an executor (millions of rows × small d). Beyond that,
-    compose with :func:`sign_bucket` / MinHash buckets so each bucket's
-    matrix stays small, or tile the right-hand side by id range — the kernel
-    is unchanged either way.
+    All-pairs compute is O(n²·d) by nature: beyond ~1M rows pre-bucket the
+    corpus (:func:`sign_bucket` / MinHash bands) and run this per bucket —
+    the tiling composes unchanged inside each bucket.
+
+    ``small_corpus=True`` switches to the legacy broadcast path (collect the
+    normalized matrix to the driver, one GEMM per partition against it):
+    marginally faster when the whole matrix comfortably fits the driver, and
+    a driver OOM when it doesn't — opt-in only.
     """
+    if small_corpus:
+        return _cosine_neardup_broadcast(embeddings, threshold, id_col, vec_col)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if n_blocks is None:
+        n = src.count()  # metadata-only for parquet scans — not a collect
+        n_blocks = max(1, min(256, -(-n // block_rows)))
+    nb = n_blocks
+
+    blk = F.pmod(F.hash(F.col("_id")), F.lit(nb)).cast("int")
+    sided = src.withColumn("_blk", blk)
+    left = sided.select(
+        "_id",
+        "_v",
+        F.col("_blk").alias("ti"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(nb - 1))).alias("tj"),
+        F.lit(0).alias("side"),
+    )
+    right = sided.filter(F.col("_blk") > 0).select(
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("ti"),
+        F.col("_blk").alias("tj"),
+        F.lit(1).alias("side"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def _norm_mat(frame: pd.DataFrame) -> tuple:
+        ids = frame["_id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in frame["_v"]])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return ids, mat
+
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = pdf["ti"].iat[0] == pdf["tj"].iat[0]
+        a = pdf[pdf["side"] == 0]
+        if not len(a):
+            return empty
+        ids_a, mat_a = _norm_mat(a)
+        if diag:
+            sims = mat_a @ mat_a.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_a[None, :]))
+            pa, pb, cos = ids_a[ii], ids_a[jj], sims[ii, jj]
+        else:
+            b = pdf[pdf["side"] == 1]
+            if not len(b):
+                return empty
+            ids_b, mat_b = _norm_mat(b)
+            sims = mat_a @ mat_b.T
+            ii, jj = np.nonzero(sims >= threshold)
+            xa, xb = ids_a[ii], ids_b[jj]
+            # different blocks, hence different ids — canonicalize the order
+            pa, pb, cos = np.minimum(xa, xb), np.maximum(xa, xb), sims[ii, jj]
+        return pd.DataFrame(
+            {
+                "id_a": pa.astype("int64"),
+                "id_b": pb.astype("int64"),
+                "cosine": np.round(cos, 4),
+            }
+        )
+
+    return (
+        left.unionByName(right)
+        .groupBy("ti", "tj")
+        .applyInPandas(tile_kernel, out_schema)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _cosine_neardup_broadcast(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Legacy small-corpus path: broadcast the row-normalized matrix (numpy,
+    via a Spark broadcast variable); ``mapInPandas`` computes each partition's
+    block of the similarity matrix as ``block @ full.T`` and emits the
+    above-threshold upper triangle. O(n·d) driver memory — see
+    :func:`cosine_neardup_pairs` for the scale-safe default."""
     from collections.abc import Iterator
 
     import numpy as np

@@ -188,3 +188,38 @@ def test_q19_single_join_not_union(spark):
     # details; "Join type:" appears exactly once per physical join node.
     assert plan.count("Join type:") == 1, plan
     assert "Union" not in plan
+
+
+def test_cosine_neardup_default_path_no_driver_collect(spark, monkeypatch):
+    """The default near-dup path must never pull the candidate table to the
+    driver (round-1 VERDICT: toPandas() here is a driver OOM at 100 TB).
+    Plan construction + execution run with collect-to-driver APIs poisoned;
+    only the row-count action used for block sizing is allowed."""
+    from pyspark.sql import DataFrame
+
+    from kafkasparkstream_spark.operators.similarity import cosine_neardup_pairs
+    from kafkasparkstream_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+
+    def boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("driver-side collect in default neardup path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    out = cosine_neardup_pairs(emb)  # builds the plan; count() is allowed
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    assert out.count() >= 0  # executes the tiled plan without collecting
+
+
+def test_cosine_neardup_blocked_matches_broadcast(spark):
+    """Exactness of the tiling: forcing multiple blocks must reproduce the
+    broadcast path's pair set bit-for-bit (every unordered pair scored in
+    exactly one tile)."""
+    from kafkasparkstream_spark.operators.similarity import cosine_neardup_pairs
+    from kafkasparkstream_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    tiled = cosine_neardup_pairs(emb, n_blocks=5).collect()
+    bcast = cosine_neardup_pairs(emb, small_corpus=True).collect()
+    assert [tuple(r) for r in tiled] == [tuple(r) for r in bcast]
+    assert len(tiled) > 0
