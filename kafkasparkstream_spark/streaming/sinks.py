@@ -34,9 +34,17 @@ def foreach_batch_parquet_sink(
     skip_empty: bool = True,
     swallow_errors: bool = True,
 ) -> Callable[[DataFrame, int], None]:
-    """Micro-batch callback appending to a parquet table, stamped with the
-    batch id (processor.py:124-140 analog; batch stamp added for idempotent
-    reads — see :func:`latest_state`)."""
+    """Micro-batch callback writing to a parquet table partitioned by the
+    batch id (processor.py:124-140 analog).
+
+    **Write idempotence (exceeds the reference's at-least-once contract):**
+    each batch lands in its own ``_batch_id=N`` partition via dynamic
+    partition overwrite, so a RETRIED micro-batch (checkpoint replay after a
+    crash between sink write and offset commit) replaces its own partition
+    instead of double-appending — the reference duplicates in that window
+    (processor.py:133). Reads of ``path`` see ``_batch_id`` as a partition
+    column; update-mode streams additionally resolve refinements with
+    :func:`latest_state`."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         try:
@@ -45,7 +53,11 @@ def foreach_batch_parquet_sink(
                 return
             (
                 batch_df.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                # dynamic: only the partitions present in this batch (exactly
+                # one: _batch_id=N) are replaced; earlier batches untouched.
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
                 .parquet(path)
             )
         except Exception:  # noqa: BLE001 — ST7 (processor.py:139-140)

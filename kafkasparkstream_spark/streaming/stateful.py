@@ -13,9 +13,14 @@ partitioning by key) is Spark's.
 
 Scale notes: state is partitioned by the group key across
 ``spark.sql.shuffle.partitions`` state stores, exactly like the windowed
-aggregate; per-key state here is two scalars, so the store stays tiny at
-any throughput. Use GroupStateTimeout when keys churn (unbounded key spaces
-need eviction or the store grows forever).
+aggregate; per-key state here is two scalars, so the per-key cost is tiny.
+For unbounded key domains, pass ``idle_timeout_ms`` to evict idle keys
+(ProcessingTimeTimeout) so the store is bounded by the active key set — but
+ONLY on continuously-triggered deployments: measured on this Spark build, a
+``Trigger.AvailableNow`` query whose plan carries ProcessingTimeTimeout
+never terminates (it spins empty micro-batches re-arming timeouts — 86
+batches in 60 s for one key), so eviction cannot be the default without
+breaking every batch-style/backfill run.
 """
 
 from __future__ import annotations
@@ -49,18 +54,40 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def running_user_totals(parsed: DataFrame, key_col: str = "user_id") -> DataFrame:
+def running_user_totals(
+    parsed: DataFrame,
+    key_col: str = "user_id",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
     """Cross-batch running (count, sum) per key; emits current totals for
-    every key present in the micro-batch (update semantics)."""
+    every key present in the micro-batch (update semantics).
+
+    **Eviction** (``idle_timeout_ms=<ms>``): a key idle for that much
+    processing time has its state dropped on the next trigger, bounding the
+    store by the *active* key set even when the key domain is unbounded
+    (user ids, session ids, crawl URLs). A key returning after eviction
+    restarts its totals from zero — the right trade for monitoring-style
+    consumers. Always set it on continuously-triggered production pipelines
+    with unbounded keys; it stays opt-in (default ``None`` = keep-forever
+    NoTimeout accumulator) because ProcessingTimeTimeout makes
+    ``Trigger.AvailableNow`` queries spin forever instead of terminating
+    (see module docstring) — a default that hangs every backfill is worse
+    than a default that needs a flag in production."""
+    evict = idle_timeout_ms is not None
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if evict and state.hasTimedOut:
+            state.remove()  # idle key: drop state, emit nothing
+            return
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             s += float(pdf["value"].fillna(0.0).sum())
         state.update((n, s))
+        if evict:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]})
 
     return parsed.groupBy(key_col).applyInPandasWithState(
@@ -68,5 +95,7 @@ def running_user_totals(parsed: DataFrame, key_col: str = "user_id") -> DataFram
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if evict else GroupStateTimeout.NoTimeout
+        ),
     )

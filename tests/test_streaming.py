@@ -482,3 +482,106 @@ def test_compaction_after_streaming_appends(spark, tmp_path):
     assert n_out == 1 < before_files
     after = sorted(tuple(r) for r in spark.read.parquet(sink).drop("_batch_id").collect())
     assert after == before
+
+
+def test_parquet_sink_retry_is_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batch_id re-delivered after a crash between
+    sink write and checkpoint commit) must NOT double-append: the sink writes
+    each batch into its own _batch_id partition with dynamic overwrite, so the
+    replay replaces its own data. This exceeds the reference's at-least-once
+    contract (processor.py:133 duplicates on replay)."""
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    sink = str(tmp_path / "out")
+    write = foreach_batch_parquet_sink(sink)
+    b0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "user_id long, value double")
+    b1 = spark.createDataFrame([(3, 30.0)], "user_id long, value double")
+
+    write(b0, 0)
+    write(b1, 1)
+    write(b0, 0)  # retry of batch 0 — must replace, not append
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert out.select("user_id").distinct().count() == 3
+    # batch stamp is still visible for latest_state-style idempotent reads
+    assert set(r._batch_id for r in out.select("_batch_id").distinct().collect()) == {0, 1}
+
+
+def test_stateful_eviction_drops_idle_key(spark, tmp_path):
+    """Eviction variant: a key idle past the processing-time timeout has its
+    state removed — when it returns, totals restart from zero (proving the
+    store no longer held it).
+
+    Runs ONE continuously-triggered query stopped explicitly: eviction's
+    supported deployment shape. (``Trigger.AvailableNow`` + ProcessingTime
+    timeouts never terminates — see stateful.py module docstring — which is
+    exactly why eviction is opt-in.)"""
+    import time
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+    from kafkasparkstream_spark.streaming.stateful import running_user_totals
+
+    wire = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("ts", StringType(), True),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "out")
+
+    raw = file_json_stream(spark, str(src), max_files_per_trigger=10)
+    parsed = parse_json_events(raw, wire, ts_col="ts")
+    totals = running_user_totals(parsed, idle_timeout_ms=500)
+    q = (
+        totals.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()  # default trigger: micro-batches as data (and timeouts) arrive
+    )
+
+    def emissions_for(uid, n_expected, deadline_s=60):
+        """Poll the sink until user `uid` has n_expected emissions; return them
+        ordered by batch id."""
+        end = time.time() + deadline_s
+        while time.time() < end:
+            try:
+                pdf = spark.read.parquet(sink).toPandas()
+                rows = pdf[pdf.user_id == uid].sort_values("_batch_id")
+                if len(rows) >= n_expected:
+                    return rows
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for {n_expected} emissions of user {uid}")
+
+    try:
+        (src / "a.json").write_text(
+            json.dumps({"user_id": 1, "value": 10.0, "ts": "2024-01-01T10:00:00"}) + "\n"
+        )
+        u1 = emissions_for(1, 1)
+        assert list(u1["n_events"]) == [1]
+
+        time.sleep(1.0)  # let user 1 sit idle past the 500 ms timeout
+        # a batch with only user 2 fires user 1's pending timeout -> eviction
+        (src / "b.json").write_text(
+            json.dumps({"user_id": 2, "value": 7.0, "ts": "2024-01-01T10:01:00"}) + "\n"
+        )
+        emissions_for(2, 1)
+
+        # user 1 returns: state was evicted, so totals restart at n_events=1
+        (src / "c.json").write_text(
+            json.dumps({"user_id": 1, "value": 2.0, "ts": "2024-01-01T10:02:00"}) + "\n"
+        )
+        u1 = emissions_for(1, 2)
+        assert list(u1["n_events"]) == [1, 1], (
+            f"expected restart-from-zero after eviction, got {list(u1['n_events'])}"
+        )
+        assert abs(u1["sum_value"].iloc[-1] - 2.0) < 1e-9
+    finally:
+        q.stop()
