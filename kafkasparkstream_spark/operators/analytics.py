@@ -516,3 +516,47 @@ def disjunctive_filter_revenue(
             F.count(F.lit(1)).alias("line_count"),
         )
     )
+
+
+def returned_items_topk(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customers who returned the
+    most revenue in a quarter, with their nation.
+
+    Plan, fact-first: both fact scans carry pushed filters (orderdate range,
+    returnflag = 'R'), the only big-big exchange is lineitem ⋈ orders on
+    l_orderkey, and revenue is aggregated down to one row per custkey BEFORE
+    any dimension joins — so customer and nation join against an
+    already-small aggregate (broadcast/AQE territory), not the fact stream.
+    Final top-k is TakeOrderedAndProject, never a global sort.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev_by_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev_by_cust.join(customer, rev_by_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )

@@ -559,3 +559,122 @@ def kmeans_cluster_stats(
         )
         .orderBy("cluster_id")
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 1024,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the whole corpus (every vector's
+    top-k cosine neighbors) — the similarity-graph build behind
+    cluster-then-dedup and graph-based curation pipelines.
+
+    Same block tiling as :func:`cosine_neardup_pairs` (each unordered block
+    pair scored once as one GEMM, nothing collected to the driver), but each
+    tile emits a *partial* top-k per row for BOTH sides of the tile, so the
+    shuffle out of the tiles carries ≤ n_blocks·k candidate rows per vector
+    instead of the full similarity matrix. A final per-vector window
+    (``row_number`` over cosine desc, neighbor id asc) reduces candidates to
+    the global top-k. All-pairs compute is O(n²·d) by nature — beyond ~1M
+    rows, pre-bucket and build the graph per bucket exactly as for the
+    near-dup scan.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if n_blocks is None:
+        n = src.count()
+        n_blocks = max(1, min(256, -(-n // block_rows)))
+    nb = n_blocks
+
+    blk = F.pmod(F.hash(F.col("_id")), F.lit(nb)).cast("int")
+    sided = src.withColumn("_blk", blk)
+    left = sided.select(
+        "_id", "_v",
+        F.col("_blk").alias("ti"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(nb - 1))).alias("tj"),
+        F.lit(0).alias("side"),
+    )
+    right = sided.filter(F.col("_blk") > 0).select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("ti"),
+        F.col("_blk").alias("tj"),
+        F.lit(1).alias("side"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cos", DoubleType(), False),
+        ]
+    )
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _norm_mat(frame: pd.DataFrame) -> tuple:
+        ids = frame["_id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in frame["_v"]])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return ids, mat
+
+    def _partial_topk(ids_q, ids_c, sims) -> pd.DataFrame:
+        """Per-row top-k of a query-block × candidate-block score matrix."""
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(ids_q, kk)
+        cols = ids_c[part.ravel()]
+        vals = np.take_along_axis(sims, part, axis=1).ravel()
+        return pd.DataFrame({"vec_id": rows, "neighbor_id": cols, "cos": vals})
+
+    def tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = pdf["ti"].iat[0] == pdf["tj"].iat[0]
+        a = pdf[pdf["side"] == 0]
+        if not len(a):
+            return empty
+        ids_a, mat_a = _norm_mat(a)
+        if diag:
+            sims = mat_a @ mat_a.T
+            np.fill_diagonal(sims, -np.inf)  # no self-neighbors
+            if sims.shape[1] < 2:
+                return empty
+            out = _partial_topk(ids_a, ids_a, sims)
+            return out[np.isfinite(out["cos"])]
+        b = pdf[pdf["side"] == 1]
+        if not len(b):
+            return empty
+        ids_b, mat_b = _norm_mat(b)
+        sims = mat_a @ mat_b.T
+        return pd.concat(
+            [_partial_topk(ids_a, ids_b, sims), _partial_topk(ids_b, ids_a, sims.T)]
+        )
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("ti", "tj")
+        .applyInPandas(tile_kernel, out_schema)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("vec_id", "rnk")
+    )

@@ -255,3 +255,42 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy(key, "valid_from")
     )
+
+
+def time_decay_weighted_avg(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_scale_hours: float = 1.0,
+) -> DataFrame:
+    """Recency-weighted mean per key: weight = 1 / (1 + age/scale), age
+    anchored at the dataset's max timestamp — the "what's the signal NOW"
+    aggregate for monitoring / feature stores, where old readings should
+    fade rather than vote equally.
+
+    A rational decay (not exp()) on exact int64-µs ages: every arithmetic
+    step is a correctly-rounded IEEE double op, so any engine evaluating the
+    same formula produces bit-identical weights — exp() would differ in the
+    last ulp between libm implementations. The anchor is a 1-row max(ts)
+    aggregate broadcast to the scan (same sanctioned BNLJ shape as
+    recent_aggregates_24h); weighted sums then partial-aggregate map-side
+    into one tiny exchange per key.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    anchor = df.agg(F.max(us).alias("_mx"))
+    scale_us = half_scale_hours * 3_600_000_000.0
+    w = 1.0 / (1.0 + (F.col("_mx") - us) / F.lit(scale_us))
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .select(key, F.col(value_col).alias("_v"), w.alias("_w"))
+        .groupBy(key)
+        .agg(
+            F.round(F.sum(F.col("_v") * F.col("_w")) / F.sum("_w"), 4).alias(
+                "decayed_avg"
+            ),
+            F.round(F.sum("_w"), 4).alias("total_weight"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(key)
+    )

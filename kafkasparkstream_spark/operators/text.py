@@ -259,3 +259,134 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 1) -> DataFr
         )
         .orderBy("doc_id")
     )
+
+
+def decontamination_overlap(
+    df: DataFrame,
+    benchmark_sources: tuple[str, ...] = ("src0",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination scan: for every training document, the
+    fraction of its distinct word n-grams (n=8, the published-eval
+    convention) that also appear in any benchmark document — the score used
+    to drop pretraining docs that leak eval data.
+
+    Plan: both sides explode to distinct (doc, shingle) rows; the benchmark
+    side collapses to a DISTINCT shingle set, which is tiny relative to the
+    corpus (benchmarks are fixed-size while training corpora grow), so
+    Catalyst/AQE broadcasts it and the training side never shuffles — the
+    only exchange is the per-doc count aggregation, partial map-side. At
+    100 TB of training text vs megabytes of benchmarks, that is the only
+    shape that works.
+    """
+    is_bench = F.col("source").isin(*benchmark_sources)
+    sh = F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh")
+    train = df.filter(~is_bench).select(F.col(id_col), sh)
+    bench = df.filter(is_bench).select(sh).distinct()
+    return (
+        train.join(bench.withColumn("_hit", F.lit(1)), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 4).alias(
+                "contamination_ratio"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def quality_filter_funnel(
+    df: DataFrame,
+    min_chars: int = 150,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_tokens: int = 30,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 12.0,
+) -> DataFrame:
+    """Survivor counts through a cumulative quality-filter cascade (the
+    standard pretraining-corpus funnel report: how many docs each rule
+    costs).
+
+    One scan: every stage predicate is a column expression evaluated
+    per-row, survivors counted with conditional sums in a single ungrouped
+    aggregate (partial map-side, 1-row exchange), then unpivoted to
+    (stage, n_docs) rows with ``stack`` — no self-joins, no second scan,
+    no window. The same report at 100 TB costs exactly one pass.
+    """
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    mean_len = (F.length(F.trim(F.col("text"))) - (n_tok - 1)) / n_tok  # avg token len
+    s1 = F.col("n_chars") >= min_chars
+    s2 = s1 & F.col("lang").isin(*langs)
+    s3 = s2 & (n_tok >= min_tokens)
+    s4 = s3 & mean_len.between(mean_len_lo, mean_len_hi)
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    agg = df.agg(
+        F.count(F.lit(1)).alias("c0"),
+        cnt(s1).alias("c1"),
+        cnt(s2).alias("c2"),
+        cnt(s3).alias("c3"),
+        cnt(s4).alias("c4"),
+    )
+    stages = agg.select(
+        F.expr(
+            "stack(5, 0, 'all', c0, 1, 'min_chars', c1, 2, 'lang_known', c2,"
+            " 3, 'min_tokens', c3, 4, 'mean_word_len', c4) AS (stage, stage_name, n_docs)"
+        ),
+        F.col("c0").alias("_total"),
+    )
+    return stages.select(
+        "stage",
+        "stage_name",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 4).alias("retention"),
+    ).orderBy("stage")
+
+
+def pii_scan_stats(df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """PII exposure report per group: how many documents match email / phone
+    patterns, plus a short-token count as a populated control column (the
+    synthetic corpus contains no PII, so the control proves the scan
+    executes; on real crawl data the PII columns light up).
+
+    Pure column-expression regex (`rlike` compiles once per task, evaluated
+    in codegen) — a per-row Python UDF here would be the classic 100×
+    slow-path mistake. One scan, one tiny per-group exchange. Patterns stay
+    within the regex subset shared by Java and RE2 so any engine scores
+    identically.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+    shortish = r"(^| )[a-z]{1,3}( |$)"  # control: 1-3 char lowercase token
+    has = lambda p: F.sum(F.col("text").rlike(p).cast("long"))  # noqa: E731
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            has(email).alias("docs_with_email"),
+            has(phone).alias("docs_with_phone"),
+            has(shortish).alias("docs_with_short_token"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "docs_with_email",
+            "docs_with_phone",
+            "docs_with_short_token",
+            F.round(
+                (F.col("docs_with_email") + F.col("docs_with_phone"))
+                / F.col("n_docs"),
+                4,
+            ).alias("pii_doc_ratio"),
+        )
+        .orderBy(group_col)
+    )

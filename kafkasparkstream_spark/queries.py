@@ -2400,3 +2400,195 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_index",
         F.col("frame").cast("string").alias("frame_str"),
     ).orderBy("asset_id", "frame_index")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 coverage: TPC-H Q10 analog, recency-weighted aggregation, kNN
+# graph, and the benchmark-decontamination / quality-funnel / PII-scan trio
+# of training-data curation reports.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returned_items_by_customer",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name, revenue, c_acctbal
+    FROM rev
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned revenue in a quarter
+    (fact-side filters pushed to both scans, revenue aggregated per custkey
+    BEFORE the dimension joins, top-k as TakeOrderedAndProject)."""
+    return analytics.returned_items_topk(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+@register(
+    "time_decay_value_by_type",
+    oracle="""
+    WITH m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events)
+    SELECT event_type,
+           ROUND(SUM(value * (1.0 / (1.0 + (mx - epoch_us(ts)) / 3600000000.0)))
+                 / SUM(1.0 / (1.0 + (mx - epoch_us(ts)) / 3600000000.0)), 4)
+               AS decayed_avg,
+           ROUND(SUM(1.0 / (1.0 + (mx - epoch_us(ts)) / 3600000000.0)), 4)
+               AS total_weight,
+           COUNT(*) AS n_events
+    FROM events, m
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def time_decay_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted mean per event type, weight = 1/(1 + age_hours)
+    anchored at max(ts). Rational decay over int64-µs ages keeps every step
+    a correctly-rounded IEEE op, so both engines agree bit-for-bit before
+    the output rounding."""
+    return temporal.time_decay_weighted_avg(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "knn_graph",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(a.emb, b.emb) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT vec_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY vec_id, rnk
+    """,
+)
+def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbor graph over all embeddings, block-tiled
+    (each block pair one GEMM, partial top-k per tile, window reduce)."""
+    return similarity.knn_graph(load_table(spark, "embeddings", sf_dir), k=5)
+
+
+@register(
+    "decontamination_8gram",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), ' +') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, source,
+                  unnest(list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 7, 0) + 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                           || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+                           || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS sh
+           FROM t),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+    train AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0')
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(b.sh) AS n_contaminated,
+           ROUND(COUNT(b.sh) * 1.0 / COUNT(*), 4) AS contamination_ratio
+    FROM train LEFT JOIN bench b ON train.sh = b.sh
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each training doc's distinct
+    8-grams that appear in the benchmark set (source src0); the benchmark
+    shingle set is tiny → broadcast, so the training side never shuffles."""
+    return text_ops.decontamination_overlap(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "quality_filter_funnel",
+    oracle="""
+    WITH f AS (
+        SELECT n_chars, lang,
+               len(string_split_regex(trim(text), ' +')) AS ntok,
+               length(trim(text)) AS tlen
+        FROM documents
+    ),
+    g AS (
+        SELECT COUNT(*) AS c0,
+               CAST(SUM(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN n_chars >= 150
+                             AND lang IN ('en','de','fr','es') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN n_chars >= 150
+                             AND lang IN ('en','de','fr','es')
+                             AND ntok >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(SUM(CASE WHEN n_chars >= 150
+                             AND lang IN ('en','de','fr','es')
+                             AND ntok >= 30
+                             AND (tlen - (ntok - 1)) * 1.0 / ntok
+                                 BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c4
+        FROM f
+    )
+    SELECT * FROM (
+        SELECT CAST(0 AS INT) AS stage, 'all' AS stage_name, c0 AS n_docs,
+               ROUND(c0 * 1.0 / c0, 4) AS retention FROM g
+        UNION ALL SELECT 1, 'min_chars', c1, ROUND(c1 * 1.0 / c0, 4) FROM g
+        UNION ALL SELECT 2, 'lang_known', c2, ROUND(c2 * 1.0 / c0, 4) FROM g
+        UNION ALL SELECT 3, 'min_tokens', c3, ROUND(c3 * 1.0 / c0, 4) FROM g
+        UNION ALL SELECT 4, 'mean_word_len', c4, ROUND(c4 * 1.0 / c0, 4) FROM g
+    ) ORDER BY stage
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-filter survivor counts in ONE scan (conditional
+    sums unpivoted via stack) — the standard corpus-curation funnel report."""
+    return text_ops.quality_filter_funnel(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "pii_scan_stats",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN regexp_matches(text,
+                '[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+           CAST(SUM(CASE WHEN regexp_matches(text, '(^| )[a-z]{1,3}( |$)')
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_short_token,
+           ROUND((SUM(CASE WHEN regexp_matches(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                     THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN regexp_matches(text,
+                        '[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}')
+                        THEN 1 ELSE 0 END)) * 1.0 / COUNT(*), 4)
+               AS pii_doc_ratio
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language PII exposure report (email/phone regex in codegen, no
+    Python in the scan) with a populated control column on synthetic data."""
+    return text_ops.pii_scan_stats(load_table(spark, "documents", sf_dir))
