@@ -84,6 +84,7 @@ def test_no_degenerate_joins_anywhere():
             "bm25_search",  # 1-row corpus-stats (N, avgdl) broadcast
             "wealthy_inactive_customers",  # 1-row global-avg(acctbal) broadcast
             "tfidf_top_terms",  # 1-row corpus doc-count broadcast
+            "time_decay_value_by_type",  # 1-row max(ts) decay anchor broadcast
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
