@@ -61,13 +61,16 @@ def test_windowed_agg_partial_aggregation(spark):
     assert "Exchange" in plan
 
 
-def test_no_degenerate_joins_anywhere():
+def test_no_degenerate_joins_anywhere(spark):
     """No registered query may plan a cartesian product; nested-loop joins
     are allowed only when one side is a broadcast of a deliberately tiny
-    relation (none currently qualify)."""
-    from kafkasparkstream_spark.session import get_spark
+    relation (none currently qualify).
 
-    spark = get_spark(app_name="plan-audit")
+    Uses the shared fixture session: a fresh ``get_spark()`` here would
+    getOrCreate the SAME JVM session and silently re-apply its default
+    ``spark.sql.shuffle.partitions`` as a runtime conf, quadrupling the
+    state-store partition count for every streaming test that follows
+    (measured: the eviction test went 20 s -> 88 s from exactly that)."""
     offenders = {}
     for name in sorted(E.queries()):
         if name == "streaming_windowed_agg":
