@@ -553,3 +553,43 @@ def incremental_minhash_pairs(
         .select("incoming_id", "corpus_id", F.round(jac, 4).alias("jaccard"))
         .orderBy("incoming_id", "corpus_id")
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection: per near-dup cluster, keep the longest
+    doc (ties → smallest id) and report what the dedup pass drops.
+
+    This is the decision stage a curation pipeline runs after clustering —
+    "which copy survives". Join the (small) cluster assignment back to the
+    docs on id, one window ranked within cluster, one count: output is one
+    row per cluster with the canonical id and how many copies it absorbs.
+
+    Scale: the join is key-equi on the doc id (clusters ≪ corpus, so AQE
+    broadcasts it locally; on a cluster it hash-joins co-partitioned by
+    id); the window partitions by cluster_id — near-dup clusters are small
+    cliques, so no reducer hot-spot.
+    """
+    from pyspark.sql.window import Window
+
+    member = clusters.join(
+        docs.select(id_col, length_col), on=id_col, how="inner"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(length_col), F.asc(id_col)
+    )
+    ranked = member.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col(id_col))).alias("canonical_doc_id"),
+            F.max(F.when(F.col("_rn") == 1, F.col(length_col))).alias("canonical_len"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

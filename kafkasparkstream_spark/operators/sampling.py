@@ -68,3 +68,64 @@ def stratified_hash_sample(
     for value, pct in rates_pct.items():
         rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
     return df.filter(b < rate)
+
+
+def sample_k_per_group(
+    df: DataFrame, id_col: str, group_col: str, k: int, salt: str = "k0"
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (uniform within group).
+
+    Rank rows inside each group by ``md5(salt || id)`` (id as tiebreak) and
+    keep the first ``k`` — a reproducible reservoir: the same k rows
+    survive on any engine, any partitioning, any rerun, and adding new
+    rows only displaces survivors the hash actually outranks.
+
+    One shuffle on ``group_col``; the rank window never sees more than one
+    group per reducer. At 100 TB with a skewed group this is the standard
+    top-k-per-key shape — if a single group outgrows a reducer, pre-filter
+    with ``hash_sample`` to cap candidates first (documented trade-off).
+    """
+    from pyspark.sql.window import Window
+
+    from kafkasparkstream_spark.functions.hashing import md5_int
+
+    w = Window.partitionBy(group_col).orderBy(
+        md5_int(F.col(id_col), 8, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .orderBy(group_col, "sample_rank")
+    )
+
+
+def temperature_mixture(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Temperature-resampled source mixture (α = 0.5): the report a
+    data-mixing stage uses to rebalance corpora (upweight small sources,
+    damp giants — the multilingual-sampling rule with weights ∝ n^α).
+
+    α is fixed at 0.5 so the weight is ``sqrt(n)`` — a correctly-rounded
+    IEEE op on every engine (general ``pow`` is not) — then snapped to the
+    6-dp grid and summed as decimal so the normalizing total is exact and
+    order-independent. One hash-aggregate to |sources| rows; the window
+    normalization runs on that tiny aggregate, not the corpus.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.round(F.sqrt(F.col("n_docs")), 6).cast("decimal(18,6)")
+    from pyspark.sql.window import Window
+
+    tot = Window.partitionBy()  # |sources| rows — safe single partition
+    return (
+        counts.withColumn("_w", w)
+        .select(
+            group_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 4).alias("raw_share"),
+            # decimal sum is exact/order-free; ONE double division at the end
+            # is the only inexact op, identical on every IEEE engine.
+            F.round(
+                F.col("_w").cast("double") / F.sum("_w").over(tot).cast("double"), 4
+            ).alias("temp_share"),
+        )
+        .orderBy(group_col)
+    )

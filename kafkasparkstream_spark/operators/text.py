@@ -390,3 +390,68 @@ def pii_scan_stats(df: DataFrame, group_col: str = "lang") -> DataFrame:
         )
         .orderBy(group_col)
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (Gopher-style filter inputs).
+
+    - ``dup_token_ratio`` — fraction of tokens that are repeats of an
+      earlier token (1 − distinct/total); boilerplate and keyword-stuffed
+      pages score high.
+    - ``top_token_ratio`` — share of the single most frequent token; a
+      page that is one word repeated scores ~1.0.
+    - ``dup_bigram_ratio`` — same for adjacent-token bigrams, the
+      published repetition rule that catches looping generations.
+
+    All three are per-row array expressions (distinct/filter/transform
+    lambdas inside whole-stage codegen): zero shuffle, linear scan — at
+    100 TB this is scan bandwidth, nothing else. The most-frequent count
+    is O(u·n) per doc via count-by-distinct-token, fine for natural docs
+    (u ≤ n ≈ 10²–10³) and still branch-free columnar work.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bi = F.size(bigrams)
+    n_bi_uniq = F.size(F.array_distinct(bigrams))
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.lit(1.0) - n_uniq / n, 4).alias("dup_token_ratio"),
+        F.round(top_cnt / n, 4).alias("top_token_ratio"),
+        F.when(n_bi > 0, F.round(F.lit(1.0) - n_bi_uniq / n_bi, 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
+def token_length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide token-length distribution: for each whitespace-token
+    length, total occurrences and distinct tokens of that length.
+
+    Explode → hash-aggregate on a key space of ~30 lengths: the partial
+    aggregate collapses each input split to ≤ |lengths| rows before the
+    exchange, so the shuffle is O(splits × lengths) regardless of corpus
+    size — the cheapest possible full-corpus histogram.
+    """
+    tok = F.explode(tokens_col(text_col)).alias("tok")
+    return (
+        df.select(tok)
+        .groupBy(F.length("tok").cast("int").alias("token_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+        )
+        .orderBy("token_len")
+    )

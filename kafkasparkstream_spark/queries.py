@@ -2592,3 +2592,153 @@ def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language PII exposure report (email/phone regex in codegen, no
     Python in the scan) with a populated control column on synthetic data."""
     return text_ops.pii_scan_stats(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 coverage, second batch: intra-doc repetition signals, corpus
+# token-length histogram, exact-k-per-group sampling, temperature mixing,
+# and canonical-survivor selection over the near-dup clusters.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+               FROM documents),
+    r AS (SELECT doc_id, toks, len(toks) AS n,
+                 len(list_distinct(toks)) AS nu,
+                 list_max(list_transform(list_distinct(toks),
+                          u -> len(list_filter(toks, x -> x = u)))) AS topc,
+                 list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                i -> toks[i] || ' ' || toks[i+1]) AS bi
+          FROM t)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           ROUND(1.0 - nu * 1.0 / n, 4) AS dup_token_ratio,
+           ROUND(topc * 1.0 / n, 4) AS top_token_ratio,
+           CASE WHEN len(bi) > 0
+                THEN ROUND(1.0 - len(list_distinct(bi)) * 1.0 / len(bi), 4)
+                ELSE 0.0 END AS dup_bigram_ratio
+    FROM r ORDER BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals (dup-token, top-token,
+    dup-bigram ratios) as pure per-row array expressions — zero shuffle."""
+    out = text_ops.repetition_stats(load_table(spark, "documents", sf_dir))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("int")).orderBy("doc_id")
+
+
+@register(
+    "token_length_histogram",
+    oracle="""
+    WITH e AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS tok
+               FROM documents)
+    SELECT CAST(length(tok) AS INT) AS token_len,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT tok) AS n_distinct_tokens
+    FROM e GROUP BY 1 ORDER BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length distribution: explode → hash-agg on ~30 keys,
+    map-side partials collapse the shuffle to O(splits × lengths)."""
+    return text_ops.token_length_histogram(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "sample_k_per_lang",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substr(md5('k0' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT), doc_id) AS sample_rank
+        FROM documents)
+    SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank
+    """,
+)
+def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language deterministic reservoir: rank by md5(id)
+    within language — same survivors on any engine / partitioning / rerun."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = sampling.sample_k_per_group(docs, "doc_id", "lang", k=20)
+    return out.select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
+
+
+@register(
+    "source_mixture_temperature",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(ROUND(sqrt(n_docs), 6) AS DECIMAL(18,6)) AS w FROM c)
+    SELECT source, n_docs,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 4) AS raw_share,
+           ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 4) AS temp_share
+    FROM w ORDER BY source
+    """,
+)
+def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) source-mixing report: weights ∝ sqrt(n), snapped
+    to the 6-dp grid and summed as decimal so normalization is exact."""
+    return sampling.temperature_mixture(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql(16)},
+    {_band_sql(4, 4)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT doc_a, doc_b, count(*) AS common
+        FROM cand
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sz x ON doc_a = x.doc_id
+        JOIN sz y ON doc_b = y.doc_id
+        WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(u, lbl) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    clu AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u),
+    m AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY d.n_chars DESC, c.doc_id) AS rn
+          FROM clu c JOIN documents d USING (doc_id))
+    SELECT cluster_id,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+           MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_len,
+           COUNT(*) AS cluster_size,
+           COUNT(*) - 1 AS n_dropped
+    FROM m GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision stage: per near-dup cluster (MinHash+LSH →
+    connected components), keep the longest member (ties → smallest id)
+    and report how many copies each canonical absorbs."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = dedup.connected_components(pairs)
+    return dedup.keep_best_per_cluster(docs, clusters)
