@@ -560,3 +560,57 @@ def returned_items_topk(
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(k)
     )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    late_date: str = "1998-06-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders involving at least two suppliers, find the supplier that was the
+    ONLY late shipper, and count how often each supplier is that bottleneck.
+    "Late" is ``l_shipdate >= late_date`` (the reduced schema has no
+    commit/receipt dates to compare, reference-testdata parity).
+
+    Plan: Q21's textbook EXISTS / NOT-EXISTS pair would self-join lineitem
+    twice; instead ONE pass over lineitem computes, per order, the distinct
+    supplier count and the distinct *late* supplier count (partial aggs
+    map-side), and the per-(order, supplier) late set joins back against
+    the qualifying orders — two shuffles on l_orderkey total, both sized to
+    the order count, never a quadratic self-join. Supplier and nation are
+    broadcast; the final top-k is TakeOrderedAndProject.
+    """
+    late = F.col("l_shipdate") >= F.lit(late_date).cast("timestamp")
+    li = lineitem.select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    qualifying = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey")
+    )
+    sole_late = (
+        li.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(qualifying, "l_orderkey", "left_semi")
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )

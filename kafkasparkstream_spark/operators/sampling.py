@@ -129,3 +129,99 @@ def temperature_mixture(df: DataFrame, group_col: str = "source") -> DataFrame:
         )
         .orderBy(group_col)
     )
+
+
+def assign_shards(
+    df: DataFrame, id_col: str, n_shards: int = 16, salt: str = "shard0"
+) -> DataFrame:
+    """Deterministic output-shard assignment for training-data export.
+
+    Adds a ``shard`` column in ``[0, n_shards)`` keyed on the content hash
+    of the id — the writer-side primitive for producing a fixed number of
+    stable training shards: the same doc lands in the same shard on any
+    engine, any partitioning, any rerun, and shards are balanced in
+    expectation regardless of id distribution (sequential ids would skew a
+    range partitioner; the hash doesn't care).
+
+    At 100 TB this is a pure projection; the subsequent
+    ``repartition(n_shards, "shard")`` (caller's choice) is the single
+    shuffle that materializes shard files.
+    """
+    return df.withColumn(
+        "shard", _hash_bucket(F.col(id_col), salt, n_shards).cast("int")
+    )
+
+
+def shard_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    n_shards: int = 16,
+    salt: str = "shard0",
+) -> DataFrame:
+    """Per-shard balance report over :func:`assign_shards`: doc count,
+    payload bytes, and distinct languages — the skew check a shard-writing
+    stage runs before committing an export. One hash-agg to n_shards rows."""
+    return (
+        assign_shards(df, id_col, n_shards, salt)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(size_col).alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    *,
+    group_cols: tuple[str, str] = ("lang", "source"),
+) -> DataFrame:
+    """Sequential-fill sequence packing: concatenate documents (in stable
+    id order) into fixed token-budget training sequences, per
+    ``group_cols`` stream.
+
+    A doc starts in the sequence its cumulative-token *start offset* falls
+    into (``seq_no = floor((cumsum - ntok) / budget)``) — the deterministic
+    streaming-packer rule: no bin-packing search, same packing on every
+    engine and rerun. Docs longer than the budget spill across the
+    boundary, exactly like a token-stream writer.
+
+    The cumulative sum is a keyed window (partition by lang × source), so
+    parallelism is the number of corpus streams — at 100 TB each stream
+    packs independently; no global sort, no single-partition window. Output
+    is one row per packed sequence: doc count, token total, and fill ratio
+    against the budget.
+    """
+    from pyspark.sql.window import Window
+
+    ntok = F.size(F.split(F.trim(F.col(text_col)), " +"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        df.withColumn("_ntok", ntok)
+        .withColumn("_cum", F.sum("_ntok").over(w))
+        .withColumn(
+            "seq_no",
+            F.floor((F.col("_cum") - F.col("_ntok")) / F.lit(budget)).cast("int"),
+        )
+    )
+    return (
+        packed.groupBy(*group_cols, "seq_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("seq_tokens"),
+            F.round(F.sum("_ntok") / F.lit(float(budget)), 4).alias("fill_ratio"),
+        )
+        .orderBy(*group_cols, "seq_no")
+    )

@@ -2742,3 +2742,111 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     clusters = dedup.connected_components(pairs)
     return dedup.keep_best_per_cluster(docs, clusters)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 coverage, third batch: Q21-shape bottleneck suppliers, and the
+# dataset-assembly pair (shard balance report, sequence packing).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate >= TIMESTAMP '1998-06-01' AS is_late
+        FROM lineitem
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+        FROM li GROUP BY l_orderkey
+    ),
+    qualifying AS (
+        SELECT p.l_orderkey
+        FROM per_order p
+        JOIN orders o ON o.o_orderkey = p.l_orderkey AND o.o_orderstatus = 'F'
+        WHERE p.n_supp >= 2 AND p.n_late_supp = 1
+    ),
+    sole_late AS (
+        SELECT DISTINCT li.l_orderkey, li.l_suppkey
+        FROM li JOIN qualifying q ON li.l_orderkey = q.l_orderkey
+        WHERE li.is_late
+    )
+    SELECT s_name, n_name, COUNT(*) AS numwait
+    FROM sole_late
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY s_name, n_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the supplier who was the sole late shipper of a
+    multi-supplier finished order, counted per supplier. One aggregation
+    pass over lineitem replaces the textbook EXISTS / NOT-EXISTS double
+    self-join (see operators/analytics.waiting_suppliers)."""
+    return analytics.waiting_suppliers(
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+@register(
+    "shard_balance_stats",
+    oracle="""
+    WITH s AS (
+        SELECT *,
+               CAST(CAST(('0x' || substr(md5('shard0' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 16 AS INT) AS shard
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash shard assignment (16 shards) + the per-shard balance
+    report an export stage runs before committing training shards."""
+    return sampling.shard_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "pack_sequences_512",
+    oracle="""
+    WITH t AS (
+        SELECT lang, source, doc_id,
+               len(string_split_regex(trim(text), ' +')) AS ntok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, source, ntok,
+               SUM(ntok) OVER (PARTITION BY lang, source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT lang, source,
+           CAST(floor((cum - ntok) / 512.0) AS INT) AS seq_no,
+           COUNT(*) AS n_docs,
+           SUM(ntok) AS seq_tokens,
+           ROUND(SUM(ntok) / 512.0, 4) AS fill_ratio
+    FROM c
+    GROUP BY lang, source, seq_no
+    ORDER BY lang, source, seq_no
+    """,
+)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-fill packing of documents into 512-token training
+    sequences per (lang, source) stream — keyed window cumsum, parallel by
+    corpus stream, no global sort."""
+    return sampling.pack_sequences(load_table(spark, "documents", sf_dir), budget=512)
