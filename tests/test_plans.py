@@ -227,3 +227,36 @@ def test_cosine_neardup_blocked_matches_broadcast(spark):
     bcast = cosine_neardup_pairs(emb, small_corpus=True).collect()
     assert [tuple(r) for r in tiled] == [tuple(r) for r in bcast]
     assert len(tiled) > 0
+
+
+def test_waiting_suppliers_no_self_join_blowup(spark):
+    """Q21-shape: the one-pass aggregate rewrite must keep lineitem to ONE
+    scanned aggregation plus semi joins — never the textbook EXISTS /
+    NOT-EXISTS double self-join — and the two dimensions must broadcast."""
+    plan = _plan(spark, "waiting_suppliers")
+    assert "LeftSemi" in plan, "qualifying-order probe must be a semi join"
+    assert plan.count("Join type:") <= 4, plan
+    assert plan.count("BroadcastHashJoin") >= 2, "supplier/nation must broadcast"
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_window_is_keyed(spark):
+    """The packing cumsum must run as a keyed window (hash partitioned by
+    lang, source), never a global single-partition sort — the difference
+    between per-stream parallelism and a 100 TB pipeline stalling on one
+    reducer."""
+    plan = _plan(spark, "pack_sequences_512")
+    assert "Window" in plan
+    win_part = plan.split("Window")[1]
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(lang" in plan, "window must partition by stream keys"
+
+
+def test_shard_stats_single_aggregation(spark):
+    """Shard balance report: the COUNT(DISTINCT lang) expands to Spark's
+    standard two-phase distinct aggregate — (shard, lang) partial, then
+    shard final, then the tiny 16-row sort. Three exchanges, all sized to
+    the shard/lang key space, none to the corpus; the hash projection
+    itself must add no motion."""
+    report = plan_report(E.queries()["shard_balance_stats"](spark, SF_DIR))
+    assert report.exchanges <= 3 and not report.degenerate, report
