@@ -593,3 +593,40 @@ def keep_best_per_cluster(
         )
         .orderBy("cluster_id")
     )
+
+
+def pair_source_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Duplicate-flow matrix: near-dup pairs rolled up by (source, source).
+
+    The train/test-leakage report a curation pipeline runs after candidate
+    generation: off-diagonal cells are duplicates *across* corpora (the
+    dangerous kind), the diagonal is intra-corpus redundancy. Pair ends are
+    ordered least/greatest so (A,B) and (B,A) land in one cell.
+
+    Plan: the pair list is orders of magnitude smaller than the corpus, so
+    both source lookups are plain equi-joins of the tiny pair table against
+    the (id → source) projection — with AQE they broadcast the pair side —
+    then a hash-agg on the |sources|² cell space.
+    """
+    src = docs.select(F.col(id_col), F.col(source_col))
+    a = src.select(
+        F.col(id_col).alias("doc_a"), F.col(source_col).alias("_src_a")
+    )
+    b = src.select(
+        F.col(id_col).alias("doc_b"), F.col(source_col).alias("_src_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("_src_a", "_src_b").alias("source_x"),
+            F.greatest("_src_a", "_src_b").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_x", "source_y")
+    )

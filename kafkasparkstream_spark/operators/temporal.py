@@ -294,3 +294,43 @@ def time_decay_weighted_avg(
         )
         .orderBy(key)
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix of per-key event sequences: for each
+    (event_type → next event_type) step observed inside a key's timeline,
+    the count and its share of all transitions out of the source type —
+    the empirical Markov chain behind funnel/propensity analyses.
+
+    Plan: ONE shuffle on the key for the lead() window (deterministic
+    order: ts, then id tiebreak so equal timestamps can't flip pairs
+    between engines), then a hash-agg on the ~|types|² pair space whose
+    partials collapse map-side. The per-source normalization is a second
+    window over that tiny aggregate, not the event stream.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    steps = (
+        df.select(key_col, ts_col, tiebreak_col, F.col(type_col).alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    pair_counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    out_tot = Window.partitionBy("from_type")
+    return pair_counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(out_tot), 4
+        ).alias("transition_prob"),
+    ).orderBy("from_type", "to_type")

@@ -455,3 +455,77 @@ def token_length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("token_len")
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits).
+
+    ``entropy = -Σ (c_u/n)·log2(c_u/n)`` over distinct-token counts, plus
+    the normalized ``entropy_ratio = entropy / log2(n_uniq)`` in [0,1]
+    (NULL for single-token-vocabulary docs, where the ratio is 0/0) — low
+    entropy flags boilerplate/looping text that raw dup-token ratios can
+    miss. Same execution shape as :func:`repetition_stats`: per-row array
+    lambdas in codegen, zero shuffle, O(u·n) per doc.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    # Σ over the distinct tokens of p·log2(p); F.aggregate keeps the sum
+    # order fixed by first occurrence, and the 4dp snap absorbs the
+    # engine-order 1-ulp drift anyway.
+    ent = -F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + (F.size(F.filter(toks, lambda x: x == t)) / n)
+        * F.log2(F.size(F.filter(toks, lambda x: x == t)) / n),
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.round(ent, 4).alias("entropy"),
+        F.when(n_uniq > 1, F.round(ent / F.log2(n_uniq.cast("double")), 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("entropy_ratio"),
+    )
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document novel n-gram rate: the fraction of a doc's distinct
+    n-grams whose corpus-wide FIRST occurrence (minimum doc_id) is the doc
+    itself — the "how much genuinely new text does each doc add" curve
+    dataset builders plot against corpus position.
+
+    Plan: one distinct-shingle explode, a hash-agg to (shingle →
+    min doc_id) — partial aggs collapse repeats map-side — and a second
+    hash-agg back to doc grain joining ownership by equality. Both
+    shuffles are keyed by shingle/doc and sized to the distinct-shingle
+    count; no self-join, no window over the corpus.
+    """
+    sh = (
+        df.select("doc_id", F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh"))
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )

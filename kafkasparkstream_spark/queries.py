@@ -2850,3 +2850,133 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences per (lang, source) stream — keyed window cumsum, parallel by
     corpus stream, no global sort."""
     return sampling.pack_sequences(load_table(spark, "documents", sf_dir), budget=512)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 coverage, fourth batch: token entropy, n-gram novelty, event
+# transition matrix, and the cross-source near-dup leakage matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_entropy",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+               FROM documents),
+    r AS (SELECT doc_id, toks, len(toks) AS n, list_distinct(toks) AS du FROM t),
+    e AS (SELECT doc_id, n, len(du) AS nu,
+                 -list_sum(list_transform(du,
+                      u -> (len(list_filter(toks, x -> x = u)) * 1.0 / n)
+                           * log2(len(list_filter(toks, x -> x = u)) * 1.0 / n)))
+                     AS ent
+          FROM r)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(nu AS INT) AS n_uniq_tokens,
+           ROUND(ent, 4) AS entropy,
+           CASE WHEN nu > 1 THEN ROUND(ent / log2(nu), 4) END AS entropy_ratio
+    FROM e ORDER BY doc_id
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Shannon entropy + normalized ratio —
+    the low-entropy boilerplate filter, as zero-shuffle array lambdas."""
+    return text_ops.token_entropy(load_table(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+          FROM t),
+    f AS (SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty_ratio
+    FROM s JOIN f USING (sh)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct 3-grams first seen in that doc
+    (corpus-position novelty curve; first-occurrence attribution by
+    min doc_id)."""
+    return text_ops.ngram_novelty(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    p AS (
+        SELECT from_type, to_type, COUNT(*) AS n_transitions
+        FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(n_transitions * 1.0
+                 / SUM(n_transitions) OVER (PARTITION BY from_type), 4)
+               AS transition_prob
+    FROM p ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical first-order Markov transition matrix of per-user event
+    sequences (deterministic ts+id ordering; one keyed window shuffle)."""
+    return temporal.event_transitions(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "dedup_source_matrix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql(16)},
+    {_band_sql(4, 4)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT doc_a, doc_b, count(*) AS common
+        FROM cand
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sz x ON doc_a = x.doc_id
+        JOIN sz y ON doc_b = y.doc_id
+        WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           COUNT(*) AS n_pairs
+    FROM pairs
+    JOIN documents da ON doc_a = da.doc_id
+    JOIN documents db ON doc_b = db.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage matrix by source pair (off-diagonal = cross-corpus
+    duplication, the train/eval contamination signal) over the MinHash+LSH
+    verified pair list."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.pair_source_matrix(docs, pairs)
