@@ -678,3 +678,30 @@ def knn_graph(
         )
         .orderBy("vec_id", "rnk")
     )
+
+
+def norm_stats_by_label(
+    embeddings: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label L2-norm distribution of an embedding column — the sanity
+    report run before any cosine-based op (un-normalized slices break
+    cosine ranking silently).
+
+    The norm is a fused ``zip_with``/``aggregate`` JVM expression
+    (:func:`norm` — float32 cast to double exactly, summed left-to-right,
+    matching the oracle's double math), so the whole operator is a
+    projection + one hash-agg to |labels| rows: zero Python, one tiny
+    exchange, scan-bandwidth bound at any corpus size.
+    """
+    nrm = norm(F.col(vec_col))
+    return (
+        embeddings.select(F.col(label_col), nrm.alias("nrm"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy(label_col)
+    )

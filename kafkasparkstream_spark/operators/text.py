@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Tiny per-language stopword lists for the n-gram/stopword language heuristic.
 #: Ordered dict — ties resolve to the first language listed.
@@ -488,6 +489,135 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(n_uniq > 1, F.round(ent / F.log2(n_uniq.cast("double")), 4))
         .otherwise(F.lit(None).cast("double"))
         .alias("entropy_ratio"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window document chunking — the pretokenization step every
+    training pipeline runs before packing: split each doc into windows of
+    ``size`` whitespace tokens advancing by ``stride`` (``size - stride``
+    tokens of overlap between neighbors).
+
+    The chunk plan is closed-form: the number of chunks is
+    ``1 + ceil(max(0, n - size) / stride)``, chunk starts are the stride
+    multiples, and ``chunk_idx = chunk_start / stride`` — so the whole
+    operator is one ``sequence`` + ``posexplode`` projection with no
+    shuffle, no state, and identical output on any engine or partitioning.
+    At 100 TB the explode multiplies rows ~n/stride-fold inside the scan
+    stage; downstream stages see the chunk grain directly.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # ceil(max(0, n - size) / stride) via integer arithmetic.
+    n_extra = F.greatest(F.lit(0), n - F.lit(size))
+    last_start = (
+        F.floor((n_extra + F.lit(stride - 1)) / F.lit(stride)) * F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    return (
+        df.select("doc_id", n.alias("n_tokens"), F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / F.lit(stride)).cast("int").alias("chunk_idx"),
+            "chunk_start",
+            F.least(F.lit(size), F.col("n_tokens") - F.col("chunk_start"))
+            .cast("int")
+            .alias("chunk_len"),
+            "n_tokens",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def top_bigrams_per_group(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """Top-k whitespace bigrams per group — the collocation report used to
+    spot templated/boilerplate slices of a corpus.
+
+    Bigrams are built row-local with ``zip_with`` over two shifted slices
+    (pure codegen, no shuffle), then one explode feeds a hash aggregate on
+    (group, bigram) — map-side partials collapse repeats before the only
+    data-sized exchange. The ``row_number`` ranking runs per group over
+    distinct-bigram cardinality, not corpus cardinality. Ties break on the
+    bigram string so every engine ranks identically.
+    """
+    toks = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) > 1,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(group_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(group_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy(group_col, "rnk")
+    )
+
+
+def vocab_jaccard_between_groups(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices (sources) — the
+    curation matrix answering "which sources say the same things".
+
+    Shape: one explode → distinct to the (group, token) grain, then a
+    token-keyed self-join. Because the left/right sides are *distinct*
+    (group, token) sets, each token matches at most |groups| rows per side,
+    so the join fanout is bounded by |groups|² per token — never quadratic
+    in corpus size. Per-group vocabulary sizes ride in on a broadcast.
+    """
+    vocab = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens_col(text_col)).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("grp").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("source_a"), F.col("b.grp").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common_tokens"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("n_vocab", "vocab_a")),
+            F.col("source_a") == F.col("grp"),
+        )
+        .drop("grp")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n_vocab", "vocab_b")),
+            F.col("source_b") == F.col("grp"),
+        )
+        .drop("grp")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "common_tokens",
+            F.round(
+                F.col("common_tokens")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("common_tokens")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 

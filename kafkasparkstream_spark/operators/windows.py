@@ -396,3 +396,50 @@ def approx_decile_labels(
         ).cast("int"),
     )
     return labeled.drop("_bounds")
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outlier report: median / MAD (median absolute
+    deviation) and the count of rows beyond ``k`` robust sigmas
+    (``|v - med| > k * 1.4826 * mad``) — the standard outlier screen that,
+    unlike z-scores, a few extreme values cannot themselves distort.
+
+    Shape: three scan passes, each reduced by a keyed hash-agg to |keys|
+    rows — (1) per-key median, (2) per-key MAD over deviations with the
+    tiny median table broadcast in, (3) threshold count with both tiny
+    tables broadcast. No fact-to-fact join, no window over the corpus; the
+    only heavy operator is exact ``median``, which buffers one group's
+    values per reducer — the documented 100 TB swap is ``approx_percentile``
+    with the identical plan shape (see PLANS.md, `percentile` trade-off).
+    Median and MAD are snapped to a 6-dp grid before thresholding so every
+    engine classifies the same rows.
+    """
+    med = df.groupBy(key_col).agg(F.round(F.median(value_col), 6).alias("med"))
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(key_col).agg(F.round(F.median("absdev"), 6).alias("mad"))
+    thresh = F.lit(k) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(F.col("absdev") > thresh, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+            F.round(
+                F.sum(F.when(F.col("absdev") > thresh, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("outlier_ratio"),
+        )
+        .orderBy(key_col)
+    )

@@ -2980,3 +2980,166 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return dedup.pair_source_matrix(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: chunking / collocations / vocabulary overlap / robust
+# outliers / embedding-norm audit.
+# ---------------------------------------------------------------------------
+
+from kafkasparkstream_spark.operators import windows as windows_ops  # noqa: E402
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               CAST(48 * CAST(ceil(greatest(0, n_tokens - 64) / 48.0) AS BIGINT) AS INT)
+                   AS last_start
+        FROM d
+    ),
+    e AS (
+        SELECT doc_id, n_tokens,
+               unnest(generate_series(0, last_start, 48)) AS i
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(i / 48 AS INT)  AS chunk_idx,
+           CAST(i AS INT)       AS chunk_start,
+           CAST(least(64, n_tokens - i) AS INT) AS chunk_len,
+           n_tokens
+    FROM e
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk plan (64-token windows, stride 48): closed-form
+    sequence + explode, no shuffle — both engines derive identical chunk
+    grids from the token count alone."""
+    return text_ops.chunk_documents(
+        load_table(spark, "documents", sf_dir), size=64, stride=48
+    )
+
+
+@register(
+    "bigram_top_per_lang",
+    oracle="""
+    WITH t AS (
+        SELECT lang, string_split_regex(trim(text), ' +') AS l FROM documents
+    ),
+    e AS (
+        SELECT lang, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM t WHERE len(l) > 1
+    ),
+    b AS (SELECT lang, l[i] || ' ' || l[i + 1] AS bigram FROM e),
+    c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    r AS (
+        SELECT lang, bigram, cnt,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram)
+                   AS rnk
+        FROM c
+    )
+    SELECT lang, bigram, cnt, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 10 ORDER BY lang, rnk
+    """,
+)
+def bigram_top_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigram collocations per language: row-local zip_with bigrams,
+    one (lang, bigram) hash-agg, rank over distinct-bigram cardinality."""
+    return text_ops.top_bigrams_per_group(
+        load_table(spark, "documents", sf_dir), group_col="lang", k=10
+    )
+
+
+@register(
+    "vocab_overlap_sources",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT source AS grp, tok
+        FROM (SELECT source, unnest(string_split_regex(trim(text), ' +')) AS tok
+              FROM documents)
+    ),
+    sz AS (SELECT grp, COUNT(*) AS n_vocab FROM v GROUP BY 1),
+    c AS (
+        SELECT a.grp AS source_a, b.grp AS source_b, COUNT(*) AS common_tokens
+        FROM v a JOIN v b ON a.tok = b.tok AND a.grp < b.grp
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           x.n_vocab AS vocab_a, y.n_vocab AS vocab_b, common_tokens,
+           ROUND(common_tokens * 1.0
+                 / (x.n_vocab + y.n_vocab - common_tokens), 4) AS jaccard
+    FROM c JOIN sz x ON source_a = x.grp JOIN sz y ON source_b = y.grp
+    ORDER BY source_a, source_b
+    """,
+)
+def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — distinct (source, tok)
+    grain bounds the self-join fanout to |sources| per token."""
+    return text_ops.vocab_jaccard_between_groups(
+        load_table(spark, "documents", sf_dir), group_col="source"
+    )
+
+
+@register(
+    "mad_outliers_per_type",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, ROUND(median(value), 6) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS absdev, m.med
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, ROUND(median(absdev), 6) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(d.med) AS med,
+           MIN(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.absdev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN d.absdev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS outlier_ratio
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def mad_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen per event_type (6-dp snapped
+    thresholds so both engines classify identically)."""
+    return windows_ops.mad_outlier_stats(
+        load_table(spark, "events", sf_dir), key_col="event_type"
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x))) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(nrm), 4) AS avg_norm,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm
+    FROM n GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm audit of the embedding column — fused JVM
+    zip_with/aggregate norm, one hash-agg to |labels| rows."""
+    return similarity.norm_stats_by_label(load_table(spark, "embeddings", sf_dir))

@@ -260,3 +260,31 @@ def test_shard_stats_single_aggregation(spark):
     itself must add no motion."""
     report = plan_report(E.queries()["shard_balance_stats"](spark, SF_DIR))
     assert report.exchanges <= 3 and not report.degenerate, report
+
+
+def test_doc_chunk_overlap_no_join_no_agg(spark):
+    """Chunking is closed-form: a sequence+explode projection. Any join,
+    aggregate, or non-output-sort exchange is wasted motion at 100 TB."""
+    plan = _plan(spark, "doc_chunk_overlap")
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Generate" in plan and "explode(" in plan, (
+        "chunk grid must come from explode"
+    )
+
+
+def test_mad_outliers_fact_joins_broadcast(spark):
+    """Both per-key stat tables (median, MAD — |keys| rows each) must ride
+    back onto the fact scans as broadcasts; a sort-merge join here would
+    shuffle the full events table twice for a 5-row lookup."""
+    plan = _plan(spark, "mad_outliers_per_type")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_topk_partial_aggregation(spark):
+    """The (lang, bigram) count must map-side-combine before its exchange,
+    and the per-lang ranking must hash-partition by lang, not single-sort."""
+    plan = _plan(spark, "bigram_top_per_lang")
+    assert plan.count("HashAggregate") >= 2, "missing map-side partial aggregate"
+    assert "Exchange SinglePartition" not in plan, plan
