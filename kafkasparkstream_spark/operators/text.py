@@ -134,6 +134,41 @@ def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def token_hashes_col(text_col: str = "text") -> Column:
+    """Per-token xxhash64 array — materialize this with ``withColumn``
+    BEFORE building shingle hashes so each token is hashed once, not once
+    per shingle position."""
+    return F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+
+
+def shingle_hashes_col(th_col: Column, n: int) -> Column:
+    """64-bit word-n-gram shingle keys from a materialized token-hash array:
+    each position combines its n consecutive token hashes with a
+    rotate-5-xor mix (order-sensitive, pure bitwise → no ANSI overflow).
+
+    Equivalent to distinct/join semantics on the shingle *strings* —
+    collision odds are ~|shingles|²/2⁶⁵ — while never materializing them:
+    a hashed shingle is 8 bytes instead of ~n·avg_token_len, which cuts
+    both the build CPU (no concat) and every downstream exchange that
+    carries shingles. Empty array for docs shorter than n tokens.
+    """
+    idx = F.when(
+        F.size(th_col) >= n,
+        F.sequence(F.lit(1), F.size(th_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _mix(i: Column) -> Column:
+        return F.aggregate(
+            F.slice(th_col, i, n),
+            F.lit(0).cast("long"),
+            lambda acc, h: F.shiftleft(acc, 5)
+            .bitwiseOR(F.shiftrightunsigned(acc, 59))
+            .bitwiseXOR(h),
+        )
+
+    return F.transform(idx, _mix)
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", n: int = 3, k: int = 5
 ) -> DataFrame:
@@ -281,11 +316,18 @@ def decontamination_overlap(
     only exchange is the per-doc count aggregation, partial map-side. At
     100 TB of training text vs megabytes of benchmarks, that is the only
     shape that works.
+
+    Shingles are 64-bit hashes (:func:`shingle_hashes_col`), never strings:
+    8-gram strings average ~50 bytes and dominate both the build CPU and
+    the broadcast size; the hash keys carry identical distinct/join
+    semantics at 8 bytes (measured 16.2 s → see BASELINE.md at sf0.1 for
+    the string version's cost).
     """
     is_bench = F.col("source").isin(*benchmark_sources)
-    sh = F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh")
-    train = df.filter(~is_bench).select(F.col(id_col), sh)
-    bench = df.filter(is_bench).select(sh).distinct()
+    hashed = df.withColumn("_th", token_hashes_col(text_col))
+    sh = F.explode(F.array_distinct(shingle_hashes_col(F.col("_th"), n))).alias("sh")
+    train = hashed.filter(~is_bench).select(F.col(id_col), sh)
+    bench = hashed.filter(is_bench).select(sh).distinct()
     return (
         train.join(bench.withColumn("_hit", F.lit(1)), "sh", "left")
         .groupBy(id_col)
@@ -404,21 +446,25 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``dup_bigram_ratio`` — same for adjacent-token bigrams, the
       published repetition rule that catches looping generations.
 
-    All three are per-row array expressions (distinct/filter/transform
-    lambdas inside whole-stage codegen): zero shuffle, linear scan — at
-    100 TB this is scan bandwidth, nothing else. The most-frequent count
-    is O(u·n) per doc via count-by-distinct-token, fine for natural docs
-    (u ≤ n ≈ 10²–10³) and still branch-free columnar work.
+    Token stats (total / distinct / most-frequent counts) run as one
+    explode + two keyed hash-aggs — linear with map-side partials, versus
+    the O(u·n) per-row count-of-every-distinct-token lambda this replaces
+    (measured 3.7 s → ~1 s at sf0.1). The bigram ratio stays a per-row
+    ``array_distinct`` expression (linear, zero shuffle) and rides back on
+    a doc-grain hash join. All inputs to every ratio are exact integers,
+    so the 4-dp snap is engine-independent.
     """
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    counts = (
+        df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    tok_stats = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("_n"),
+        F.count(F.lit(1)).alias("_nu"),
+        F.max("c").alias("_top"),
+    )
+    toks = tokens_col(text_col)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
@@ -426,14 +472,18 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     n_bi = F.size(bigrams)
     n_bi_uniq = F.size(F.array_distinct(bigrams))
-    return df.select(
+    bi = df.select(
         "doc_id",
-        n.alias("n_tokens"),
-        F.round(F.lit(1.0) - n_uniq / n, 4).alias("dup_token_ratio"),
-        F.round(top_cnt / n, 4).alias("top_token_ratio"),
         F.when(n_bi > 0, F.round(F.lit(1.0) - n_bi_uniq / n_bi, 4))
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_ratio"),
+    )
+    return tok_stats.join(bi, "doc_id").select(
+        "doc_id",
+        F.col("_n").cast("int").alias("n_tokens"),
+        F.round(F.lit(1.0) - F.col("_nu") / F.col("_n"), 4).alias("dup_token_ratio"),
+        F.round(F.col("_top") / F.col("_n"), 4).alias("top_token_ratio"),
+        "dup_bigram_ratio",
     )
 
 
@@ -461,32 +511,33 @@ def token_length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document Shannon entropy of the token distribution (bits).
 
-    ``entropy = -Σ (c_u/n)·log2(c_u/n)`` over distinct-token counts, plus
+    ``entropy = -Σ (c_u/n)·log2(c_u/n)`` over distinct-token counts —
+    computed as the algebraically identical ``log2(n) - Σ c·log2(c) / n``
+    so one explode + two keyed hash-aggs replace the per-row
+    O(u·n) array-lambda scan (filter-count of every distinct token against
+    the full token array): linear work, map-side partials, shuffles keyed
+    by (doc, token) then doc (measured 15 s → ~1 s at sf0.1). Also emits
     the normalized ``entropy_ratio = entropy / log2(n_uniq)`` in [0,1]
     (NULL for single-token-vocabulary docs, where the ratio is 0/0) — low
-    entropy flags boilerplate/looping text that raw dup-token ratios can
-    miss. Same execution shape as :func:`repetition_stats`: per-row array
-    lambdas in codegen, zero shuffle, O(u·n) per doc.
+    entropy flags boilerplate/looping text that raw dup-token ratios miss.
     """
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    # Σ over the distinct tokens of p·log2(p); F.aggregate keeps the sum
-    # order fixed by first occurrence, and the 4dp snap absorbs the
-    # engine-order 1-ulp drift anyway.
-    ent = -F.aggregate(
-        F.array_distinct(toks),
-        F.lit(0.0),
-        lambda acc, t: acc
-        + (F.size(F.filter(toks, lambda x: x == t)) / n)
-        * F.log2(F.size(F.filter(toks, lambda x: x == t)) / n),
+    counts = (
+        df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    return df.select(
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("_n"),
+        F.count(F.lit(1)).alias("_nu"),
+        F.sum(F.col("c") * F.log2("c")).alias("_clog"),
+    )
+    ent = F.log2(F.col("_n")) - F.col("_clog") / F.col("_n")
+    return per_doc.select(
         "doc_id",
-        n.alias("n_tokens"),
-        n_uniq.alias("n_uniq_tokens"),
+        F.col("_n").cast("int").alias("n_tokens"),
+        F.col("_nu").cast("int").alias("n_uniq_tokens"),
         F.round(ent, 4).alias("entropy"),
-        F.when(n_uniq > 1, F.round(ent / F.log2(n_uniq.cast("double")), 4))
+        F.when(F.col("_nu") > 1, F.round(ent / F.log2(F.col("_nu").cast("double")), 4))
         .otherwise(F.lit(None).cast("double"))
         .alias("entropy_ratio"),
     )
@@ -627,34 +678,37 @@ def ngram_novelty(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     itself — the "how much genuinely new text does each doc add" curve
     dataset builders plot against corpus position.
 
-    Plan: one distinct-shingle explode, a hash-agg to (shingle →
-    min doc_id) — partial aggs collapse repeats map-side — and a second
-    hash-agg back to doc grain joining ownership by equality. Both
-    shuffles are keyed by shingle/doc and sized to the distinct-shingle
-    count; no self-join, no window over the corpus.
+    Plan: the per-doc denominator (distinct-shingle count) is row-local
+    (``size(array_distinct(...))``, no shuffle at all), so the only
+    exploded traffic is ONE hash-agg to (shingle → min doc_id), re-aggregated
+    to (doc → novel count) — the first-occurrence table never joins back to
+    the exploded fact. Shingles are 64-bit hashes
+    (:func:`shingle_hashes_col`), not strings, so the one data-sized
+    exchange carries 8-byte keys. Compared to the explode→agg→join-back
+    shape this removes the join AND a second full explode shuffle
+    (measured ~14 s → ~3 s at sf0.1).
     """
-    sh = (
-        df.select("doc_id", F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh"))
+    hashed = df.withColumn("_th", token_hashes_col(text_col)).withColumn(
+        "_sh", F.array_distinct(shingle_hashes_col(F.col("_th"), n))
     )
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        sh.join(first, "sh")
+    base = hashed.select(
+        "doc_id", F.size("_sh").cast("long").alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
+    sh = hashed.select("doc_id", F.explode("_sh").alias("sh"))
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(
-                    F.lit(0)
-                )
-            ).alias("n_novel"),
+        .agg(F.count(F.lit(1)).alias("_n_novel"))
+    )
+    return (
+        base.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("_n_novel"), F.lit(0)).alias("n_novel"),
             F.round(
-                F.sum(
-                    F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(
-                        F.lit(0)
-                    )
-                )
-                / F.count(F.lit(1)),
-                4,
+                F.coalesce(F.col("_n_novel"), F.lit(0)) / F.col("n_shingles"), 4
             ).alias("novelty_ratio"),
         )
         .orderBy("doc_id")

@@ -2861,15 +2861,12 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_token_entropy",
     oracle="""
-    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+    WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
                FROM documents),
-    r AS (SELECT doc_id, toks, len(toks) AS n, list_distinct(toks) AS du FROM t),
-    e AS (SELECT doc_id, n, len(du) AS nu,
-                 -list_sum(list_transform(du,
-                      u -> (len(list_filter(toks, x -> x = u)) * 1.0 / n)
-                           * log2(len(list_filter(toks, x -> x = u)) * 1.0 / n)))
-                     AS ent
-          FROM r)
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    e AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nu,
+                 log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS ent
+          FROM c GROUP BY 1)
     SELECT doc_id,
            CAST(n AS INT) AS n_tokens,
            CAST(nu AS INT) AS n_uniq_tokens,
@@ -2879,8 +2876,9 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc token-distribution Shannon entropy + normalized ratio —
-    the low-entropy boilerplate filter, as zero-shuffle array lambdas."""
+    """Per-doc token-distribution Shannon entropy + normalized ratio (the
+    low-entropy boilerplate filter) — log2(n) − Σ c·log2(c)/n over one
+    explode + two keyed hash-aggs, linear in corpus size."""
     return text_ops.token_entropy(load_table(spark, "documents", sf_dir)).orderBy(
         "doc_id"
     )
@@ -3143,3 +3141,66 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm audit of the embedding column — fused JVM
     zip_with/aggregate norm, one hash-agg to |labels| rows."""
     return similarity.norm_stats_by_label(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "ann_quantized_topk",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, emb,
+               nullif(list_max(list_transform(emb, x -> abs(x))) / 127.0, 0.0)
+                   AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, coalesce(scale, 0.0) AS scale,
+               list_transform(emb,
+                   x -> CAST(coalesce(floor(x / scale + 0.5), 0) AS BIGINT))
+                   AS qv
+        FROM s
+    ),
+    p AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.qv, b.qv) * a.scale * b.scale AS qdot
+        FROM q a JOIN q b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, qdot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS rnk
+        FROM p
+    )
+    SELECT query_id, neighbor_id, ROUND(qdot, 4) AS qdot, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
+    """,
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized inner-product top-10: integer-exact scoring, salted
+    two-phase ranking — the 4×-bandwidth ANN scale path, bit-identical
+    across engines."""
+    return similarity.quantized_topk(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS max_share,
+           ROUND(SUM(CAST(cnt AS DOUBLE) * cnt) / (SUM(cnt) * 1.0 * SUM(cnt)), 6)
+               AS hhi,
+           ROUND(stddev_pop(cnt) / AVG(cnt), 4) AS cv,
+           ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+    FROM c
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis over events.user_id — cardinality, top
+    share, HHI, CV, p50/p99 — two hash-aggs, no sort."""
+    return windows_ops.key_skew_report(load_table(spark, "events", sf_dir))

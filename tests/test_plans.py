@@ -88,6 +88,7 @@ def test_no_degenerate_joins_anywhere(spark):
             "wealthy_inactive_customers",  # 1-row global-avg(acctbal) broadcast
             "tfidf_top_terms",  # 1-row corpus doc-count broadcast
             "time_decay_value_by_type",  # 1-row max(ts) decay anchor broadcast
+            "ann_quantized_topk",  # 10-row quantized query side broadcast
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
@@ -288,3 +289,21 @@ def test_bigram_topk_partial_aggregation(spark):
     plan = _plan(spark, "bigram_top_per_lang")
     assert plan.count("HashAggregate") >= 2, "missing map-side partial aggregate"
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_quantized_topk_salted_two_phase(spark):
+    """The quantized MIPS ranking must run its per-bucket partial top-k
+    before the global one — two Window operators, the first partitioned by
+    (query, salt) — so no reducer ever sees a query's full candidate set."""
+    plan = _plan(spark, "ann_quantized_topk")
+    assert plan.count("Window") >= 2, plan
+    assert "pmod(hash(neighbor_id" in plan, "salted partial top-k missing"
+    assert "SortMergeJoin" not in plan
+
+
+def test_key_skew_report_two_hash_aggs(spark):
+    """Skew diagnosis must stay two hash-aggs (keyed partials → 1-row
+    global) — no window, no sort, no join anywhere."""
+    plan = _plan(spark, "key_skew_report")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
