@@ -334,3 +334,62 @@ def event_transitions(
             F.col("n_transitions") / F.sum("n_transitions").over(out_tot), 4
         ).alias("transition_prob"),
     ).orderBy("from_type", "to_type")
+
+
+def ordered_funnel(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("signup", "click", "purchase"),
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: how many users performed stage 1, then
+    stage 2 strictly after it, then stage 3 after that — the sequencing
+    report a plain per-type count can't answer (a purchase BEFORE signup
+    must not convert).
+
+    Each stage's timestamp is the min event time of that type strictly
+    after the previous stage's timestamp, computed as successive
+    aggregate-windows over the SAME ``partitionBy(key)`` — Catalyst plans
+    one exchange on the key and chains the Window operators on the sorted
+    partitions, so the whole multi-stage funnel costs a single shuffle.
+    The final stage counts collapse via one 1-row aggregate, unpivoted
+    with ``stack`` to (stage, stage_name, n_users, conversion).
+    """
+    w = Window.partitionBy(key_col)
+    out = df.select(key_col, ts_col, type_col)
+    prev = None
+    stage_cols = []
+    for i, stage in enumerate(stages):
+        hit = F.col(type_col) == stage
+        if prev is not None:
+            hit = hit & (F.col(ts_col) > prev)
+        col_name = f"_t{i}"
+        out = out.withColumn(col_name, F.min(F.when(hit, F.col(ts_col))).over(w))
+        prev = F.col(col_name)
+        stage_cols.append(col_name)
+    per_user = out.groupBy(key_col).agg(
+        *[F.max(c).alias(c) for c in stage_cols]
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).alias("_all"),
+        *[
+            F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).alias(f"_c{i}")
+            for i, c in enumerate(stage_cols)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{stage}', _c{i}" for i, stage in enumerate(stages)
+    )
+    stages_df = counts.select(
+        F.expr(
+            f"stack({len(stages)}, {stack_args}) AS (stage, stage_name, n_users)"
+        ),
+        F.col("_c0").alias("_base"),
+    )
+    return stages_df.select(
+        "stage",
+        "stage_name",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_base"), 4).alias("conversion"),
+    ).orderBy("stage")

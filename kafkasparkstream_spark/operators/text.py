@@ -152,21 +152,24 @@ def shingle_hashes_col(th_col: Column, n: int) -> Column:
     both the build CPU (no concat) and every downstream exchange that
     carries shingles. Empty array for docs shorter than n tokens.
     """
-    idx = F.when(
-        F.size(th_col) >= n,
-        F.sequence(F.lit(1), F.size(th_col) - (n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-
-    def _mix(i: Column) -> Column:
-        return F.aggregate(
-            F.slice(th_col, i, n),
-            F.lit(0).cast("long"),
-            lambda acc, h: F.shiftleft(acc, 5)
+    def _mix(acc: Column, h: Column) -> Column:
+        return (
+            F.shiftleft(acc, 5)
             .bitwiseOR(F.shiftrightunsigned(acc, 59))
-            .bitwiseXOR(h),
+            .bitwiseXOR(h)
         )
 
-    return F.transform(idx, _mix)
+    # n-1 chained zip_withs over shifted slices: position i combines
+    # th[i..i+n-1] left-to-right, identical to a per-position fold (the
+    # fold's zero mixes to h itself) but as whole-array vectorized ops —
+    # no per-position slice allocation.
+    m = F.size(th_col) - (n - 1)
+    acc = F.slice(th_col, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(th_col, j, m), _mix)
+    return F.when(F.size(th_col) >= n, acc).otherwise(
+        F.array().cast("array<bigint>")
+    )
 
 
 def doc_fingerprint(
@@ -320,11 +323,15 @@ def decontamination_overlap(
     Shingles are 64-bit hashes (:func:`shingle_hashes_col`), never strings:
     8-gram strings average ~50 bytes and dominate both the build CPU and
     the broadcast size; the hash keys carry identical distinct/join
-    semantics at 8 bytes (measured 16.2 s → see BASELINE.md at sf0.1 for
-    the string version's cost).
+    semantics at 8 bytes (16.2 s → ~1 s at sf0.1 vs the string
+    version).
     """
+    from kafkasparkstream_spark.util import fanout
+
     is_bench = F.col("source").isin(*benchmark_sources)
-    hashed = df.withColumn("_th", token_hashes_col(text_col))
+    hashed = fanout(df.select(id_col, "source", F.col(text_col))).withColumn(
+        "_th", token_hashes_col(text_col)
+    )
     sh = F.explode(F.array_distinct(shingle_hashes_col(F.col("_th"), n))).alias("sh")
     train = hashed.filter(~is_bench).select(F.col(id_col), sh)
     bench = hashed.filter(is_bench).select(sh).distinct()
@@ -686,10 +693,18 @@ def ngram_novelty(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     (:func:`shingle_hashes_col`), not strings, so the one data-sized
     exchange carries 8-byte keys. Compared to the explode→agg→join-back
     shape this removes the join AND a second full explode shuffle
-    (measured ~14 s → ~3 s at sf0.1).
+    (~14 s → ~2.4 s at sf0.1, with the corpus fanned out so the
+    shingle-hash projection uses every core).
     """
-    hashed = df.withColumn("_th", token_hashes_col(text_col)).withColumn(
-        "_sh", F.array_distinct(shingle_hashes_col(F.col("_th"), n))
+    from kafkasparkstream_spark.util import fanout
+
+    # fanout: shingle hashing is the expensive projection and the corpus
+    # may arrive as one split; both downstream branches inherit the spread.
+    hashed = (
+        fanout(df.select("doc_id", F.col(text_col)))
+        .withColumn("_th", token_hashes_col(text_col))
+        .withColumn("_sh", F.array_distinct(shingle_hashes_col(F.col("_th"), n)))
+        .drop(text_col, "_th")
     )
     base = hashed.select(
         "doc_id", F.size("_sh").cast("long").alias("n_shingles")

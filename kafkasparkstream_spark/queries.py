@@ -3204,3 +3204,125 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/agg-key skew diagnosis over events.user_id — cardinality, top
     share, HHI, CV, p50/p99 — two hash-aggs, no sort."""
     return windows_ops.key_skew_report(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+        FROM events GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, s1.t0,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t0
+                        THEN e.ts END) AS t1
+        FROM events e JOIN s1 USING (user_id) GROUP BY 1, 2
+    ),
+    s3 AS (
+        SELECT e.user_id, s2.t0, s2.t1,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t1
+                        THEN e.ts END) AS t2
+        FROM events e JOIN s2 USING (user_id) GROUP BY 1, 2, 3
+    ),
+    c AS (
+        SELECT SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS c2
+        FROM s3
+    ),
+    u AS (
+        SELECT 1 AS stage, 'signup' AS stage_name, c0 AS n_users, c0 AS base FROM c
+        UNION ALL
+        SELECT 2, 'click', c1, c0 FROM c
+        UNION ALL
+        SELECT 3, 'purchase', c2, c0 FROM c
+    )
+    SELECT CAST(stage AS INT) AS stage, stage_name,
+           CAST(n_users AS BIGINT) AS n_users,
+           ROUND(n_users * 1.0 / base, 4) AS conversion
+    FROM u ORDER BY stage
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→click→purchase funnel — successive aggregate-windows
+    over ONE user-keyed shuffle; conversion shares off the stage-1 base."""
+    return temporal.ordered_funnel(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+            CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], tk))) AS INT) AS score_de,
+            CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in','that'], tk))) AS INT)        AS score_en,
+            CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en','un','es'], tk))) AS INT)           AS score_es,
+            CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est','un','une','dans'], tk))) AS INT)       AS score_fr,
+            CAST(len(list_filter(toks, tk -> list_contains(['de','le','shi','bu','wo','you','zai','ta'], tk))) AS INT)        AS score_zh
+        FROM t
+    ), p AS (
+        SELECT lang,
+               CASE
+                 WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'de'
+                 WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'en'
+                 WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'es'
+                 WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'fr'
+                 WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh) AND greatest(score_de, score_en, score_es, score_fr, score_zh) > 0 THEN 'zh'
+                 ELSE 'unknown'
+               END AS pred_lang
+        FROM s
+    )
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 4)
+               AS share_of_lang
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality report: labeled vs predicted language counts and
+    per-label shares — the heuristic's scoring scan plus a ~|langs|² agg."""
+    from pyspark.sql.window import Window as W
+
+    pred = text_ops.lang_id(load_table(spark, "documents", sf_dir))
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_lang = W.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(per_lang), 4).alias(
+            "share_of_lang"
+        ),
+    ).orderBy("lang", "pred_lang")
+
+
+@register(
+    "order_to_ship_latency",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(AVG(datediff('day', o_orderdate, l_shipdate)), 4)
+               AS avg_days_to_ship,
+           ROUND(quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5), 4)
+               AS p50_days_to_ship,
+           ROUND(quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.95), 4)
+               AS p95_days_to_ship,
+           CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS INT)
+               AS min_days_to_ship,
+           CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS INT)
+               AS max_days_to_ship
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class — one keyed
+    fact join + hash-agg with exact p50/p95."""
+    return analytics.order_to_ship_latency(
+        load_table(spark, "orders", sf_dir), load_table(spark, "lineitem", sf_dir)
+    )

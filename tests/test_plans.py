@@ -307,3 +307,13 @@ def test_key_skew_report_two_hash_aggs(spark):
     plan = _plan(spark, "key_skew_report")
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The three stage-windows and the per-user collapse must all ride ONE
+    hashpartitioning(user_id) exchange — a funnel that re-shuffles per
+    stage pays |stages|× the network at 100 TB. The only other exchange is
+    the 1-row final aggregate."""
+    plan = _plan(spark, "funnel_conversion")
+    assert plan.count("hashpartitioning(user_id") <= 1, plan
+    assert "Join" not in plan, plan
