@@ -393,3 +393,45 @@ def ordered_funnel(
         "n_users",
         F.round(F.col("n_users") / F.col("_base"), 4).alias("conversion"),
     ).orderBy("stage")
+
+
+def user_gap_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Inter-event cadence per user: count, mean/median/p95 gap seconds and
+    the burstiness ratio (mean/median — >1 means a few long silences among
+    rapid bursts), the activity-rhythm report behind session-timeout and
+    rate-limit tuning.
+
+    One shuffle on the key for the ``lag`` window (deterministic ts+id
+    order), then a keyed hash-agg to |users| rows. Exact per-user
+    percentiles buffer one user's gaps on its reducer — bounded by that
+    user's event count; ``approx_percentile`` is the documented swap if
+    single keys reach millions of events.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    gaps = (
+        df.select(key_col, ts_col, tiebreak_col)
+        .withColumn(
+            "_gap",
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w),
+        )
+        .filter(F.col("_gap").isNotNull())
+    )
+    return (
+        gaps.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("_gap"), 4).alias("mean_gap_s"),
+            F.round(F.percentile("_gap", F.lit(0.5)), 4).alias("p50_gap_s"),
+            F.round(F.percentile("_gap", F.lit(0.95)), 4).alias("p95_gap_s"),
+            F.round(
+                F.avg("_gap") / F.nullif(F.percentile("_gap", F.lit(0.5)), F.lit(0.0)),
+                4,
+            ).alias("burstiness"),
+        )
+        .orderBy(key_col)
+    )

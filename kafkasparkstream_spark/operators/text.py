@@ -728,3 +728,33 @@ def ngram_novelty(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+def token_fertility_by_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer-fertility report per language: BPE-ish subword tokens per
+    whitespace word and characters per subword token — the numbers that
+    decide how expensive each language is to train on under a given
+    tokenizer.
+
+    Pure projection (two regexp/size expressions) plus one hash-agg to
+    |languages| rows; ratios aggregate from exact integer counts.
+    """
+    ws = F.size(tokens_col(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0))
+    return (
+        df.select(
+            "lang",
+            ws.alias("_ws"),
+            bpe.alias("_bpe"),
+            F.length(F.col(text_col)).alias("_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ws").alias("ws_tokens"),
+            F.sum("_bpe").alias("bpe_tokens"),
+            F.round(F.sum("_bpe") / F.sum("_ws"), 4).alias("fertility"),
+            F.round(F.sum("_chars") / F.sum("_bpe"), 4).alias("chars_per_bpe_token"),
+        )
+        .orderBy("lang")
+    )

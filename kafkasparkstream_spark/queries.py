@@ -3326,3 +3326,53 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.order_to_ship_latency(
         load_table(spark, "orders", sf_dir), load_table(spark, "lineitem", sf_dir)
     )
+
+
+@register(
+    "user_gap_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch(ts) - lag(epoch(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap), 4) AS mean_gap_s,
+           ROUND(quantile_cont(gap, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap, 0.95), 4) AS p95_gap_s,
+           ROUND(AVG(gap) / nullif(quantile_cont(gap, 0.5), 0.0), 4) AS burstiness
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event cadence (mean/p50/p95 gap, burstiness) — one
+    keyed lag window + hash-agg."""
+    return temporal.user_gap_stats(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "token_fertility_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+               AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+                AS BIGINT) AS bpe_tokens,
+           ROUND(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+                 * 1.0 / SUM(len(string_split_regex(trim(text), ' +'))), 4)
+               AS fertility,
+           ROUND(SUM(length(text)) * 1.0
+                 / SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))), 4)
+               AS chars_per_bpe_token
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subwords per word, chars per subword) per
+    language — projection + one tiny hash-agg."""
+    return text_ops.token_fertility_by_lang(load_table(spark, "documents", sf_dir))
