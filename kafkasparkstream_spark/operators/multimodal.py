@@ -199,3 +199,55 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         kernel, AUDIO_FEATURES_SCHEMA
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_bytes_in", LongType(), False),
+        StructField("n_bytes_out", LongType(), False),
+        StructField("resized_sha256", StringType(), False),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, target_w: int = 16, target_h: int = 16
+) -> DataFrame:
+    """Resize image assets to a fixed target via Arrow-batched mapInPandas —
+    the binary-in/binary-out transform shape (decode → scale → re-encode)
+    of a real thumbnailing stage, with the codec swapped for a
+    deterministic fake (truncate to the target byte budget) since the
+    container ships no image libraries; a real kernel drops PIL's
+    ``Image.resize`` into the same loop.
+
+    Per-asset work is independent → the operator scales with input splits;
+    the output carries dims + content digest so downstream stages (and the
+    DuckDB oracle) can verify the transform without shipping pixels.
+    """
+    budget = max(target_w * target_h // 8, 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "n_bytes_in": [],
+                "n_bytes_out": [],
+                "resized_sha256": [],
+            }
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                resized = raw[:budget]
+                out["asset_id"].append(asset_id)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["n_bytes_in"].append(len(raw))
+                out["n_bytes_out"].append(len(resized))
+                out["resized_sha256"].append(hashlib.sha256(resized).hexdigest())
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(kernel, RESIZE_SCHEMA)

@@ -3376,3 +3376,25 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility (subwords per word, chars per subword) per
     language — projection + one tiny hash-agg."""
     return text_ops.token_fertility_by_lang(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS payload_hex
+               FROM documents)
+    SELECT asset_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(length(payload_hex) AS BIGINT) AS n_bytes_in,
+           CAST(32 AS BIGINT) AS n_bytes_out,
+           sha256(substr(payload_hex, 1, 32)) AS resized_sha256
+    FROM a ORDER BY asset_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-resize plumbing (binary→binary mapInPandas kernel with a
+    deterministic fake codec); dims + digest verified against the oracle."""
+    return multimodal.resize_images(
+        _doc_assets(spark, sf_dir), target_w=16, target_h=16
+    ).orderBy("asset_id")

@@ -10,6 +10,6 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="kss-tests", master="local[4]", shuffle_partitions=8)
+    spark = get_spark(app_name="kss-tests", master="local[8]", shuffle_partitions=8)
     yield spark
     spark.stop()

@@ -85,3 +85,24 @@ def test_binary_file_source_ingest(spark, tmp_path):
     for i, raw in payloads.items():
         assert feats[i]["n_bytes"] == 64
         assert feats[i]["sha256"] == hashlib.sha256(raw).hexdigest()
+
+
+def test_resize_respects_byte_budget_and_digest(spark):
+    """Resize kernel: fixed target dims, output bytes capped at the target
+    budget, digest reproducible from the truncated payload."""
+    import hashlib
+
+    from kafkasparkstream_spark.operators.multimodal import (
+        resize_images,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, n=16)
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    rows = {r["asset_id"]: r for r in resize_images(assets, 16, 16).collect()}
+    assert set(rows) == set(payloads)
+    for aid, raw in payloads.items():
+        r = rows[aid]
+        assert (r["width"], r["height"]) == (16, 16)
+        assert r["n_bytes_out"] == min(len(raw), 32)
+        assert r["resized_sha256"] == hashlib.sha256(raw[:32]).hexdigest()
