@@ -3398,3 +3398,72 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_images(
         _doc_assets(spark, sf_dir), target_w=16, target_h=16
     ).orderBy("asset_id")
+
+
+@register(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState running
+    accumulators), executed for real across TWO micro-batches: events →
+    JSON wire format split into two source files → maxFilesPerTrigger=1 →
+    parse → per-user (count, sum) state carried batch to batch →
+    update-mode parquet sink → latest state per user. The final state must
+    equal the one-pass batch aggregate — cross-batch state continuity is
+    exactly what this checks (a state loss between batch 1 and 2 halves
+    the counts)."""
+    import tempfile
+
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.sinks import (
+        foreach_batch_parquet_sink,
+        latest_state,
+    )
+    from kafkasparkstream_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, "events", sf_dir)
+    workdir = tempfile.mkdtemp(prefix="kss_state_")
+    src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
+    events.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ).alias("value")
+    ).repartition(2).write.mode("overwrite").text(src)
+
+    raw = file_json_stream(spark, src, max_files_per_trigger=1)
+    parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, ts_col="ts")
+    totals = running_user_totals(parsed)
+
+    # Fresh checkpoint per run: pin a small state-store count for the
+    # bounded replay (same rationale as streaming_windowed_agg).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
+    try:
+        q = (
+            totals.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName("running_totals")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    final = latest_state(spark.read.parquet(sink), ("user_id",))
+    return final.select("user_id", "n_events", "sum_value").orderBy("user_id")
