@@ -316,3 +316,46 @@ def merge_window_partials(
         )
         .orderBy(*keys)
     )
+
+
+def distinct_sketch_partials(
+    df: DataFrame,
+    dim_col: str = "event_type",
+    id_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count state per dimension: a Datasketches HLL
+    sketch of ``id_col`` per ``dim_col`` — the incremental-view-maintenance
+    analog of :func:`window_partials` for COUNT(DISTINCT), which has no
+    decomposable sum/count form.
+
+    Each batch reduces to |dims| sketch blobs (~2^lg_k bytes each) that
+    :func:`merge_distinct_sketches` unions with history — re-counting
+    distinct users over a year of data costs one union of per-day sketches,
+    never a rescan. Standard error ~1.04/√2^lg_k (±1.6% at lg_k=12).
+    """
+    return df.groupBy(dim_col).agg(
+        F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_distinct_sketches(*partials: DataFrame) -> DataFrame:
+    """Union per-batch HLL partials into current distinct estimates per
+    dimension: one hash-agg over |batches|·|dims| sketch rows — map-side
+    combinable, independent of fact cardinality."""
+    import functools
+
+    all_parts = functools.reduce(lambda a, b: a.unionByName(b), partials)
+    return (
+        all_parts.groupBy(all_parts.columns[0])
+        .agg(
+            F.hll_union_agg("sketch").alias("merged"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select(
+            all_parts.columns[0],
+            F.hll_sketch_estimate("merged").alias("approx_distinct"),
+            "n_rows",
+        )
+    )

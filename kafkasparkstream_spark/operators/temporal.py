@@ -391,7 +391,11 @@ def ordered_funnel(
         "stage",
         "stage_name",
         "n_users",
-        F.round(F.col("n_users") / F.col("_base"), 4).alias("conversion"),
+        # nullif: zero stage-1 users means conversion is undefined (NULL),
+        # not an ANSI divide-by-zero failure.
+        F.round(
+            F.col("n_users") / F.nullif(F.col("_base"), F.lit(0)), 4
+        ).alias("conversion"),
     ).orderBy("stage")
 
 

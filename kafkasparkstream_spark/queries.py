@@ -3241,7 +3241,7 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(stage AS INT) AS stage, stage_name,
            CAST(n_users AS BIGINT) AS n_users,
-           ROUND(n_users * 1.0 / base, 4) AS conversion
+           ROUND(n_users * 1.0 / nullif(base, 0), 4) AS conversion
     FROM u ORDER BY stage
     """,
 )
@@ -3467,3 +3467,25 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     final = latest_state(spark.read.parquet(sink), ("user_id",))
     return final.select("user_id", "n_events", "sum_value").orderBy("user_id")
+
+
+@register("incremental_distinct_sketch")  # engine-specific sketch: rows-only check
+def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) maintenance via mergeable Datasketches
+    HLL: per-batch sketch partials unioned with history — the only way a
+    year-scale distinct rollup avoids rescans (sum/count partials cover
+    every other aggregate; distinct needs a sketch). Estimates are
+    engine-specific, so the driver records a rows-only check; pytest
+    proves merge-losslessness and the error bound
+    (tests/test_semantics.py::test_hll_sketch_merge_equals_direct)."""
+    from kafkasparkstream_spark.operators.aggregates import (
+        distinct_sketch_partials,
+        merge_distinct_sketches,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    b1 = events.filter(F.col("event_id") % 2 == 0)
+    b2 = events.filter(F.col("event_id") % 2 == 1)
+    return merge_distinct_sketches(
+        distinct_sketch_partials(b1), distinct_sketch_partials(b2)
+    ).orderBy("event_type")

@@ -376,3 +376,73 @@ def test_approx_decile_labels_consistent_with_exact(spark):
     ).collect()[0]
     assert diffs["max_diff"] <= 1
     assert diffs["agree"] > 0.95
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    size=st.integers(min_value=2, max_value=6),
+    stride_delta=st.integers(min_value=1, max_value=4),
+)
+def test_chunk_grid_matches_reference(spark, texts, size, stride_delta):
+    """Closed-form chunk grid == brute-force sliding-window reference for
+    arbitrary token counts, sizes, and strides (stride <= size)."""
+    from kafkasparkstream_spark.operators.text import chunk_documents
+
+    stride = max(size - stride_delta, 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk_len"], r["n_tokens"])
+        for r in chunk_documents(df, size=size, stride=stride).collect()
+    }
+    expected = {}
+    for i, t in enumerate(texts):
+        import re
+
+        # mirror split(trim(text), ' +'): empty text -> one empty token
+        toks = re.split(" +", t.strip())
+        n = len(toks)
+        starts = [0]
+        while starts[-1] + size < n:
+            starts.append(starts[-1] + stride)
+        for ci, s in enumerate(starts):
+            expected[(i, ci)] = (s, min(size, n - s), n)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, min_size=1, max_size=24))
+def test_funnel_matches_reference(spark, rows):
+    """Ordered funnel == brute-force per-user scan: stage k's timestamp is
+    the min event of that type strictly after stage k-1's."""
+    from kafkasparkstream_spark.operators.temporal import ordered_funnel
+
+    types = ["signup", "click", "purchase"]
+    data = [
+        (i, k, BASE + dt.timedelta(seconds=s), types[abs(v) % 3])
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["stage_name"]: r["n_users"]
+        for r in ordered_funnel(df, stages=tuple(types)).collect()
+    }
+    by_user: dict = {}
+    for _, u, ts, et in data:
+        by_user.setdefault(u, []).append((ts, et))
+    counts = dict.fromkeys(types, 0)
+    for evs in by_user.values():
+        prev = None
+        for stage in types:
+            cand = [ts for ts, et in evs if et == stage and (prev is None or ts > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[stage] += 1
+    assert got == counts

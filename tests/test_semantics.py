@@ -7,6 +7,8 @@ single-row) groups. These tests build the distinguishing inputs directly.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kafkasparkstream_spark.operators import windows as win_ops
 
 
@@ -58,3 +60,40 @@ def test_zscore_grouped_map_null_on_degenerate_groups(spark):
         for r in win_ops.zscore_per_key_window(df, key_col="event_type").collect()
     }
     assert win_rows == rows
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """Incremental distinct maintenance: unioning per-batch HLL sketches
+    must give the SAME estimate as sketching all data in one pass (sketch
+    merge is lossless w.r.t. the sketch state), and land within the
+    configured error of the exact count."""
+    from kafkasparkstream_spark.operators.aggregates import (
+        distinct_sketch_partials,
+        merge_distinct_sketches,
+    )
+    from kafkasparkstream_spark.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.01")
+    b1 = events.filter(F.col("event_id") % 2 == 0)
+    b2 = events.filter(F.col("event_id") % 2 == 1)
+
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in merge_distinct_sketches(
+            distinct_sketch_partials(b1), distinct_sketch_partials(b2)
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in merge_distinct_sketches(distinct_sketch_partials(events)).collect()
+    }
+    assert merged == direct, "sketch union must be order/partition lossless"
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in merged.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
