@@ -1,0 +1,76 @@
+"""Table-level data-quality auditing — declarative constraint checks
+(null-rate, uniqueness, domain membership, range, parseability) evaluated
+in ONE scan, the production pre-flight every ingest pipeline runs before
+publishing a table.
+
+Every check is a conditional aggregate over the same pass (map-side
+partials, 1-row exchange), then unpivoted to (check, n_violations, pass)
+rows with ``stack`` — auditing 100 TB costs exactly one read no matter how
+many constraints are declared. This is the deequ/great-expectations shape
+re-expressed as pure Catalyst aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_not_null(col: str) -> tuple[str, Column]:
+    return f"{col}_not_null", F.col(col).isNull()
+
+def check_unique(col: str) -> tuple[str, Column]:
+    """Uniqueness is the one check that can't ride a row predicate — it
+    compares COUNT vs COUNT(DISTINCT) inside the same aggregate."""
+    return f"{col}_unique", None  # sentinel; handled in audit()
+
+def check_in_domain(col: str, values: tuple[str, ...]) -> tuple[str, Column]:
+    return f"{col}_in_domain", ~F.col(col).isin(*values)
+
+def check_range(col: str, lo, hi) -> tuple[str, Column]:
+    return f"{col}_in_range", ~F.col(col).between(lo, hi)
+
+def check_json_parseable(col: str, schema: str) -> tuple[str, Column]:
+    return (
+        f"{col}_json_parseable",
+        F.col(col).isNotNull() & F.from_json(F.col(col), schema).isNull(),
+    )
+
+
+def audit(
+    df: DataFrame,
+    checks: list[tuple[str, Column | None]],
+    unique_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Evaluate all checks in one aggregate; emit one row per check:
+    (check, n_rows, n_violations, violation_ratio, passed)."""
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    names: list[str] = []
+    for name, pred in checks:
+        if pred is None:
+            continue
+        aggs.append(F.sum(pred.cast("long")).alias(f"_v_{name}"))
+        names.append(name)
+    for col in unique_cols:
+        name = f"{col}_unique"
+        aggs.append(
+            (F.count(col) - F.countDistinct(col)).alias(f"_v_{name}")
+        )
+        names.append(name)
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', _v_{n}" for n in names)
+    long = one.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) AS (check_name, n_violations)"
+        ),
+        F.col("_total").alias("n_rows"),
+    )
+    return long.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        F.round(F.col("n_violations") / F.nullif(F.col("n_rows"), F.lit(0)), 6).alias(
+            "violation_ratio"
+        ),
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")

@@ -3489,3 +3489,99 @@ def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_distinct_sketches(
         distinct_sketch_partials(b1), distinct_sketch_partials(b2)
     ).orderBy("event_type")
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    WITH a AS (
+        SELECT COUNT(*) AS total,
+               SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v_event_id_not_null,
+               COUNT(event_id) - COUNT(DISTINCT event_id)        AS v_event_id_unique,
+               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)       AS v_ts_not_null,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)  AS v_user_id_not_null,
+               SUM(CASE WHEN NOT event_type IN
+                   ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)
+                                                                 AS v_event_type_in_domain,
+               SUM(CASE WHEN NOT (value BETWEEN 0.0 AND 1000.0) THEN 1 ELSE 0 END)
+                                                                 AS v_value_in_range,
+               SUM(CASE WHEN props IS NOT NULL AND json_valid(props) = false
+                   THEN 1 ELSE 0 END)                            AS v_props_json_parseable
+        FROM events
+    ),
+    u AS (
+        SELECT 'event_id_not_null' AS check_name, v_event_id_not_null AS n_violations, total FROM a
+        UNION ALL SELECT 'event_id_unique', v_event_id_unique, total FROM a
+        UNION ALL SELECT 'ts_not_null', v_ts_not_null, total FROM a
+        UNION ALL SELECT 'user_id_not_null', v_user_id_not_null, total FROM a
+        UNION ALL SELECT 'event_type_in_domain', v_event_type_in_domain, total FROM a
+        UNION ALL SELECT 'value_in_range', v_value_in_range, total FROM a
+        UNION ALL SELECT 'props_json_parseable', v_props_json_parseable, total FROM a
+    )
+    SELECT check_name,
+           CAST(total AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           ROUND(n_violations * 1.0 / nullif(total, 0), 6) AS violation_ratio,
+           n_violations = 0 AS passed
+    FROM u ORDER BY check_name
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit of the events table in one scan: null/unique/domain/
+    range/JSON-parseability checks as conditional aggregates, unpivoted to
+    one row per check."""
+    from kafkasparkstream_spark.operators import quality as q
+
+    events = load_table(spark, "events", sf_dir)
+    checks = [
+        q.check_not_null("event_id"),
+        q.check_not_null("ts"),
+        q.check_not_null("user_id"),
+        q.check_in_domain("event_type", ("click", "view", "purchase", "signup", "error")),
+        q.check_range("value", 0.0, 1000.0),
+        q.check_json_parseable("props", "a INT"),
+    ]
+    return q.audit(events, checks, unique_cols=("event_id",))
+
+
+@register(
+    "snapshot_diff_summary",
+    oracle="""
+    WITH old AS (
+        SELECT event_id, event_type, value FROM events WHERE event_id % 11 <> 0
+    ),
+    new AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 13 = 0 THEN value + 1.0 ELSE value END AS value
+        FROM events
+    ),
+    d AS (
+        SELECT coalesce(o.event_id, n.event_id) AS event_id,
+               CASE
+                 WHEN o.event_id IS NULL THEN 'added'
+                 WHEN n.event_id IS NULL THEN 'removed'
+                 WHEN o.event_type IS DISTINCT FROM n.event_type
+                      OR o.value IS DISTINCT FROM n.value THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change_type
+        FROM old o FULL OUTER JOIN new n USING (event_id)
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: yesterday's table (every 11th row missing) vs
+    today's (every 13th row's value bumped) — added/removed/changed/
+    unchanged counts off ONE keyed full-outer join."""
+    from kafkasparkstream_spark.tables import snapshot_diff_summary as sds
+
+    events = load_table(spark, "events", sf_dir)
+    old = events.filter(F.col("event_id") % 11 != 0)
+    new = events.withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return sds(old, new, ("event_id",), ("event_type", "value"))

@@ -317,3 +317,14 @@ def test_funnel_single_user_shuffle(spark):
     plan = _plan(spark, "funnel_conversion")
     assert plan.count("hashpartitioning(user_id") <= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_quality_audit_single_scan(spark):
+    """All declared constraints must fold into ONE scan's aggregate — an
+    audit that re-reads the table per check multiplies 100 TB by the
+    constraint count."""
+    plan = _plan(spark, "data_quality_audit")
+    # formatted explain names each node twice (tree + detail section):
+    # 2 occurrences == exactly one scan node.
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Join" not in plan, plan
