@@ -359,3 +359,43 @@ def merge_distinct_sketches(*partials: DataFrame) -> DataFrame:
             "n_rows",
         )
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing N-day active-user count per day (the DAU/WAU curve).
+
+    COUNT(DISTINCT) cannot ride a sliding window frame, so the scalable
+    shape is: collapse to distinct (user, active_day) — one hash-agg that
+    shrinks the fact table to at most |users|·|days| rows — then explode
+    each activity day into the ≤N report days it contributes to and
+    hash-agg a distinct count per report day. The explode multiplies the
+    ALREADY-COLLAPSED grain by N, never the event stream; both exchanges
+    are keyed and bounded by users×days. Report days are clipped to the
+    observed range so every row reflects a full window's reach.
+    """
+    active = (
+        df.select(F.col(key_col), F.to_date(ts_col).alias("_day")).distinct()
+    )
+    bounds = active.agg(F.max("_day").alias("_max_day"))
+    contributes = active.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("_day"),
+                F.date_add(F.col("_day"), window_days - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contributes.join(F.broadcast(bounds))
+        .filter(F.col("report_day") <= F.col("_max_day"))
+        .groupBy("report_day")
+        .agg(F.countDistinct(key_col).alias(f"active_{window_days}d"))
+        .orderBy("report_day")
+    )

@@ -3585,3 +3585,28 @@ def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return sds(old, new, ("event_id",), ("event_type", "value"))
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    mx AS (SELECT MAX(day) AS max_day FROM active),
+    c AS (
+        SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS report_day
+        FROM active
+    )
+    SELECT CAST(report_day AS DATE) AS report_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+    FROM c, mx WHERE CAST(report_day AS DATE) <= max_day
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day: distinct (user, day) collapse →
+    bounded explode to report days → distinct count, no sliding-frame
+    distinct anywhere."""
+    return aggregates.rolling_active_users(load_table(spark, "events", sf_dir))
