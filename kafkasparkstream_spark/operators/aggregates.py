@@ -399,3 +399,57 @@ def rolling_active_users(
         .agg(F.countDistinct(key_col).alias(f"active_{window_days}d"))
         .orderBy("report_day")
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str = "value",
+    bucket_width: float = 50.0,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift alarm for feature/label distributions
+    (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate).
+
+    Fixed-width buckets (clamped to [lo, hi]) keep the report deterministic
+    and engine-independent — quantile edges would drift with the data and
+    between engines. Each side is one scan → hash-agg to |buckets| rows;
+    the PSI sum is a |buckets|-row join + 1-row aggregate. Empty buckets
+    take a 0.5-count smoothing so the log-ratio stays finite.
+    """
+    def bucketize(df: DataFrame, name: str) -> DataFrame:
+        b = F.floor(
+            (F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi - 1e-9)) - F.lit(lo))
+            / F.lit(bucket_width)
+        ).cast("int")
+        return df.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+    o = bucketize(old, "n_old")
+    n = bucketize(new, "n_new")
+    joined = o.join(n, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    smoothed = joined.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        ((F.col("n_old") + F.lit(0.5)) / (F.col("t_old") + F.lit(0.5))).alias("p_old"),
+        ((F.col("n_new") + F.lit(0.5)) / (F.col("t_new") + F.lit(0.5))).alias("p_new"),
+    )
+    per_bucket = smoothed.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round((F.col("p_new") - F.col("p_old")) * F.log(F.col("p_new") / F.col("p_old")), 6).alias(
+            "psi_term"
+        ),
+    )
+    return per_bucket.orderBy("bucket")

@@ -3610,3 +3610,41 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded explode to report days → distinct count, no sliding-frame
     distinct anywhere."""
     return aggregates.rolling_active_users(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH old AS (SELECT value FROM events WHERE event_id % 2 = 0),
+    new AS (SELECT CASE WHEN event_id % 5 = 0 THEN value * 1.2 ELSE value END AS value
+            FROM events WHERE event_id % 2 = 1),
+    ob AS (SELECT CAST(floor((least(greatest(value, 0.0), 1000.0 - 1e-9)) / 50.0) AS INT)
+                      AS bucket, COUNT(*) AS n_old FROM old GROUP BY 1),
+    nb AS (SELECT CAST(floor((least(greatest(value, 0.0), 1000.0 - 1e-9)) / 50.0) AS INT)
+                      AS bucket, COUNT(*) AS n_new FROM new GROUP BY 1),
+    j AS (SELECT coalesce(ob.bucket, nb.bucket) AS bucket,
+                 coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+          FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket),
+    t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM j),
+    s AS (SELECT bucket, n_old, n_new,
+                 (n_old + 0.5) / (t_old + 0.5) AS p_old,
+                 (n_new + 0.5) / (t_new + 0.5) AS p_new
+          FROM j, t)
+    SELECT bucket, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           ROUND((p_new - p_old) * ln(p_new / p_old), 6) AS psi_term
+    FROM s ORDER BY bucket
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift (PSI) report between two deterministic event
+    slices (odd ids, 20%% of them value-inflated, vs even ids) — fixed-width
+    buckets, smoothed log-ratio terms; Σ psi_term is the alarm value."""
+    events = load_table(spark, "events", sf_dir)
+    old = events.filter(F.col("event_id") % 2 == 0)
+    new = events.filter(F.col("event_id") % 2 == 1).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") * 1.2).otherwise(
+            F.col("value")
+        ),
+    )
+    return aggregates.psi_drift(old, new)

@@ -90,6 +90,7 @@ def test_no_degenerate_joins_anywhere(spark):
             "time_decay_value_by_type",  # 1-row max(ts) decay anchor broadcast
             "ann_quantized_topk",  # 10-row quantized query side broadcast
             "rolling_7d_active_users",  # 1-row max-day anchor broadcast
+            "psi_value_drift",  # 1-row bucket-totals broadcast
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
