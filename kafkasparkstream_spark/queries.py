@@ -3648,3 +3648,68 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return aggregates.psi_drift(old, new)
+
+
+@register(
+    "session_funnel_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM s
+    ),
+    s1 AS (
+        SELECT user_id, session_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+        FROM numbered GROUP BY 1, 2
+    ),
+    s2 AS (
+        SELECT n.user_id, n.session_id, s1.t0,
+               MIN(CASE WHEN n.event_type = 'click' AND n.ts > s1.t0
+                        THEN n.ts END) AS t1
+        FROM numbered n JOIN s1 USING (user_id, session_id) GROUP BY 1, 2, 3
+    ),
+    s3 AS (
+        SELECT n.user_id, n.session_id, s2.t0, s2.t1,
+               MIN(CASE WHEN n.event_type = 'purchase' AND n.ts > s2.t1
+                        THEN n.ts END) AS t2
+        FROM numbered n JOIN s2 USING (user_id, session_id) GROUP BY 1, 2, 3, 4
+    ),
+    c AS (
+        SELECT SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS c2
+        FROM s3
+    ),
+    u AS (
+        SELECT 1 AS stage, 'signup' AS stage_name, c0 AS n_users, c0 AS base FROM c
+        UNION ALL SELECT 2, 'click', c1, c0 FROM c
+        UNION ALL SELECT 3, 'purchase', c2, c0 FROM c
+    )
+    SELECT CAST(stage AS INT) AS stage, stage_name,
+           CAST(n_users AS BIGINT) AS n_users,
+           ROUND(n_users * 1.0 / nullif(base, 0), 4) AS conversion
+    FROM u ORDER BY stage
+    """,
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session ordered funnel: a conversion only counts when the
+    whole signup→click→purchase sequence happens inside ONE gap-based
+    session (a purchase days later is retention, not conversion). Composes
+    sessionize (one user-keyed shuffle) with the ordered-funnel windows,
+    re-keyed by (user, session) — one additional keyed exchange, n_users
+    counts funnel-completing *sessions*."""
+    events = load_table(spark, "events", sf_dir)
+    sessions = temporal.sessionize(events).withColumn(
+        "_sess_key",
+        F.concat_ws("#", F.col("user_id").cast("string"), F.col("session_id").cast("string")),
+    )
+    return temporal.ordered_funnel(sessions, key_col="_sess_key")
