@@ -630,3 +630,44 @@ def pair_source_matrix(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_x", "source_y")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT
+    (``common / min(n_a, n_b)``): catches a short document embedded inside
+    a long one — quotes, boilerplate wrappers, chunk-of-another-doc — which
+    Jaccard misses because the union is dominated by the long side.
+
+    Same plan shape as :func:`ngram_jaccard_pairs` (distinct-shingle
+    explode → co-partitioned self-join → per-pair count + broadcast-free
+    size recovery via min/max over the carried n_sh); at 100 TB run the
+    banded LSH candidates first and verify containment here.
+    """
+    arr = _shingle_arrays(df, text_col, id_col, n)
+    sh = arr.select(F.col(id_col), "n_sh", F.explode("sh_arr").alias("shingle"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("a.n_sh").alias("n_a"),
+            F.min("b.n_sh").alias("n_b"),
+        )
+    )
+    cont = F.col("common") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        common.filter(cont >= threshold)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )

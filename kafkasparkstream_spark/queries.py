@@ -3713,3 +3713,27 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("#", F.col("user_id").cast("string"), F.col("session_id").cast("string")),
     )
     return temporal.ordered_funnel(sessions, key_col="_sess_key")
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / least(x.n_sh, y.n_sh), 4) AS containment
+    FROM pairs
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE common * 1.0 / least(x.n_sh, y.n_sh) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (short-doc-inside-long-doc) — the
+    quote/boilerplate catcher Jaccard misses."""
+    return dedup.containment_pairs(load_table(spark, "documents", sf_dir))
