@@ -220,3 +220,32 @@ def snapshot_diff_summary(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("change_type")
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema drift between two table versions: added / removed columns and
+    dtype or nullability changes — the metadata gate run before
+    :func:`snapshot_diff` makes sense to compute at all.
+
+    Pure driver-side metadata (no job, no scan); returns a list of
+    ``{"column", "change", "old", "new"}`` dicts ordered by column name so
+    pipelines can fail fast on incompatible drift.
+    """
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    out: list[dict] = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            out.append(
+                {"column": c, "change": "removed", "old": o[c].dataType.simpleString(), "new": None}
+            )
+        elif c not in o:
+            out.append(
+                {"column": c, "change": "added", "old": None, "new": n[c].dataType.simpleString()}
+            )
+        elif (o[c].dataType, o[c].nullable) != (n[c].dataType, n[c].nullable):
+            fmt = lambda f: f.dataType.simpleString() + ("" if f.nullable else " not null")
+            out.append(
+                {"column": c, "change": "changed", "old": fmt(o[c]), "new": fmt(n[c])}
+            )
+    return out

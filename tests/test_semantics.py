@@ -97,3 +97,18 @@ def test_hll_sketch_merge_equals_direct(spark):
     }
     for et, est in merged.items():
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+
+
+def test_schema_diff_classifies_drift(spark):
+    from kafkasparkstream_spark.tables import schema_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    new = spark.createDataFrame([(1, "a", 2)], "id long, name string, v int").withColumn(
+        "extra", F.lit("x")
+    )
+    d = {r["column"]: r for r in schema_diff(old, new)}
+    assert d["extra"]["change"] == "added" and d["extra"]["new"] == "string"
+    assert d["v"]["change"] == "changed" and d["v"]["old"].startswith("double")
+    assert "id" not in d and "name" not in d
+    removed = {r["column"]: r for r in schema_diff(new, old)}
+    assert removed["extra"]["change"] == "removed"
