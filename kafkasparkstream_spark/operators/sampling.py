@@ -225,3 +225,44 @@ def pack_sequences(
         )
         .orderBy(*group_cols, "seq_no")
     )
+
+
+def quality_weighted_sample(
+    docs_with_quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    group_col: str = "lang",
+    salt: str = "qw0",
+    boost: float = 2.0,
+) -> DataFrame:
+    """Quality-proportional importance sampling report: a document survives
+    with probability ``min(1, boost · quality)``, decided by comparing a
+    deterministic per-id uniform (md5 grid, same salt → same survivors on
+    any engine/partitioning/rerun) against the scaled score — the standard
+    way a curation pipeline upsamples high-quality text without a second
+    pass or global state.
+
+    Per-group report: docs in/out, realized keep rate, mean quality before
+    vs after (the after-mean must rise — that is the point). One scan +
+    one tiny hash-agg; sampling itself never shuffles.
+    """
+    u = hash_bucket(F.col(id_col), 10000, salt) / F.lit(10000.0)
+    keep = u < F.least(F.lit(1.0), F.lit(boost) * F.col(quality_col))
+    return (
+        docs_with_quality.select(
+            F.col(group_col), F.col(quality_col), keep.alias("_keep")
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.round(F.sum(F.col("_keep").cast("long")) / F.count(F.lit(1)), 4).alias(
+                "keep_rate"
+            ),
+            F.round(F.avg(quality_col), 4).alias("avg_quality_before"),
+            F.round(
+                F.avg(F.when(F.col("_keep"), F.col(quality_col))), 4
+            ).alias("avg_quality_after"),
+        )
+        .orderBy(group_col)
+    )

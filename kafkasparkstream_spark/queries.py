@@ -3737,3 +3737,117 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dups (short-doc-inside-long-doc) — the
     quote/boilerplate catcher Jaccard misses."""
     return dedup.containment_pairs(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "quality_weighted_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               len(toks) AS n,
+               len(list_distinct(toks)) AS n_uniq,
+               len(list_filter(toks, tk -> list_contains(['the','a','of','and','is','to','in','that'], tk))) AS n_stop
+        FROM t
+    ), q AS (
+        SELECT doc_id, lang,
+               ROUND(least(n / 64.0, 1.0)
+                     * (0.5 + 0.5 * least(n_stop / greatest(n * 0.05, 1.0), 1.0))
+                     * (CAST(n_uniq AS DOUBLE) / n), 4) AS quality,
+               (CAST(('0x' || substr(md5('qw0' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 10000) / 10000.0 AS u
+        FROM m
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u < least(1.0, 2.0 * quality) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN u < least(1.0, 2.0 * quality) THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS keep_rate,
+           ROUND(AVG(quality), 4) AS avg_quality_before,
+           ROUND(AVG(CASE WHEN u < least(1.0, 2.0 * quality) THEN quality END), 4)
+               AS avg_quality_after
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional importance sampling (keep-prob = min(1, 2q),
+    deterministic md5 uniform): per-language keep rates and the before/after
+    mean-quality lift."""
+    from kafkasparkstream_spark.operators import sampling as sampling_ops
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = text_ops.quality_score(docs).select("doc_id", "quality")
+    with_lang = docs.select("doc_id", "lang").join(q, "doc_id")
+    return sampling_ops.quality_weighted_sample(with_lang)
+
+
+@register(
+    "session_type_pairs",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM s
+    ),
+    st AS (SELECT DISTINCT user_id, session_id, event_type FROM numbered),
+    tot AS (SELECT COUNT(DISTINCT (user_id, session_id)) AS n_sessions FROM numbered),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_sessions_both
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.session_id = b.session_id
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_sessions_both,
+           ROUND(n_sessions_both * 1.0 / t.n_sessions, 4) AS support
+    FROM p, tot t ORDER BY type_a, type_b
+    """,
+)
+def session_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence within gap-based sessions (market-basket
+    support over sessions): distinct (session, type) grain bounds the
+    self-join fanout to |types| per session key; support normalizes by the
+    1-row total-session count."""
+    events = load_table(spark, "events", sf_dir)
+    st = (
+        temporal.sessionize(events)
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    tot = st.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_sessions_both"))
+    )
+    return (
+        pairs.join(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_sessions_both",
+            F.round(F.col("n_sessions_both") / F.col("n_sessions"), 4).alias("support"),
+        )
+        .orderBy("type_a", "type_b")
+    )

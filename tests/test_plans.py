@@ -91,6 +91,7 @@ def test_no_degenerate_joins_anywhere(spark):
             "ann_quantized_topk",  # 10-row quantized query side broadcast
             "rolling_7d_active_users",  # 1-row max-day anchor broadcast
             "psi_value_drift",  # 1-row bucket-totals broadcast
+            "session_type_pairs",  # 1-row session-total broadcast
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
