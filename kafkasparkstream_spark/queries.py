@@ -3851,3 +3851,16 @@ def session_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register("rolling_7d_active_sketch")  # engine-specific sketch: rows-only check
+def rolling_7d_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based trailing-7-day active users: per-day HLL blobs unioned
+    over a day-range window — |days| sketch rows of state instead of the
+    users×days explode; pytest pins the curve to the exact twin within the
+    sketch error band (tests/test_semantics.py)."""
+    from kafkasparkstream_spark.operators.aggregates import (
+        rolling_active_users_sketch,
+    )
+
+    return rolling_active_users_sketch(load_table(spark, "events", sf_dir))

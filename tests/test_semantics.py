@@ -112,3 +112,25 @@ def test_schema_diff_classifies_drift(spark):
     assert "id" not in d and "name" not in d
     removed = {r["column"]: r for r in schema_diff(new, old)}
     assert removed["extra"]["change"] == "removed"
+
+
+def test_rolling_sketch_tracks_exact_curve(spark):
+    """The sketch-based trailing-7d active-user curve must stay within the
+    HLL error band of the exact explode-based curve, day by day."""
+    from kafkasparkstream_spark.operators.aggregates import (
+        rolling_active_users,
+        rolling_active_users_sketch,
+    )
+    from kafkasparkstream_spark.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.01")
+    exact = {
+        r["report_day"]: r["active_7d"] for r in rolling_active_users(events).collect()
+    }
+    approx = {
+        r["report_day"]: r["approx_active_7d"]
+        for r in rolling_active_users_sketch(events).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, est in approx.items():
+        assert abs(est - exact[day]) / exact[day] < 0.05, (day, est, exact[day])
