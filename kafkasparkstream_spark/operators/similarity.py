@@ -798,3 +798,75 @@ def quantized_topk(
         .select("query_id", "neighbor_id", F.round("_qdot", 4).alias("qdot"), "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+def pca_variance_spectrum(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    top_k: int = 10,
+) -> DataFrame:
+    """PCA variance spectrum of an embedding column — the intrinsic-
+    dimensionality report (how many directions carry the corpus, whether
+    embeddings have collapsed) — via ONE distributed pass.
+
+    Each partition reduces its rows to a d×d Gram partial plus a sum
+    vector and count with a float64 BLAS GEMM (``X.T @ X``); partials are
+    d²+d+1 numbers regardless of row count, so the merge is a tiny
+    element-wise aggregation. Centering happens analytically on the merged
+    totals (``cov = (G − n·μμᵀ)/(n−1)``) — no second scan — and the d×d
+    eigendecomposition runs on the driver (d², not n, sized). This is the
+    canonical "partial-aggregate your linear algebra" shape: at 100 TB the
+    only data-sized cost is the scan.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    part_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("s", ArrayType(DoubleType()), False),
+            StructField("g", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, g = 0, None, None
+        for batch in batches:
+            if not len(batch):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in batch.iloc[:, 0]])
+            n += len(x)
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            gg = x.T @ x
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    parts = fanout(embeddings.select(vec_col)).mapInPandas(partials, part_schema).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in parts], axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = (g.reshape(d, d) - n * np.outer(mu, mu)) / max(n - 1, 1)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    rows = []
+    cum = 0.0
+    for i in range(min(top_k, d)):
+        cum += float(evals[i])
+        rows.append(
+            (
+                i + 1,
+                round(float(evals[i]), 6),
+                round(float(evals[i]) / total, 4),
+                round(cum / total, 4),
+            )
+        )
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, var_share double, cum_share double"
+    )

@@ -3864,3 +3864,12 @@ def rolling_7d_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rolling_active_users_sketch(load_table(spark, "events", sf_dir))
+
+
+@register("embedding_pca_variance")  # eigendecomposition: rows-only check
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA variance spectrum (top-10 components) of the embedding corpus via
+    one distributed Gram-partial pass — the intrinsic-dimensionality /
+    embedding-collapse report; pytest pins it to a single-machine numpy
+    reference (tests/test_semantics.py)."""
+    return similarity.pca_variance_spectrum(load_table(spark, "embeddings", sf_dir))

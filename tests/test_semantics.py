@@ -134,3 +134,28 @@ def test_rolling_sketch_tracks_exact_curve(spark):
     assert set(approx) == set(exact)
     for day, est in approx.items():
         assert abs(est - exact[day]) / exact[day] < 0.05, (day, est, exact[day])
+
+
+def test_pca_spectrum_matches_numpy_reference(spark):
+    """Distributed Gram-partial PCA == single-machine numpy PCA on the same
+    data (exact same math, merge order only shifts last-ulp)."""
+    import duckdb
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.similarity import pca_variance_spectrum
+    from kafkasparkstream_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    got = {r["component"]: r for r in pca_variance_spectrum(emb).collect()}
+
+    raw = duckdb.sql(
+        "SELECT embedding FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    ).fetchall()
+    x = np.array([np.asarray(r[0], dtype=np.float64) for r in raw])
+    cov = np.cov(x, rowvar=False)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = evals.sum()
+    for i, r in got.items():
+        assert abs(r["eigenvalue"] - evals[i - 1]) < 1e-4, (i, r, evals[i - 1])
+        assert abs(r["var_share"] - evals[i - 1] / total) < 1e-3
+    assert got[len(got)]["cum_share"] <= 1.0
