@@ -3873,3 +3873,53 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-collapse report; pytest pins it to a single-machine numpy
     reference (tests/test_semantics.py)."""
     return similarity.pca_variance_spectrum(load_table(spark, "embeddings", sf_dir))
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled power-iteration SQL twin over the kNN-5 edge list."""
+    parts = ["""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.emb, b.emb) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    g AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+            FROM scored) WHERE rnk <= 5
+    ),
+    nodes AS (SELECT vec_id FROM embeddings),
+    nc AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM g GROUP BY 1),
+    r0 AS (SELECT vec_id, 1.0 / nc.n AS rank FROM nodes, nc)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    c{i} AS (
+        SELECT g.dst AS vec_id, SUM(r.rank / d.deg) AS inflow
+        FROM g JOIN r{i-1} r ON g.src = r.vec_id JOIN deg d ON d.src = g.src
+        GROUP BY 1
+    ),
+    r{i} AS (
+        SELECT n.vec_id, 0.15 / nc.n + 0.85 * coalesce(c{i}.inflow, 0) AS rank
+        FROM nodes n CROSS JOIN nc LEFT JOIN c{i} USING (vec_id)
+    )""")
+    parts.append(f"""
+    SELECT vec_id, ROUND(rank, 6) AS rank FROM r{iterations} ORDER BY vec_id
+    """)
+    return "".join(parts)
+
+
+@register("pagerank_knn_graph", oracle=_pagerank_oracle_sql(10))
+def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph centrality: 10 power iterations of PageRank over
+    the exact kNN-5 cosine graph — the representative-sample /
+    duplication-hub ranking; every iteration one edge-keyed join + agg."""
+    from kafkasparkstream_spark.operators.graph import pagerank
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    edges = similarity.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, emb.select("vec_id"), iterations=10)
