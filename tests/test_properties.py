@@ -446,3 +446,97 @@ def test_funnel_matches_reference(spark, rows):
             prev = min(cand)
             counts[stage] += 1
     assert got == counts
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 8), st.one_of(st.none(), st.integers(-3, 3))),
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 8), st.one_of(st.none(), st.integers(-3, 3))),
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_snapshot_diff_matches_reference_with_nulls(spark, old, new):
+    """CDC classification == dict-diff reference, including NULL compare
+    values (NULL==NULL must read unchanged, NULL vs value changed)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from kafkasparkstream_spark.tables import snapshot_diff
+
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("v", DoubleType(), True)]
+    )
+    odf = spark.createDataFrame(
+        [(k, float(v) if v is not None else None) for k, v in old], schema
+    )
+    ndf = spark.createDataFrame(
+        [(k, float(v) if v is not None else None) for k, v in new], schema
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(odf, ndf, ("id",), ("v",)).collect()
+    }
+    o, n = dict(old), dict(new)
+    expected = {}
+    for k in set(o) | set(n):
+        if k not in n:
+            expected[k] = "removed"
+        elif k not in o:
+            expected[k] = "added"
+        elif o[k] != n[k]:
+            expected[k] = "changed"
+        else:
+            expected[k] = "unchanged"
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-9, 9), min_size=4, max_size=4),
+        min_size=3,
+        max_size=12,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_quantized_topk_matches_reference(spark, vecs):
+    """Int8 quantized MIPS ranking == numpy reference (scale, floor(x/s+.5),
+    integer dot, ties by neighbor id), including the all-zero-vector path."""
+    import math
+
+    from kafkasparkstream_spark.operators.similarity import quantized_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    k = 3
+    got = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["qdot"])
+        for r in quantized_topk(df, num_queries=2, k=k, salt_buckets=4).collect()
+    }
+
+    def quant(v):
+        s = max(abs(x) for x in v) / 127.0
+        if s == 0.0:
+            return 0.0, [0] * len(v)
+        return s, [math.floor(x / s + 0.5) for x in v]
+
+    qs = [quant([float(x) for x in v]) for v in vecs]
+    expected = {}
+    for qi in range(min(2, len(vecs))):
+        scores = []
+        for ci in range(len(vecs)):
+            if ci == qi:
+                continue
+            sdot = sum(a * b for a, b in zip(qs[qi][1], qs[ci][1]))
+            scores.append((-(sdot * qs[qi][0] * qs[ci][0]), ci))
+        scores.sort()
+        for rnk, (neg, ci) in enumerate(scores[:k], start=1):
+            expected[(qi, rnk)] = (ci, round(-neg, 4))
+    assert got == expected
