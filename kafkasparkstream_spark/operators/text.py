@@ -765,3 +765,41 @@ def token_fertility_by_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean token log2-probability under the corpus's own
+    unigram (MLE) distribution — the classic cheap "perplexity-lite" quality
+    signal: word-salad and boilerplate score low, fluent text scores high
+    (no external LM needed; the corpus is its own model).
+
+    Shape at scale: one explode → (doc, token) tf aggregate (the ONLY
+    fact-sized shuffle, map-side combined on the composite key), a
+    vocabulary-sized token-count rollup derived FROM that aggregate (never a
+    second scan of the corpus), a 1-row total broadcast, and a broadcast join
+    of tf against the vocab — natural-language vocabularies are Zipfian, so
+    the distinct-token table is millions of rows against trillions of corpus
+    tokens and broadcasting it keeps the scoring join shuffle-free.
+    """
+    from kafkasparkstream_spark.util import fanout
+
+    tf = (
+        fanout(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = tf.groupBy("tok").agg(F.sum("c").alias("vc"))
+    total = vocab.agg(F.sum("vc").cast("double").alias("n"))
+    return (
+        tf.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.log2(F.col("vc") / F.col("n"))) / F.sum("c"), 4
+            ).alias("mean_logprob"),
+            F.sum("c").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
