@@ -2222,6 +2222,25 @@ EVENT_WIRE_SCHEMA = StructType(
 )
 
 
+def _events_to_wire(events: DataFrame, path: str, n_files: int | None = None) -> None:
+    """G1 analog: serialize events to the JSON wire format the Kafka producer
+    would send (ISO-8601 µs timestamps, one JSON object per line)."""
+    wire = events.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ).alias("value")
+    )
+    if n_files is not None:
+        wire = wire.repartition(n_files)
+    wire.write.mode("overwrite").text(path)
+
+
 @register(
     "streaming_windowed_agg",
     oracle="""
@@ -2251,18 +2270,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     workdir = tempfile.mkdtemp(prefix="kss_stream_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
-    # G1 analog: serialize to the wire format the Kafka producer would send.
-    events.select(
-        F.to_json(
-            F.struct(
-                "event_id",
-                "user_id",
-                "event_type",
-                "value",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-            )
-        ).alias("value")
-    ).write.mode("overwrite").text(src)
+    _events_to_wire(events, src)
 
     cfg = PipelineConfig(
         dims=("event_type",),
@@ -3432,17 +3440,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     workdir = tempfile.mkdtemp(prefix="kss_state_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
-    events.select(
-        F.to_json(
-            F.struct(
-                "event_id",
-                "user_id",
-                "event_type",
-                "value",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-            )
-        ).alias("value")
-    ).repartition(2).write.mode("overwrite").text(src)
+    _events_to_wire(events, src, n_files=2)
 
     raw = file_json_stream(spark, src, max_files_per_trigger=1)
     parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, ts_col="ts")
@@ -3989,22 +3987,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     workdir = tempfile.mkdtemp(prefix="kss_ssjoin_")
 
-    def _write_side(event_type: str, path: str) -> None:
-        events.filter(F.col("event_type") == event_type).select(
-            F.to_json(
-                F.struct(
-                    "event_id",
-                    "user_id",
-                    "event_type",
-                    "value",
-                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-                )
-            ).alias("value")
-        ).write.mode("overwrite").text(path)
-
     src_c, src_e = f"{workdir}/clicks", f"{workdir}/errors"
-    _write_side("click", src_c)
-    _write_side("error", src_e)
+    _events_to_wire(events.filter(F.col("event_type") == "click"), src_c)
+    _events_to_wire(events.filter(F.col("event_type") == "error"), src_e)
 
     def _stream(path: str) -> DataFrame:
         raw = file_json_stream(spark, path, max_files_per_trigger=None)
@@ -4043,4 +4028,111 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
         .orderBy("event_id")
+    )
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    n AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM n GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows executed as a real streaming query: the
+    state store merges each user's [ts, ts+30min) ranges as events arrive,
+    and sessions emit in append mode once the watermark passes their end —
+    the only mode Spark allows for streaming session aggregation. The emitted
+    rows must hash-match the batch islands construction (the
+    session_window_user oracle). Together with the tumbling-window and
+    interval-join twins this closes the streaming operator triad — fixed
+    windows, dynamic windows, two-sided joins — all state-store-backed.
+
+    A sentinel user (user_id = -1) far in the future advances the watermark
+    past every real session's end so the bounded replay flushes all state —
+    the same role Kafka heartbeat/flush records play in production backfills;
+    it is filtered out at read-back and never reaches the oracle compare.
+
+    The aggregate (count / sum) is decomposable, so session merges combine
+    partial states instead of re-reading events; state per user is bounded
+    by the session gap × watermark horizon.
+    """
+    import tempfile
+
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    events = load_table(spark, "events", sf_dir)
+    workdir = tempfile.mkdtemp(prefix="kss_sesswin_")
+    src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
+    flush = events.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+    )
+    wire_cols = ("event_id", "user_id", "event_type", "value", "ts")
+    _events_to_wire(events.select(*wire_cols).unionByName(flush.select(*wire_cols)), src)
+
+    raw = file_json_stream(spark, src, max_files_per_trigger=None)
+    parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
+    # No orderBy here — sorts are illegal mid-stream; ordering happens at the
+    # batch read-back below.
+    sessions = (
+        parsed.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("_sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "_sum_value",
+        )
+    )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
+    try:
+        q = (
+            sessions.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName("session_windows")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("_sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_start")
     )
