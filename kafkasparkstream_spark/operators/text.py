@@ -803,3 +803,40 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def duplicated_span_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document duplicated-span rate: the fraction of a doc's distinct
+    n-gram spans that also occur in at least one OTHER document — the
+    complement of :func:`ngram_novelty` (which credits first occurrences)
+    and the per-doc evidence behind span-level dedup decisions: a doc whose
+    spans mostly exist elsewhere is a stitch-up of other documents even when
+    no single pairwise Jaccard crosses the near-dup bar.
+
+    Plan: one explode of distinct 64-bit shingle hashes, a window count over
+    the shingle key (shuffle on 8-byte keys, the only data-sized exchange),
+    then a per-doc rollup — no join-back, no second explode.
+    """
+    from kafkasparkstream_spark.util import fanout
+
+    hashed = (
+        fanout(df.select("doc_id", F.col(text_col)))
+        .withColumn("_th", token_hashes_col(text_col))
+        .withColumn("_sh", F.array_distinct(shingle_hashes_col(F.col("_th"), n)))
+        .drop(text_col, "_th")
+    )
+    sh = hashed.select("doc_id", F.explode("_sh").alias("sh"))
+    w = Window.partitionBy("sh")
+    # distinct-per-doc explode ⇒ count(*) over the shingle == #docs containing it
+    per_span = sh.withColumn("n_docs", F.count(F.lit(1)).over(w))
+    return (
+        per_span.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_duplicated"),
+            F.round(
+                F.sum((F.col("n_docs") > 1).cast("long")) / F.count(F.lit(1)), 4
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

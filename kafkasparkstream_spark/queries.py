@@ -4136,3 +4136,38 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "duplicated_span_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS span
+        FROM t
+    ),
+    c AS (SELECT doc_id, span, COUNT(*) OVER (PARTITION BY span) AS n_docs FROM sh)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+           ROUND(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / COUNT(*), 4) AS dup_ratio
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication evidence: fraction of each doc's distinct
+    3-gram spans that occur in another document (see
+    operators/text.py:duplicated_span_stats for the single-join-free plan)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = text_ops.duplicated_span_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_duplicated").cast("long").alias("n_duplicated"),
+        "dup_ratio",
+    )

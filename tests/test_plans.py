@@ -331,3 +331,38 @@ def test_quality_audit_single_scan(spark):
     # 2 occurrences == exactly one scan node.
     assert plan.count("Scan parquet") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime bloom-filter join pruning: with a selective filter on the
+    build side of a shuffle join, Catalyst injects a bloom_filter_agg on the
+    dim side and a might_contain probe into the fact scan's filter — at
+    100 TB this drops most fact rows BEFORE the join shuffle. Size
+    thresholds make it invisible at test scale, so pin it with thresholds
+    lowered to prove the engine's plans are eligible (no expression blocks
+    the rewrite)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = (
+            lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom filter not created on build side"
+        assert "might_contain" in plan, "bloom probe not injected into fact side"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
