@@ -4171,3 +4171,52 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_duplicated").cast("long").alias("n_duplicated"),
         "dup_ratio",
     )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    """Generate the DuckDB twin of tables.zvalue_col for (user_id, floor(value)):
+    the same shift/and interleave, term by term."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((ux >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((vx >> {b}) & 1) << {2 * b + 1})")
+    z = " + ".join(terms)
+    return f"""
+    WITH s AS (
+        SELECT (user_id & 65535) AS ux,
+               (CAST(FLOOR(value) AS BIGINT) & 65535) AS vx
+        FROM events
+    ),
+    z AS (SELECT {z} AS zval FROM s)
+    SELECT CAST(zval >> 24 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zval) AS BIGINT) AS z_min,
+           CAST(MAX(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+
+
+@register("zorder_curve_stats", oracle=_zorder_oracle_sql())
+def zorder_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve audit: interleave (user_id, ⌊value⌋) into the
+    64-bit curve key with pure shift/and column expressions
+    (tables.zvalue_col — the layout key zorder_write sorts by), then roll up
+    occupancy per top-8-bit curve bucket. Verifies the bit-interleave is
+    exactly the closed form the oracle computes; the layout win it buys
+    (per-file min/max tightness → row-group skipping) is pinned in
+    tests/test_plans.py."""
+    from kafkasparkstream_spark.tables import zvalue_col
+
+    events = load_table(spark, "events", sf_dir)
+    ux = F.col("user_id").bitwiseAND(F.lit(65535))
+    vx = F.floor("value").cast("long").bitwiseAND(F.lit(65535))
+    return (
+        events.select(zvalue_col([ux, vx], bits=16).alias("zval"))
+        .groupBy(F.shiftright("zval", 24).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )

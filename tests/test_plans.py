@@ -366,3 +366,35 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_layout_tightens_file_spans(spark, tmp_path):
+    """zorder_write must cluster both dimensions: the average per-file
+    (max-min) span of each z-ordered column should be far below the
+    unordered layout's (where every file spans ~the full domain). Tight
+    per-file spans are exactly what parquet row-group min/max skipping
+    prunes on — the observable layout contract of the Z-order curve."""
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.tables import load_table, zorder_write
+
+    events = load_table(spark, "events", SF_DIR).select("user_id", "value")
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    events.repartition(8).write.parquet(plain)
+    zorder_write(events, ["user_id", "value"], zpath, n_files=8)
+
+    def avg_spans(path):
+        df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+        spans = df.groupBy("_f").agg(
+            (F.max("user_id") - F.min("user_id")).alias("su"),
+            (F.max("value") - F.min("value")).alias("sv"),
+        )
+        row = spans.agg(F.avg("su"), F.avg("sv")).first()
+        return row[0], row[1]
+
+    pu, pv = avg_spans(plain)
+    zu, zv = avg_spans(zpath)
+    # Both dimensions must tighten substantially (8 files over 2 dims ⇒
+    # expect ~2-4x per dimension; unordered files span the whole domain).
+    assert zu < pu * 0.6, f"user_id span not tightened: {zu} vs {pu}"
+    assert zv < pv * 0.6, f"value span not tightened: {zv} vs {pv}"
