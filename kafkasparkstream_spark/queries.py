@@ -4220,3 +4220,72 @@ def zorder_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+@register(
+    "pit_trailing_features",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS c_ts, value AS c_val FROM events WHERE event_type = 'click'),
+    m AS (
+        SELECT p.event_id,
+               SUM(CASE WHEN c.c_ts >= p.ts - INTERVAL 3600 SECONDS THEN 1 ELSE 0 END) AS n_3600s,
+               ROUND(SUM(CASE WHEN c.c_ts >= p.ts - INTERVAL 3600 SECONDS THEN c.c_val ELSE 0 END), 4) AS sum_3600s,
+               SUM(CASE WHEN c.c_ts >= p.ts - INTERVAL 86400 SECONDS THEN 1 ELSE 0 END) AS n_86400s,
+               ROUND(SUM(CASE WHEN c.c_ts >= p.ts - INTERVAL 86400 SECONDS THEN c.c_val ELSE 0 END), 4) AS sum_86400s
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.c_ts < p.ts AND c.c_ts >= p.ts - INTERVAL 86400 SECONDS
+        GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(COALESCE(m.n_3600s, 0) AS BIGINT) AS n_3600s,
+           COALESCE(m.sum_3600s, 0.0) AS sum_3600s,
+           CAST(COALESCE(m.n_86400s, 0) AS BIGINT) AS n_86400s,
+           COALESCE(m.sum_86400s, 0.0) AS sum_86400s
+    FROM p LEFT JOIN m USING (event_id)
+    ORDER BY p.event_id
+    """,
+)
+def pit_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature backfill: per purchase, the user's
+    strictly-prior click count/value-sum over 1 h and 24 h trailing windows,
+    both horizons from ONE binned hash join (operators/temporal.py:
+    point_in_time_features) — the no-leakage join every feature store needs."""
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return temporal.point_in_time_features(purchases, clicks)
+
+
+@register(
+    "deletion_cascade_report",
+    oracle="""
+    WITH t AS (SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0)
+    SELECT e.event_type,
+           CAST(SUM(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+           CAST(SUM(CASE WHEN t.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(DISTINCT CASE WHEN t.user_id IS NOT NULL THEN e.user_id END) AS BIGINT) AS n_keys_purged
+    FROM events e LEFT JOIN t ON e.user_id = t.user_id
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def deletion_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten blast radius: per event_type, rows a tombstone
+    set (here the deterministic user_id % 29 == 0 cohort) would purge vs
+    keep — one broadcast-flagged scan (operators/governance.py)."""
+    from kafkasparkstream_spark.operators import governance
+
+    events = load_table(spark, "events", sf_dir)
+    tombstones = events.select("user_id").distinct().filter(F.col("user_id") % 29 == 0)
+    out = governance.purge_report(events, tombstones)
+    return out.select(
+        "event_type",
+        F.col("n_purged").cast("long").alias("n_purged"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_keys_purged").cast("long").alias("n_keys_purged"),
+    )
