@@ -4289,3 +4289,49 @@ def deletion_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("n_keys_purged").cast("long").alias("n_keys_purged"),
     )
+
+
+@register(
+    "cross_modal_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, list_cosine_similarity(q.emb, c.emb) AS cos
+        FROM q JOIN c ON neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT r.query_id, r.neighbor_id, ROUND(r.cos, 4) AS cosine,
+           CAST(r.rnk AS INT) AS rnk, d.lang, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+    WHERE r.rnk <= 5
+    ORDER BY r.query_id, r.rnk
+    """,
+)
+def cross_modal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: embedding-space kNN → document metadata in one
+    plan. The ANN result (25 rows) is the BROADCAST side of the enrichment
+    join — the corpus-sized documents table never shuffles; at 100 TB the
+    retrieval fan-out stays k·queries rows against a pruned doc scan."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    topk = similarity.brute_force_topk(emb, num_queries=5, k=5)
+    return (
+        docs.join(F.broadcast(topk), docs.doc_id == topk.neighbor_id)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("query_id", "rnk")
+    )
