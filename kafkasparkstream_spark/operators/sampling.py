@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafkasparkstream_spark.functions.hashing import hash_bucket
+from kafkasparkstream_spark.functions.hashing import hash_bucket, md5_int
 
 
 def _hash_bucket(id_col: Column, salt: str, buckets: int = 100) -> Column:
@@ -265,4 +265,36 @@ def quality_weighted_sample(
             ).alias("avg_quality_after"),
         )
         .orderBy(group_col)
+    )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    group_col: str,
+    k: int = 20,
+    salt: str = "wrs0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, deterministic:
+    the Efraimidis–Spirakis exponential race. Each row draws a uniform
+    u ∈ (0,1] from the md5 of its id (content-keyed, engine-portable) and
+    competes with key ln(u)/w — the top-k keys per group are a true
+    w-weighted sample without replacement, computed with ONE window rank
+    (no sequential reservoir, no driver state), so the same line works on
+    one partition or ten thousand.
+
+    The key is rounded to 9dp before ranking (ties → lowest id) so the
+    rank order — not just the key value — is identical on any engine.
+    """
+    from pyspark.sql.window import Window
+
+    u = (md5_int(F.col(id_col), 8, salt) + F.lit(1)) / F.lit(float(2**32 + 1))
+    key = F.round(F.log(u) / weight_col, 9)
+    w = Window.partitionBy(group_col).orderBy(F.desc("_wkey"), F.asc(id_col))
+    return (
+        df.withColumn("_wkey", key)
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
     )

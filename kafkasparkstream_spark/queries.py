@@ -4335,3 +4335,36 @@ def cross_modal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id, event_type, value,
+               ROUND(LN((CAST(('0x' || substr(md5('wrs0' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                        / 4294967297.0)
+                     / (value + 1.0), 9) AS wkey
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY wkey DESC, event_id) AS rnk
+        FROM keyed
+    )
+    SELECT event_id, event_type, value, wkey
+    FROM ranked WHERE rnk <= 20
+    ORDER BY event_type, event_id
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement: 20 events
+    per type, weight = value + 1, via one window rank over the md5-seeded
+    exponential-race key (operators/sampling.py:weighted_reservoir_sample)."""
+    events = load_table(spark, "events", sf_dir)
+    out = sampling.weighted_reservoir_sample(
+        events, "event_id", F.col("value") + F.lit(1.0), "event_type", k=20
+    )
+    return out.select("event_id", "event_type", "value", F.col("_wkey").alias("wkey")).orderBy(
+        "event_type", "event_id"
+    )
