@@ -4368,3 +4368,59 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "value", F.col("_wkey").alias("wkey")).orderBy(
         "event_type", "event_id"
     )
+
+
+@register(
+    "seasonal_residual_anomalies",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+               AVG(value) AS base_avg
+        FROM events GROUP BY 1, 2
+    ),
+    resid AS (
+        SELECT e.event_id, e.event_type, e.ts, e.value,
+               ROUND(e.value - b.base_avg, 4) AS residual
+        FROM events e
+        JOIN base b ON b.event_type = e.event_type
+                   AND b.hod = EXTRACT(hour FROM e.ts)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY ABS(residual) DESC, event_id) AS rnk
+        FROM resid
+    )
+    SELECT event_id, event_type, ts, value, residual
+    FROM ranked WHERE rnk <= 20
+    ORDER BY event_id
+    """,
+)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screen: the hour-of-day baseline per
+    event_type (a 24×|types| aggregate — broadcast), residual = value −
+    baseline, top-20 by |residual| as TakeOrdered. Two passes over the fact
+    table but only one shuffle (the tiny baseline agg); the residual join
+    is broadcast so the second scan never exchanges."""
+    events = load_table(spark, "events", sf_dir)
+    base = (
+        events.groupBy(
+            F.col("event_type").alias("_bt"), F.hour("ts").alias("_bh")
+        ).agg(F.avg("value").alias("base_avg"))
+    )
+    resid = (
+        events.join(
+            F.broadcast(base),
+            (F.col("event_type") == F.col("_bt")) & (F.hour("ts") == F.col("_bh")),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.round(F.col("value") - F.col("base_avg"), 4).alias("residual"),
+        )
+    )
+    return (
+        resid.orderBy(F.abs("residual").desc(), F.asc("event_id"))
+        .limit(20)
+        .orderBy("event_id")
+    )
