@@ -493,3 +493,52 @@ def rolling_active_users_sketch(
         )
         .orderBy("report_day")
     )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch frequency estimation, built relationally: ``depth``
+    md5 hash rows map each key to a bucket in ``[0, width)``; bucket
+    counters are one hash aggregate; a key's estimate is the MIN of its
+    ``depth`` counters (always ≥ the true count — collisions only inflate).
+
+    Why it matters at 100 TB: the (depth × width) counter table is a few KB
+    regardless of key cardinality, the partial counters merge by addition
+    (mergeable across batches/partitions like the HLL sketches in this
+    module), and heavy hitters survive collisions by construction. Unlike
+    native sketch libraries, the md5 construction is engine-portable, so
+    the DuckDB oracle reproduces every counter — and therefore every
+    estimate — bit-for-bit.
+
+    Returns (key, true_cnt, cms_est) per distinct key; ``cms_est >=
+    true_cnt`` is the sketch's guarantee and is asserted in tests.
+    """
+    from kafkasparkstream_spark.functions.hashing import md5_int
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("_row")
+    hashed = df.select(F.col(key_col), rows).withColumn(
+        "_bucket",
+        F.pmod(md5_int(F.concat(F.col("_row"), F.lit("_"), F.col(key_col)), 8, salt), F.lit(width)),
+    )
+    counters = hashed.groupBy("_row", "_bucket").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    keys = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .withColumn("_row", F.explode(F.array(*[F.lit(i) for i in range(depth)])))
+        .withColumn(
+            "_bucket",
+            F.pmod(md5_int(F.concat(F.col("_row"), F.lit("_"), F.col(key_col)), 8, salt), F.lit(width)),
+        )
+    )
+    return (
+        keys.join(F.broadcast(counters), ["_row", "_bucket"])
+        .groupBy(key_col, "true_cnt")
+        .agg(F.min("_c").alias("cms_est"))
+    )

@@ -4424,3 +4424,41 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .orderBy("event_id")
     )
+
+
+@register(
+    "countmin_user_frequencies",
+    oracle="""
+    WITH rows_ AS (SELECT unnest(range(0, 4)) AS r),
+    h AS (
+        SELECT e.user_id, r.r AS hrow,
+               CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '_' || CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+        FROM events e CROSS JOIN rows_ r
+    ),
+    counters AS (SELECT hrow, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2),
+    truth AS (SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1),
+    probes AS (
+        SELECT t.user_id, t.true_cnt, r.r AS hrow,
+               CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '_' || CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+        FROM truth t CROSS JOIN rows_ r
+    )
+    SELECT p.user_id, CAST(p.true_cnt AS BIGINT) AS true_cnt,
+           CAST(MIN(c.c) AS BIGINT) AS cms_est
+    FROM probes p JOIN counters c ON c.hrow = p.hrow AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.true_cnt
+    ORDER BY p.user_id
+    """,
+)
+def countmin_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per-user frequency estimates (depth 4 × width 64,
+    md5 hash rows — engine-portable, so the oracle reproduces every counter;
+    see operators/aggregates.py:countmin_estimates). cms_est >= true_cnt
+    always; the few-KB counter table is the whole sketch state at any
+    cardinality."""
+    events = load_table(spark, "events", sf_dir)
+    out = aggregates.countmin_estimates(events, "user_id")
+    return out.select(
+        "user_id",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    ).orderBy("user_id")

@@ -159,3 +159,16 @@ def test_pca_spectrum_matches_numpy_reference(spark):
         assert abs(r["eigenvalue"] - evals[i - 1]) < 1e-4, (i, r, evals[i - 1])
         assert abs(r["var_share"] - evals[i - 1] / total) < 1e-3
     assert got[len(got)]["cum_share"] <= 1.0
+
+
+def test_countmin_overestimates_and_bounds(spark):
+    """Count-min guarantee: estimate >= true count for every key, and the
+    sketch state is (depth × width) counters regardless of cardinality."""
+    from kafkasparkstream_spark.operators.aggregates import countmin_estimates
+    from kafkasparkstream_spark.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = countmin_estimates(events, "user_id", depth=4, width=32).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["cms_est"] >= r["true_cnt"], r
