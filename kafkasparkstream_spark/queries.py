@@ -4462,3 +4462,85 @@ def countmin_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_cnt").cast("long").alias("true_cnt"),
         F.col("cms_est").cast("long").alias("cms_est"),
     ).orderBy("user_id")
+
+
+@register(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(props->>'$.k') AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via the VARIANT type (Spark 4): parse_json once
+    into an open-schema variant column, extract typed paths with
+    variant_get — no StructType declared up front, unlike the from_json
+    twin (props_json_sum). This is the schema-on-read regime for payloads
+    whose shape drifts: the binary variant encoding is columnar-friendly
+    and path extraction stays JVM-side (no Python in the hot path)."""
+    events = load_table(spark, "events", sf_dir)
+    v = events.select("event_type", F.parse_json("props").alias("_v"))
+    k = F.try_variant_get(F.col("_v"), "$.k", "bigint")
+    return (
+        v.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.count("_k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "python_datasource_gen",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(0, 2000)) AS i),
+    g AS (
+        SELECT i,
+               (CASE CAST(('0x' || substr(md5('typ_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+                  WHEN 0 THEN 'temperature' WHEN 1 THEN 'humidity'
+                  WHEN 2 THEN 'pressure' WHEN 3 THEN 'motion' ELSE 'light' END) AS device_type,
+               ROUND((CAST(('0x' || substr(md5('val_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000) / 100.0, 2) AS value
+        FROM idx
+    )
+    SELECT device_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM g GROUP BY device_type ORDER BY device_type
+    """,
+)
+def python_datasource_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's data generator as a native Spark 4 Python DataSource
+    (sources/python_source.py): executors synthesize their partition slices
+    in parallel, and because generation is md5-keyed on the row index the
+    DuckDB oracle reproduces the exact dataset — a *generated source* that
+    still hash-verifies. Rolls up the 2000-row table per device type."""
+    from kafkasparkstream_spark.sources.python_source import SensorGenDataSource
+
+    try:
+        spark.dataSource.register(SensorGenDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("sensor_gen")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("device_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("device_type")
+    )

@@ -121,3 +121,37 @@ def test_kafka_datasource_not_required_at_import():
     import kafkasparkstream_spark.sources.streams as streams
 
     assert callable(streams.kafka_stream) and callable(streams.kafka_sink)
+
+
+def test_python_datasource_deterministic_and_partitioned(spark):
+    """The sensor_gen Python DataSource yields the same rows under any
+    partition count (generation keyed on row index, not partition), with
+    domains matching the reference generator's."""
+    from kafkasparkstream_spark.sources.python_source import (
+        DEVICE_TYPES,
+        LOCATIONS,
+        SensorGenDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SensorGenDataSource)
+    except Exception:
+        pass
+
+    def rows(parts):
+        return sorted(
+            spark.read.format("sensor_gen")
+            .option("rows", 500)
+            .option("partitions", parts)
+            .load()
+            .collect()
+        )
+
+    a, b = rows(2), rows(7)
+    assert a == b, "row content must not depend on partitioning"
+    assert len(a) == 500
+    for r in a[:50]:
+        assert r.device_type in DEVICE_TYPES
+        assert r.location in LOCATIONS
+        assert r.device_id.startswith("sensor_")
+        assert 0.0 <= r.value < 100.0 and 0.0 <= r.battery_level < 100.0
