@@ -472,3 +472,55 @@ def key_skew_report(
         F.round(F.percentile("cnt", F.lit(0.5)), 4).alias("p50_cnt"),
         F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_cnt"),
     )
+
+
+def ks_two_sample_drift(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    split_col: Column | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per key: split each
+    key's rows into two samples (``split_col`` boolean/0-1), and report
+    D = max |ECDF₀ − ECDF₁| — the distribution-shift test that catches
+    shape changes PSI's fixed bins smooth over (tails, bimodality).
+
+    One shuffle total: the cumulative counts (RANGE frame, so ties in the
+    value agree with any engine), the per-sample totals (full-partition
+    frame), and the final per-key max all ride the same
+    ``hashpartitioning(key)`` exchange. The per-key sort is the real cost —
+    at 100 TB bucket the values first (quantile sketch) if keys are huge;
+    exact per-key sorts are fine up to hundreds of millions of rows per key.
+    """
+    from pyspark.sql.window import Window
+
+    if split_col is None:
+        split_col = (F.col("event_id") % 2 == 1).cast("int")
+    d = df.select(F.col(key_col), F.col(value_col).alias("_v"), split_col.alias("_s"))
+    cum = (
+        Window.partitionBy(key_col)
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy(key_col)
+    c0 = F.sum((F.col("_s") == 0).cast("long")).over(cum)
+    c1 = F.sum((F.col("_s") == 1).cast("long")).over(cum)
+    n0 = F.sum((F.col("_s") == 0).cast("long")).over(full)
+    n1 = F.sum((F.col("_s") == 1).cast("long")).over(full)
+    scored = d.select(
+        F.col(key_col),
+        n0.alias("_n0"),
+        n1.alias("_n1"),
+        F.abs(c0 / n0 - c1 / n1).alias("_d"),
+    )
+    return (
+        scored.groupBy(key_col, "_n0", "_n1")
+        .agg(F.round(F.max("_d"), 4).alias("ks_stat"))
+        .select(
+            key_col,
+            F.col("_n0").alias("n_even"),
+            F.col("_n1").alias("n_odd"),
+            "ks_stat",
+        )
+        .orderBy(key_col)
+    )

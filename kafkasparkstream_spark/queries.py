@@ -4544,3 +4544,47 @@ def python_datasource_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("device_type")
     )
+
+
+@register(
+    "ks_drift_by_type",
+    oracle="""
+    WITH labeled AS (
+        SELECT event_type, value,
+               CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS grp
+        FROM events
+    ),
+    tot AS (
+        SELECT event_type,
+               SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1
+        FROM labeled GROUP BY 1
+    ),
+    cum AS (
+        SELECT event_type, value,
+               SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) OVER w AS c0,
+               SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) OVER w AS c1
+        FROM labeled
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT c.event_type,
+           CAST(t.n0 AS BIGINT) AS n_even, CAST(t.n1 AS BIGINT) AS n_odd,
+           ROUND(MAX(ABS(c.c0 * 1.0 / t.n0 - c.c1 * 1.0 / t.n1)), 4) AS ks_stat
+    FROM cum c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.n0, t.n1
+    ORDER BY c.event_type
+    """,
+)
+def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift per event_type (even vs odd event ids as the
+    deterministic split): max ECDF gap, computed on one key-partitioned
+    exchange (operators/windows.py:ks_two_sample_drift)."""
+    events = load_table(spark, "events", sf_dir)
+    out = windows_ops.ks_two_sample_drift(events)
+    return out.select(
+        "event_type",
+        F.col("n_even").cast("long").alias("n_even"),
+        F.col("n_odd").cast("long").alias("n_odd"),
+        "ks_stat",
+    )
