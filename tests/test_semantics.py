@@ -172,3 +172,43 @@ def test_countmin_overestimates_and_bounds(spark):
     assert len(out) > 0
     for r in out:
         assert r["cms_est"] >= r["true_cnt"], r
+
+
+def test_udtf_chunker_matches_closed_form(spark):
+    """Spark 4 Python UDTF surface: a row-expanding table function must
+    reproduce text.chunk_documents' closed-form plan exactly. The UDTF is
+    the escape hatch for 1→N logic a sequence/posexplode can't express;
+    this pins that the API works AND that the closed-form operator is the
+    equivalent (and shuffle-free, hence preferred) implementation."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.operators.text import chunk_documents
+    from kafkasparkstream_spark.tables import load_table
+
+    SIZE, STRIDE = 64, 48
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_start int, chunk_len int, n_tokens int")
+    class Chunk:
+        def eval(self, doc_id: int, text: str):
+            toks = text.strip().split()
+            n = len(toks)
+            start, idx = 0, 0
+            while True:
+                yield (doc_id, idx, start, min(SIZE, n - start), n)
+                if start + SIZE >= n:
+                    break
+                start += STRIDE
+                idx += 1
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select("doc_id", "text")
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("chunk_udtf", Chunk)
+    got = spark.sql(
+        "SELECT c.* FROM _udtf_docs d, LATERAL chunk_udtf(d.doc_id, d.text) c"
+    ).orderBy("doc_id", "chunk_idx")
+    want = chunk_documents(docs, size=SIZE, stride=STRIDE).select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_len",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
