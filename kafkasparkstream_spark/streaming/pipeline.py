@@ -153,6 +153,27 @@ def dedup_stage(
     return parsed.withWatermark(cfg.ts_col, cfg.watermark).dropDuplicates(list(keys))
 
 
+def dedup_within_watermark_stage(
+    parsed: DataFrame,
+    keys: tuple[str, ...] = ("device_id",),
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Streaming dedup on the KEY ALONE within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): two deliveries of the same logical
+    event whose event-times differ — retried producers re-stamp timestamps
+    (generator.py:47 stamps at send time), so the (key, timestamp) pair of
+    a retry rarely matches the original — still collapse to one row, as
+    long as they arrive within the watermark delay of each other. State per
+    key expires once the watermark passes first-seen + delay, so the store
+    is bounded exactly like :func:`dedup_stage` while catching the
+    re-stamped-duplicate case plain ``dropDuplicates`` misses.
+    """
+    cfg = cfg or PipelineConfig()
+    return parsed.withWatermark(cfg.ts_col, cfg.watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def enrich_stage(parsed: DataFrame, dim: DataFrame, on: str = "device_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch hash-joins against the
     (small, broadcast) static dimension — no streaming state involved. The

@@ -585,3 +585,66 @@ def test_stateful_eviction_drops_idle_key(spark, tmp_path):
         assert abs(u1["sum_value"].iloc[-1] - 2.0) < 1e-9
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_collapses_restamped_retry(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a producer retry that re-stamps the
+    timestamp (same device key, different event time) still collapses to one
+    row; a genuinely new reading from the same device outside the watermark
+    horizon survives."""
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.streaming.pipeline import (
+        dedup_within_watermark_stage,
+    )
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # Batch 1: original + re-stamped retry (collapse) + a second device.
+    (src / "f1.json").write_text(
+        "\n".join(
+            [
+                _event("sensor_1", "temperature", "room1", 20.0, 90.0, "2024-01-01T10:00:05"),
+                # retry of the same reading, re-stamped 3 s later → dup
+                _event("sensor_1", "temperature", "room1", 20.0, 90.0, "2024-01-01T10:00:08"),
+                _event("sensor_2", "temperature", "room1", 22.0, 80.0, "2024-01-01T10:00:30"),
+            ]
+        )
+        + "\n"
+    )
+    # Batches 2-3 advance the watermark past sensor_1's dedup-state expiry
+    # (first-seen 10:00:05 + 1 min). Two advancing batches because state
+    # eviction runs at batch END against the PREVIOUS batch's watermark —
+    # a single advancing batch leaves the old entry visible one batch longer.
+    (src / "f2.json").write_text(
+        _event("sensor_3", "humidity", "kitchen", 50.0, 70.0, "2024-01-01T10:05:00") + "\n"
+    )
+    (src / "f3.json").write_text(
+        _event("sensor_3", "humidity", "kitchen", 51.0, 70.0, "2024-01-01T10:06:00") + "\n"
+    )
+    (src / "f4.json").write_text(
+        _event("sensor_3", "humidity", "kitchen", 52.0, 70.0, "2024-01-01T10:07:00") + "\n"
+    )
+    # Final batch: same device again, far outside the horizon → NEW reading.
+    (src / "f5.json").write_text(
+        _event("sensor_1", "temperature", "room1", 24.0, 89.0, "2024-01-01T10:30:00") + "\n"
+    )
+
+    raw = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    parsed = parse_json_events(raw, PipelineConfig().schema, ts_col="timestamp")
+    deduped = dedup_within_watermark_stage(parsed, keys=("device_id",))
+    sink = str(tmp_path / "sink")
+    q = (
+        deduped.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(sink)
+    s1 = got.filter(F.col("device_id") == "sensor_1")
+    # late-horizon reading (10:30) survives; the re-stamped retry collapsed
+    assert s1.count() == 2, s1.collect()
+    assert got.filter(F.col("device_id") == "sensor_2").count() == 1
