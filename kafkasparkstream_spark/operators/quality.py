@@ -74,3 +74,43 @@ def audit(
         ),
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+def benford_first_digit(df, value_col: str = "value", group_col: str = "event_type"):
+    """First-significant-digit distribution per group vs the Benford
+    expectation log10(1 + 1/d) — the forensic screen for fabricated or
+    unit-mangled numeric columns (organically-generated magnitudes follow
+    Benford; uniform synthetics and copy-paste artifacts don't).
+
+    One scan → one (group, digit) hash aggregate; the Benford reference is
+    a closed-form literal, not a table. Reports the per-digit frequency gap
+    vs Benford.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    digit = F.substring(
+        F.regexp_replace(F.abs(F.col(value_col)).cast("string"), r"[0.]*", ""), 1, 1
+    ).cast("int")
+    d = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0)).select(
+        F.col(group_col), digit.alias("_d")
+    ).filter(F.col("_d").isNotNull() & (F.col("_d") > 0))
+    counts = d.groupBy(group_col, "_d").agg(F.count(F.lit(1)).alias("_c"))
+    totals = F.sum("_c").over(Window.partitionBy(group_col))
+    expected = None
+    for dig in range(1, 10):
+        p = math.log10(1 + 1 / dig)
+        expected = F.when(F.col("_d") == dig, F.lit(p)) if expected is None else expected.when(F.col("_d") == dig, F.lit(p))
+    return (
+        counts.withColumn("_tot", totals)
+        .select(
+            group_col,
+            F.col("_d").alias("first_digit"),
+            F.col("_c").alias("n"),
+            F.round(F.col("_c") / F.col("_tot"), 4).alias("freq"),
+            F.round(expected, 4).alias("benford_freq"),
+            F.round(F.abs(F.col("_c") / F.col("_tot") - expected), 4).alias("abs_gap"),
+        )
+        .orderBy(group_col, "first_digit")
+    )

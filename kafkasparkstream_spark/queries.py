@@ -4588,3 +4588,43 @@ def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_odd").cast("long").alias("n_odd"),
         "ks_stat",
     )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(substr(regexp_replace(CAST(ABS(value) AS VARCHAR), '[0.]*', '', 'g'), 1, 1) AS INT) AS fd
+        FROM events WHERE value IS NOT NULL AND value <> 0
+    ),
+    c AS (
+        SELECT event_type, fd, COUNT(*) AS n
+        FROM d WHERE fd IS NOT NULL AND fd > 0
+        GROUP BY 1, 2
+    )
+    SELECT event_type, fd AS first_digit, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY event_type), 4) AS freq,
+           ROUND(LOG10(1 + 1.0 / fd), 4) AS benford_freq,
+           ROUND(ABS(n * 1.0 / SUM(n) OVER (PARTITION BY event_type)
+                     - LOG10(1 + 1.0 / fd)), 4) AS abs_gap
+    FROM c
+    ORDER BY event_type, first_digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution per event_type vs the Benford
+    law expectation — the forensic screen for fabricated/unit-mangled
+    numerics (operators/quality.py:benford_first_digit; one scan, one
+    hash aggregate)."""
+    from kafkasparkstream_spark.operators import quality
+
+    events = load_table(spark, "events", sf_dir)
+    return quality.benford_first_digit(events).select(
+        "event_type",
+        "first_digit",
+        F.col("n").cast("long").alias("n"),
+        "freq",
+        "benford_freq",
+        "abs_gap",
+    )

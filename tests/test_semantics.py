@@ -212,3 +212,28 @@ def test_udtf_chunker_matches_closed_form(spark):
         F.col("n_tokens").cast("int").alias("n_tokens"),
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_observation_metrics_without_extra_job(spark):
+    """Spark's Observation API: pipeline health metrics (row count, null
+    count, sum) ride the SAME action as the query — no second scan. The
+    at-scale use is per-batch data-quality counters on a 100 TB write
+    without doubling the read."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    obs = Observation("ingest_health")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    written = observed.filter(F.col("event_type") != "nonexistent").count()
+    m = obs.get
+    assert m["n_rows"] == 1000 == written
+    assert m["n_null_value"] == 0
+    assert m["sum_value"] > 0
