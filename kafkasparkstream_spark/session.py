@@ -60,3 +60,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, enable: bool = True) -> None:
+    """Switch streaming state stores to RocksDB (off-heap, spill-to-disk).
+
+    The default HDFS-backed store keeps every key in executor JVM heap —
+    fine for the reference's ≤30 groups/window, fatal for high-cardinality
+    state (per-user dedup/session stores over millions of keys): state
+    competes with execution memory and GC pauses scale with store size.
+    RocksDB keeps working state in native memory + local SSD with
+    incremental checkpointing to the checkpoint location, bounding heap
+    regardless of key cardinality — the provider production Spark
+    deployments run stateful pipelines on.
+
+    Applies to NEW queries started on this session (each query pins its
+    provider at first start via the checkpoint).
+    """
+    if enable:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

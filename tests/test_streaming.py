@@ -648,3 +648,34 @@ def test_dedup_within_watermark_collapses_restamped_retry(spark, tmp_path):
     # late-horizon reading (10:30) survives; the re-stamped retry collapsed
     assert s1.count() == 2, s1.collect()
     assert got.filter(F.col("device_id") == "sensor_2").count() == 1
+
+
+def test_pipeline_on_rocksdb_state_store(spark, tmp_path):
+    """The full pipeline (watermark → window → update-mode agg) must produce
+    the identical final state on the RocksDB state store provider — the
+    bounded-heap provider high-cardinality deployments need — as on the
+    default HDFS-backed one."""
+    from kafkasparkstream_spark.session import use_rocksdb_state
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(ONTIME) + "\n")
+
+    def run(tag):
+        sink, ckpt = str(tmp_path / f"sink_{tag}"), str(tmp_path / f"ckpt_{tag}")
+        _run_available_now(spark, str(src), sink, ckpt)
+        return {
+            tuple(r)
+            for r in latest_state(
+                spark.read.parquet(f"{sink}/sensor_aggregates"),
+                ("window_start", "window_end", "device_type", "location"),
+            ).collect()
+        }
+
+    base = run("default")
+    use_rocksdb_state(spark)
+    try:
+        rocks = run("rocksdb")
+    finally:
+        use_rocksdb_state(spark, enable=False)
+    assert rocks == base and len(base) > 0
