@@ -87,6 +87,7 @@ def test_no_degenerate_joins_anywhere(spark):
             "bm25_search",  # 1-row corpus-stats (N, avgdl) broadcast
             "wealthy_inactive_customers",  # 1-row global-avg(acctbal) broadcast
             "tfidf_top_terms",  # 1-row corpus doc-count broadcast
+            "unigram_logprob_score",  # 1-row corpus token-total broadcast
             "time_decay_value_by_type",  # 1-row max(ts) decay anchor broadcast
             "ann_quantized_topk",  # 10-row quantized query side broadcast
             "rolling_7d_active_users",  # 1-row max-day anchor broadcast
