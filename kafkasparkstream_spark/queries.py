@@ -4628,3 +4628,122 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "benford_freq",
         "abs_gap",
     )
+
+
+@register(
+    "hourly_latency_bands",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def hourly_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO-style monitoring bands: exact interpolated P50/P95/P99 of value
+    per hour bucket — the latency-percentile time series every ops dashboard
+    plots. One hash aggregate keyed by the hour bucket; exact `percentile`
+    buffers each bucket's values on its reducer (hours × values fit
+    comfortably), with `approx_percentile` as the same-shape swap beyond
+    that (see approx_value_percentiles for the sketch twin)."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n", "p50", "p95", "p99")
+        .orderBy("hour_start")
+    )
+
+
+@register(
+    "streaming_chained_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregation in ONE streaming query (Spark's
+    multiple-stateful-operator support): 1-minute windowed partials
+    re-aggregated into 5-minute windows via window_time(), both stages
+    state-store-backed, append mode. The emitted rollup must hash-match the
+    flat 5-minute batch aggregate — proving the two-level incremental
+    computation composes losslessly (count/sum partials are decomposable).
+
+    This is the streaming form of the rollup-hierarchy pattern
+    (window_partials/merge_window_partials): the fine grain absorbs the
+    event stream, the coarse grain sees only |1-min windows| rows — at
+    production rates the second stage's input is ~5 rows per emitted
+    window regardless of event volume. A far-future sentinel advances the
+    watermark so the bounded replay flushes; its own window never passes
+    the watermark, so it self-excludes from append output.
+    """
+    import tempfile
+
+    from pyspark.sql.types import StructType, StructField
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    events = load_table(spark, "events", sf_dir)
+    workdir = tempfile.mkdtemp(prefix="kss_chain_")
+    src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
+    flush = events.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+    )
+    wire_cols = ("event_id", "user_id", "event_type", "value", "ts")
+    _events_to_wire(events.select(*wire_cols).unionByName(flush.select(*wire_cols)), src)
+
+    raw = file_json_stream(spark, src, max_files_per_trigger=None)
+    parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
+    fine = (
+        parsed.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("w1"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    coarse = (
+        fine.groupBy(F.window(F.window_time("w1"), "5 minutes").alias("w5"))
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("_sum"))
+        .select(F.col("w5.start").alias("window_start"), "n_events", "_sum")
+    )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
+    try:
+        q = (
+            coarse.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    return (
+        spark.read.parquet(sink)
+        .select(
+            "window_start",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("_sum", 4).alias("sum_value"),
+        )
+        .orderBy("window_start")
+    )
