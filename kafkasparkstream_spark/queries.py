@@ -4747,3 +4747,46 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, doc_id, COUNT(*) AS f FROM tok GROUP BY 1, 2)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(f) AS BIGINT) AS total_tf,
+           (list(doc_id ORDER BY doc_id))[1:20] AS postings_head
+    FROM tf
+    GROUP BY term
+    ORDER BY term
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → (document frequency, total term
+    frequency, ordered posting-list head). The index build is the retrieval
+    twin of the word count: one explode → (term, doc) tf aggregate, then a
+    term-keyed rollup whose collect_set gathers each term's postings on its
+    reducer — partition by term, so posting lists build in parallel and no
+    reducer holds more than its terms' lists. Posting heads are capped at
+    20 ids to keep the oracle compare bounded; production writes the full
+    lists sharded by term hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(text_ops.tokens_col("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("f").alias("total_tf"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20).alias("postings_head"),
+        )
+        .orderBy("term")
+    )
