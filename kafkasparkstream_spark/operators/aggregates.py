@@ -520,14 +520,9 @@ def countmin_estimates(
     """
     from kafkasparkstream_spark.functions.hashing import md5_int
 
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("_row")
-    hashed = df.select(F.col(key_col), rows).withColumn(
-        "_bucket",
-        F.pmod(md5_int(F.concat(F.col("_row"), F.lit("_"), F.col(key_col)), 8, salt), F.lit(width)),
-    )
-    counters = hashed.groupBy("_row", "_bucket").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
+    # One fact scan: the per-key exact counts. Counters derive from THIS
+    # aggregate (bucket count = Σ true_cnt of keys hashing there), so md5
+    # work is proportional to distinct keys, not total rows.
     keys = (
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("true_cnt"))
@@ -537,6 +532,7 @@ def countmin_estimates(
             F.pmod(md5_int(F.concat(F.col("_row"), F.lit("_"), F.col(key_col)), 8, salt), F.lit(width)),
         )
     )
+    counters = keys.groupBy("_row", "_bucket").agg(F.sum("true_cnt").alias("_c"))
     return (
         keys.join(F.broadcast(counters), ["_row", "_bucket"])
         .groupBy(key_col, "true_cnt")

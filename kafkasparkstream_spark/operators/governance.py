@@ -32,10 +32,13 @@ def purge_report(
     (which rollup groups need recomputation, how much data rewrites).
 
     Single aggregate over the broadcast-semi-join-flagged scan; no second
-    pass over the fact table.
+    pass over the fact table. The tombstone set is deduplicated internally —
+    two deletion requests for the same key must not double-count its rows.
     """
     flagged = fact.join(
-        F.broadcast(tombstones.select(F.col(key_col), F.lit(True).alias("_purge"))),
+        F.broadcast(
+            tombstones.select(F.col(key_col)).distinct().withColumn("_purge", F.lit(True))
+        ),
         key_col,
         "left",
     )

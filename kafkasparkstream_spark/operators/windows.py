@@ -13,7 +13,7 @@ map-side partial-aggregated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -496,7 +496,12 @@ def ks_two_sample_drift(
 
     if split_col is None:
         split_col = (F.col("event_id") % 2 == 1).cast("int")
-    d = df.select(F.col(key_col), F.col(value_col).alias("_v"), split_col.alias("_s"))
+    # NULL values are not observations: they'd inflate every cumulative count
+    # (Spark sorts nulls first; DuckDB last — engines would also disagree).
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(key_col), F.col(value_col).alias("_v"), split_col.alias("_s"))
+    )
     cum = (
         Window.partitionBy(key_col)
         .orderBy("_v")

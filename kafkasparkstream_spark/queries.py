@@ -2222,6 +2222,40 @@ EVENT_WIRE_SCHEMA = StructType(
 )
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _clamped_shuffle_partitions(spark: SparkSession, cap: int = 8):
+    """Pin a small state-store count for a bounded streaming replay (the
+    count is frozen into the fresh checkpoint at first start); restore the
+    session value after. Production sizes this to cluster capacity BEFORE
+    the first start — it cannot change without a state rebuild."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old), cap)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _wire_with_flush_sentinel(events: DataFrame, path: str) -> None:
+    """Serialize events to the JSON wire format plus one far-future sentinel
+    row (user_id = event_id = -1, ts = max + 2 h): the sentinel advances the
+    watermark past every real window/session so a bounded append-mode replay
+    flushes all state, while its own window never closes — it self-excludes
+    from output (filter user_id >= 0 where the sink could contain it)."""
+    flush = events.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+    )
+    cols = ("event_id", "user_id", "event_type", "value", "ts")
+    _events_to_wire(events.select(*cols).unionByName(flush.select(*cols)), path)
+
+
 def _events_to_wire(events: DataFrame, path: str, n_files: int | None = None) -> None:
     """G1 analog: serialize events to the JSON wire format the Kafka producer
     would send (ISO-8601 µs timestamps, one JSON object per line)."""
@@ -3448,9 +3482,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Fresh checkpoint per run: pin a small state-store count for the
     # bounded replay (same rationale as streaming_windowed_agg).
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
-    try:
+    with _clamped_shuffle_partitions(spark):
         q = (
             totals.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("update")
@@ -3460,8 +3492,6 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     final = latest_state(spark.read.parquet(sink), ("user_id",))
     return final.select("user_id", "n_events", "sum_value").orderBy("user_id")
@@ -4009,9 +4039,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
-    try:
+    with _clamped_shuffle_partitions(spark):
         q = (
             pairs.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -4020,8 +4048,6 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     return (
         spark.read.parquet(sink)
@@ -4079,15 +4105,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     workdir = tempfile.mkdtemp(prefix="kss_sesswin_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
-    flush = events.select(
-        F.lit(-1).cast("long").alias("event_id"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("flush").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
-    )
-    wire_cols = ("event_id", "user_id", "event_type", "value", "ts")
-    _events_to_wire(events.select(*wire_cols).unionByName(flush.select(*wire_cols)), src)
+    _wire_with_flush_sentinel(events, src)
 
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
     parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
@@ -4109,9 +4127,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
-    try:
+    with _clamped_shuffle_partitions(spark):
         q = (
             sessions.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -4121,8 +4137,6 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     return (
         spark.read.parquet(sink)
@@ -4693,7 +4707,6 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    from pyspark.sql.types import StructType, StructField
     from kafkasparkstream_spark.sources.json_parse import parse_json_events
     from kafkasparkstream_spark.sources.streams import file_json_stream
     from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
@@ -4701,15 +4714,7 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     workdir = tempfile.mkdtemp(prefix="kss_chain_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
-    flush = events.select(
-        F.lit(-1).cast("long").alias("event_id"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("flush").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
-    )
-    wire_cols = ("event_id", "user_id", "event_type", "value", "ts")
-    _events_to_wire(events.select(*wire_cols).unionByName(flush.select(*wire_cols)), src)
+    _wire_with_flush_sentinel(events, src)
 
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
     parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
@@ -4724,9 +4729,7 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w5.start").alias("window_start"), "n_events", "_sum")
     )
 
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
-    try:
+    with _clamped_shuffle_partitions(spark):
         q = (
             coarse.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -4735,8 +4738,6 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     return (
         spark.read.parquet(sink)

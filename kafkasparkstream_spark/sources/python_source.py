@@ -57,13 +57,15 @@ class SensorGenReader(DataSourceReader):
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 4))
 
+    def _chunk(self) -> int:
+        return -(-self.n_rows // self.n_parts)
+
     def partitions(self):
         # Contiguous slices: partition p owns [p*chunk, min((p+1)*chunk, n)).
-        chunk = -(-self.n_rows // self.n_parts)
         return [InputPartition(p) for p in range(self.n_parts)]
 
     def read(self, partition):
-        chunk = -(-self.n_rows // self.n_parts)
+        chunk = self._chunk()
         start = partition.value * chunk
         for i in range(start, min(start + chunk, self.n_rows)):
             yield gen_row(i)
