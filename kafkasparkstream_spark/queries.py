@@ -4791,3 +4791,97 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@register(
+    "zipf_fit_report",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(LN(cnt), LN(rnk)), 4) AS zipf_slope,
+           ROUND(regr_r2(LN(cnt), LN(rnk)), 4) AS r2
+    FROM ranked
+    """,
+)
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health check: OLS fit of log-frequency vs log-rank over the
+    vocabulary. Natural language sits near slope −1 (Zipf); synthetic or
+    template-heavy corpora flatten out — a one-number screen for
+    "does this crawl look like language". The rank is a vocabulary-sized
+    window (vocab ≪ corpus), the fit is Spark's built-in regr_slope/regr_r2
+    aggregate — identical math to the DuckDB oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql.window import Window
+
+    freq = (
+        docs.select(F.explode(text_ops.tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.expr("regr_slope(LN(cnt), LN(rnk))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(LN(cnt), LN(rnk))"), 4).alias("r2"),
+    )
+
+
+@register(
+    "id_continuity_report",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT event_id FROM events),
+    isl AS (
+        SELECT event_id,
+               event_id - row_number() OVER (ORDER BY event_id) AS grp
+        FROM ids
+    ),
+    islands AS (
+        SELECT MIN(event_id) AS island_start, MAX(event_id) AS island_end,
+               COUNT(*) AS island_len
+        FROM isl GROUP BY grp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_len) AS BIGINT) AS n_ids,
+           CAST(MIN(island_start) AS BIGINT) AS min_id,
+           CAST(MAX(island_end) AS BIGINT) AS max_id,
+           CAST(MAX(island_end) - MIN(island_start) + 1 - SUM(island_len) AS BIGINT)
+               AS n_missing
+    FROM islands
+    """,
+)
+def id_continuity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit: contiguous-id islands via the classic
+    id − row_number() trick, rolled up to island/gap counts — the ingest
+    health check for "did we drop a batch" (a gap in an append-only id
+    column is a missing delivery). One global-ordered window over the
+    DISTINCT id set; at 100 TB, range-partition the ids first and count
+    island breaks at partition boundaries instead."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    ids = events.select("event_id").distinct()
+    isl = ids.withColumn(
+        "grp", F.col("event_id") - F.row_number().over(Window.orderBy("event_id"))
+    )
+    islands = isl.groupBy("grp").agg(
+        F.min("event_id").alias("island_start"),
+        F.max("event_id").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    )
+    return islands.agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("island_len").alias("n_ids"),
+        F.min("island_start").alias("min_id"),
+        F.max("island_end").alias("max_id"),
+        (
+            F.max("island_end") - F.min("island_start") + F.lit(1) - F.sum("island_len")
+        ).alias("n_missing"),
+    )
