@@ -65,3 +65,56 @@ def pagerank(
     finally:
         e.unpersist()
         ed.unpersist()
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph: triangle count, wedge
+    count, and the global clustering coefficient 3·T / #wedges — on a kNN
+    similarity graph this measures how manifold-like the embedding space is
+    (random point clouds have near-zero clustering; duplicated/clustered
+    corpora are triangle-dense).
+
+    Plan: canonicalize each edge to (lo, hi) once, then the standard
+    two-join triangle enumeration over ordered vertices a < b < c — each
+    join is an equi-join on a vertex key, so the shuffle is edge-list-sized
+    and the a < c ordering prunes every triangle to exactly one
+    representative. Wedges come from the degree aggregate (Σ d·(d−1)/2),
+    no join at all. At 100 TB-scale graphs the mitigation is the usual
+    degree-ordered orientation (hash-partition by the low-degree endpoint).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    edges_cnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(edges_cnt))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 4).alias(
+                "clustering_coeff"
+            ),
+        )
+    )

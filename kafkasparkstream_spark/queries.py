@@ -4885,3 +4885,94 @@ def id_continuity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("island_end") - F.min("island_start") + F.lit(1) - F.sum("island_len")
         ).alias("n_missing"),
     )
+
+
+@register(
+    "knn_triangle_stats",
+    oracle="""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.emb, b.emb) AS cos
+        FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id
+    ),
+    g AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+            FROM scored) WHERE rnk <= 5
+    ),
+    e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM g),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e ab
+        JOIN e bc ON ab.v = bc.u
+        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+        ) GROUP BY n
+    ),
+    st AS (SELECT COUNT(*) AS n_nodes,
+                  CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+    ec AS (SELECT COUNT(*) AS n_edges FROM e)
+    SELECT CAST(st.n_nodes AS BIGINT) AS n_nodes,
+           CAST(ec.n_edges AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           st.n_wedges,
+           ROUND(3.0 * tri.n_triangles / st.n_wedges, 4) AS clustering_coeff
+    FROM tri, st, ec
+    """,
+)
+def knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifold-quality signal: triangle census + global clustering
+    coefficient of the exact kNN-5 cosine graph (operators/graph.py:
+    triangle_stats — ordered two-join enumeration, degree-sum wedges)."""
+    from kafkasparkstream_spark.operators.graph import triangle_stats
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    edges = similarity.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    out = triangle_stats(edges)
+    return out.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        "clustering_coeff",
+    )
+
+
+@register(
+    "daily_dup_rate",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, md5(props) AS dig
+        FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT dig) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT dig) * 1.0 / COUNT(*), 4) AS dup_rate
+    FROM d GROUP BY day ORDER BY day
+    """,
+)
+def daily_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication trend over ingest time: per-day exact-duplicate rate of
+    the payload digest — the curation dashboard curve that catches a
+    duplicating upstream producer the day it breaks. COUNT vs
+    COUNT(DISTINCT md5) in one day-keyed aggregate; at scale the distinct
+    side is the only state and it partitions by day."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.select(F.to_date("ts").alias("day"), F.md5(F.col("props").cast("binary")).alias("dig"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("dig").alias("n_distinct"),
+            F.round(1.0 - F.countDistinct("dig") / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+        .orderBy("day")
+    )

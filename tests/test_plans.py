@@ -93,6 +93,7 @@ def test_no_degenerate_joins_anywhere(spark):
             "rolling_7d_active_users",  # 1-row max-day anchor broadcast
             "psi_value_drift",  # 1-row bucket-totals broadcast
             "session_type_pairs",  # 1-row session-total broadcast
+            "knn_triangle_stats",  # 1-row wedge/edge-count stat broadcasts
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
