@@ -127,18 +127,20 @@ def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[st
         if len(line) <= STDOUT_BUDGET:
             return line, {v: k for k, v in mapping.items()}
 
-    # Last resort: truncate short names to unique prefixes of shrinking length.
-    for width in (10, 8, 6, 5, 4):
-        trunc: dict[str, str] = {}
-        seen: dict[str, int] = {}
-        for n in names:
-            s = short_name(n)[:width]
-            c = seen.get(s, 0)
-            seen[s] = c + 1
-            trunc[n] = s if c == 0 else f"{s}{c + 1}"
-        line = build(trunc, 2)
-        if len(line) <= STDOUT_BUDGET:
-            return line, {v: k for k, v in trunc.items()}
+    # Next: truncate short names to unique prefixes of shrinking length, at
+    # 2dp first, then 1dp (BENCH_DETAIL.json keeps full names + 4dp always).
+    for dp in (2, 1):
+        for width in (10, 8, 6, 5, 4):
+            trunc: dict[str, str] = {}
+            seen: dict[str, int] = {}
+            for n in names:
+                s = short_name(n)[:width]
+                c = seen.get(s, 0)
+                seen[s] = c + 1
+                trunc[n] = s if c == 0 else f"{s}{c + 1}"
+            line = build(trunc, dp)
+            if len(line) <= STDOUT_BUDGET:
+                return line, {v: k for k, v in trunc.items()}
     # Give up on fitting (thousands of queries): emit totals-only line.
     line = json.dumps(
         {"metric": "total_query_sec", "value": round(total, 3),
