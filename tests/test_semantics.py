@@ -237,3 +237,65 @@ def test_observation_metrics_without_extra_job(spark):
     assert m["n_rows"] == 1000 == written
     assert m["n_null_value"] == 0
     assert m["sum_value"] > 0
+
+
+def test_triangle_stats_known_graphs(spark):
+    """Triangle census on known graphs: K4 has 4 triangles, 12 wedges,
+    clustering 1.0; a 4-path has none. Edge direction and duplicates must
+    not matter (canonicalized internally)."""
+    from kafkasparkstream_spark.operators.graph import triangle_stats
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],  # both directions
+        "src long, dst long",
+    )
+    r = triangle_stats(k4).first()
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 6, 4, 12)
+    assert abs(r.clustering_coeff - 1.0) < 1e-9
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    r2 = triangle_stats(path).first()
+    assert r2.n_triangles == 0 and r2.n_wedges == 2
+
+
+def test_pit_features_never_leak_future(spark):
+    """Point-in-time contract: right-side rows at or after the label's
+    timestamp must not contribute — shifting every click to the label
+    instant or later zeroes all features."""
+    from kafkasparkstream_spark.operators.temporal import point_in_time_features
+
+    labels = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:00:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # one click exactly at the label instant, one after: both must be ignored
+    clicks = spark.createDataFrame(
+        [(100, "2024-01-01 10:00:00", 5.0), (100, "2024-01-01 10:20:00", 7.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = point_in_time_features(labels, clicks, horizons=(3600,)).first()
+    assert r["n_3600s"] == 0 and r["sum_3600s"] == 0.0
+    # a click strictly before counts
+    clicks2 = spark.createDataFrame(
+        [(100, "2024-01-01 09:59:59", 5.0)], "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r2 = point_in_time_features(labels, clicks2, horizons=(3600,)).first()
+    assert r2["n_3600s"] == 1 and abs(r2["sum_3600s"] - 5.0) < 1e-9
+
+
+def test_ks_drift_bounds_and_identity(spark):
+    """KS statistic properties: D ∈ [0,1]; splitting identical values into
+    two equal halves gives D = 0; disjoint supports give D = 1."""
+    from kafkasparkstream_spark.operators.windows import ks_two_sample_drift
+
+    same = spark.createDataFrame(
+        [(i, "k", 1.0) for i in range(10)], "event_id long, event_type string, value double"
+    )
+    r = ks_two_sample_drift(same).first()
+    assert r.ks_stat == 0.0
+    disjoint = spark.createDataFrame(
+        [(i, "k", float(i % 2) * 100.0 + 1.0) for i in range(10)],
+        "event_id long, event_type string, value double",
+    )
+    # odd ids -> sample 1 -> values 101.0; even -> 1.0: disjoint supports
+    r2 = ks_two_sample_drift(disjoint).first()
+    assert r2.ks_stat == 1.0
