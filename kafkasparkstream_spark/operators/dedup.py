@@ -458,13 +458,16 @@ def connected_components(
             edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
             .select("u", "lbl")
         )
+        # localCheckpoint (not persist): truncates the per-round lineage so
+        # round k's plan doesn't nest k joins deep — same trick as
+        # graph.pagerank; partitioning survives checkpointing.
         new_labels = (
             labels.select("u", "lbl")
             .union(neighbor)
             .repartition(graph_parts, "u")
             .groupBy("u")
             .agg(F.min("lbl").alias("lbl"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
