@@ -4976,3 +4976,76 @@ def daily_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "streaming_enrich_join",
+    oracle="""
+    WITH dim(event_type, category, weight) AS (
+        VALUES ('click', 'engagement', 1.0), ('view', 'engagement', 0.5),
+               ('purchase', 'revenue', 5.0), ('signup', 'growth', 3.0),
+               ('error', 'ops', 0.0)
+    )
+    SELECT d.category,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value * d.weight), 4) AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY d.category
+    ORDER BY d.category
+    """,
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment executed for real: each micro-batch
+    broadcast-joins against a small dimension table (enrich_stage — the
+    static side re-resolves per batch, so dims update without a stream
+    restart), then a per-category rollup of the enriched rows read back
+    from the append sink must hash-match the batch join. No streaming
+    state at all — the join is per-batch, which is why it scales to any
+    stream rate."""
+    import tempfile
+
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.pipeline import enrich_stage
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    events = load_table(spark, "events", sf_dir)
+    workdir = tempfile.mkdtemp(prefix="kss_enrich_")
+    src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
+    _events_to_wire(events, src)
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement", 1.0),
+            ("view", "engagement", 0.5),
+            ("purchase", "revenue", 5.0),
+            ("signup", "growth", 3.0),
+            ("error", "ops", 0.0),
+        ],
+        "event_type string, category string, weight double",
+    )
+    raw = file_json_stream(spark, src, max_files_per_trigger=None)
+    parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
+    enriched = enrich_stage(parsed, dim, on="event_type").select(
+        "category", "value", "weight"
+    )
+
+    with _clamped_shuffle_partitions(spark):
+        q = (
+            enriched.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+        )
+        .orderBy("category")
+    )
