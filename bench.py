@@ -138,6 +138,11 @@ def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[st
                 c = seen.get(s, 0)
                 seen[s] = c + 1
                 trunc[n] = s if c == 0 else f"{s}{c + 1}"
+            if len(set(trunc.values())) != len(names):
+                # a natural truncation collided with a digit-suffixed
+                # disambiguation (e.g. 'ab_cd2') — this width would silently
+                # drop a timing; try the next one
+                continue
             line = build(trunc, dp)
             if len(line) <= STDOUT_BUDGET:
                 return line, {v: k for k, v in trunc.items()}

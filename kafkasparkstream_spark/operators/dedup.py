@@ -451,6 +451,9 @@ def connected_components(
         .withColumn("lbl", F.col("u"))
         .persist()
     )
+    from kafkasparkstream_spark.util import LocalCheckpointer
+
+    ck = LocalCheckpointer(pairs.sparkSession)
     for _ in range(max_iters):
         # labels is hash-partitioned on u; the rename to v keeps the
         # partitioning attribute, so this join matches edges' partitioning.
@@ -458,30 +461,33 @@ def connected_components(
             edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
             .select("u", "lbl")
         )
-        # localCheckpoint (not persist): truncates the per-round lineage so
-        # round k's plan doesn't nest k joins deep — same trick as
-        # graph.pagerank; partitioning survives checkpointing.
-        new_labels = (
+        # Rolling localCheckpoint (not persist): truncates the per-round
+        # lineage so round k's plan doesn't nest k joins deep (same trick
+        # as graph.pagerank). The checkpointer keeps the previous round
+        # readable (history=1) because the changed-count below still joins
+        # new vs old AFTER stepping; older rounds' blocks are freed.
+        new_labels_plan = (
             labels.select("u", "lbl")
             .union(neighbor)
             .repartition(graph_parts, "u")
             .groupBy("u")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
         )
+        new_labels = ck.step(new_labels_plan)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        labels.unpersist()  # frees only round 0's persist; later rounds are
+        labels = new_labels  # checkpoint blocks, freed by ck.step()
         if changed == 0:
             break
     edges.unpersist()
     e.unpersist()
-    _LIVE_CACHES.append(labels)  # released by release_caches() after use
+    # released by release_caches() after the result is consumed
+    _LIVE_CACHES.append(ck.handle())
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id")).orderBy(
         "doc_id"
     )

@@ -36,22 +36,29 @@ def pagerank(
     are computed from the edge list (dangling nodes contribute nothing,
     matching the unrolled-SQL twin).
 
-    Lineage control: each iteration's rank table is ``localCheckpoint``-ed,
-    so Catalyst plans one shallow join per round instead of an
-    ``iterations``-deep nested plan whose analysis cost grows superlinearly
-    (measured ~25-40% total win at 10 iterations). ``localCheckpoint``
+    Lineage control: each iteration's rank table rolls through a
+    ``LocalCheckpointer`` — Catalyst plans one shallow join per round
+    instead of an ``iterations``-deep nested plan whose analysis cost grows
+    superlinearly (measured ~25-40% total win at 10 iterations), and each
+    superseded round's blocks are freed as the next lands, so executor
+    storage stays O(1) in iterations (only the final round's table — which
+    the returned plan reads — outlives the call). ``localCheckpoint``
     stores to executor memory/disk — on a cluster where executor loss must
     be survivable mid-computation, swap for ``checkpoint()`` with a
     reliable checkpoint dir; same plan shape.
     """
+    from kafkasparkstream_spark.util import LocalCheckpointer, checkpoint_tracked, free_rdd_ids
+
+    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    ed = e.join(deg, "_src").localCheckpoint()
+    ed, ed_ids = checkpoint_tracked(e.join(deg, "_src"))
     try:
         n = nodes.count()
-        np_ = nodes.select(F.col(id_col)).localCheckpoint()
+        np_, np_ids = checkpoint_tracked(nodes.select(F.col(id_col)))
         ranks = np_.withColumn("rank", F.lit(1.0 / n))
         teleport = (1.0 - damping) / n
+        ck = LocalCheckpointer(spark)
         for _ in range(iterations):
             inflow = (
                 ed.join(ranks, ed["_src"] == ranks[id_col])
@@ -59,7 +66,7 @@ def pagerank(
                 .groupBy("_dst")
                 .agg(F.sum("_c").alias("_inflow"))
             )
-            ranks = (
+            ranks = ck.step(
                 np_.join(inflow, F.col(id_col) == F.col("_dst"), "left")
                 .select(
                     id_col,
@@ -68,11 +75,13 @@ def pagerank(
                         + F.lit(damping) * F.coalesce(F.col("_inflow"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint()
             )
         return ranks.select(id_col, F.round("rank", 6).alias("rank")).orderBy(id_col)
     finally:
         e.unpersist()
+        # ed / np_ feed only the loop; the returned plan reads the final
+        # checkpointed ranks, so their blocks are safe to free here.
+        free_rdd_ids(spark.sparkContext, ed_ids | np_ids)
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
@@ -120,9 +129,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             "n_nodes",
             "n_edges",
             "n_triangles",
-            "n_wedges",
-            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 4).alias(
-                "clustering_coeff"
-            ),
+            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+            # wedge-free graphs (perfect matchings, empty edge lists) have a
+            # well-defined coefficient of 0, not a silent NULL
+            F.coalesce(
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 4),
+                F.lit(0.0),
+            ).alias("clustering_coeff"),
         )
     )

@@ -5026,8 +5026,13 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
     parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
-    enriched = enrich_stage(parsed, dim, on="event_type").select(
-        "category", "value", "weight"
+    # enrich_stage joins LEFT by design (unmatched events survive with null
+    # dims); the rollup drops them to match the oracle's inner join — a
+    # sixth event_type or malformed wire line must not hash-diverge.
+    enriched = (
+        enrich_stage(parsed, dim, on="event_type")
+        .filter(F.col("category").isNotNull())
+        .select("category", "value", "weight")
     )
 
     with _clamped_shuffle_partitions(spark):

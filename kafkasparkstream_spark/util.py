@@ -24,3 +24,74 @@ def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def _persistent_ids(sc) -> set:
+    return set(dict(sc._jsc.getPersistentRDDs()).keys())
+
+
+def free_rdd_ids(sc, ids) -> None:
+    """Unpersist the given internal RDD ids (from `checkpoint_tracked`).
+    The DataFrames backed by those blocks become permanently unusable —
+    free only tables no future job will read."""
+    pm = dict(sc._jsc.getPersistentRDDs())
+    for rid in ids:
+        jrdd = pm.get(rid)
+        if jrdd is not None:
+            try:
+                jrdd.unpersist()
+            except Exception:
+                pass
+
+
+def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set]:
+    """``localCheckpoint`` + the ids of the blocks it pinned, so callers can
+    free them deterministically (``Dataset.unpersist`` is a no-op for
+    checkpoint blocks — they otherwise live until driver GC).
+
+    Not safe under concurrent checkpoint activity on the same session (the
+    id set is computed by before/after diff); the iterative operators using
+    this run their loops synchronously.
+    """
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint()
+    return out, _persistent_ids(sc) - before
+
+
+class LocalCheckpointer:
+    """Rolling localCheckpoint for iterative algorithms: every ``step``
+    checkpoints the new round's table (truncating lineage so round k's plan
+    stays shallow) and frees the blocks of the superseded round — executor
+    storage stays O(1) in iteration count instead of accumulating a dead
+    table per round. The FINAL round's blocks are intentionally left live
+    (the caller returns a result built on them); ``handle()`` exposes an
+    unpersist-able object for deferred release.
+
+    ``history`` is how many PAST rounds stay readable after a ``step``: the
+    default 1 keeps round k-1 alive when round k lands (so a convergence
+    check may still join new vs old after stepping) and frees round k-2 —
+    storage is bounded at history+1 tables regardless of iteration count.
+    """
+
+    def __init__(self, spark, history: int = 1):
+        self._sc = spark.sparkContext
+        self._past: list[set] = []
+        self._history = max(1, history)
+
+    def step(self, df: DataFrame) -> DataFrame:
+        out, new = checkpoint_tracked(df)
+        self._past.append(new)
+        while len(self._past) > self._history + 1:
+            free_rdd_ids(self._sc, self._past.pop(0))  # superseded, unread
+        return out
+
+    def handle(self):
+        sc = self._sc
+        ids = set().union(*self._past) if self._past else set()
+
+        class _Handle:
+            def unpersist(self):
+                free_rdd_ids(sc, ids)
+
+        return _Handle()
