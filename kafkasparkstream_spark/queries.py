@@ -5054,3 +5054,143 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+@register(
+    "time_to_conversion",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    nxt AS (
+        SELECT c.event_id, MIN(p.ts) AS next_purchase
+        FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts > c.ts
+        GROUP BY c.event_id
+    ),
+    banded AS (
+        SELECT CASE
+                 WHEN n.next_purchase IS NULL THEN 'none'
+                 WHEN epoch(n.next_purchase) - epoch(c.ts) <= 3600 THEN 'within_1h'
+                 WHEN epoch(n.next_purchase) - epoch(c.ts) <= 86400 THEN 'within_24h'
+                 ELSE 'later'
+               END AS band
+        FROM c JOIN nxt n USING (event_id)
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_clicks
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click's STRICTLY-NEXT purchase by the same user,
+    banded into conversion-latency buckets. The Spark side uses the ordered
+    union-and-carry construction (one user-keyed window, purchases sorted
+    before clicks at equal instants so same-instant purchases don't count);
+    the oracle uses a min-join — two different constructions that must
+    agree, which is the point."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("_side"), F.col("ts").alias("_p_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("_side"), F.lit(None).cast("timestamp").alias("_p_ts")
+    )
+    # purchases sort BEFORE clicks at equal ts (side 0 < 1), so the
+    # current→following frame from a click row sees only strictly-later ones.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = purchases.unionByName(clicks).withColumn(
+        "next_purchase", F.first("_p_ts", ignorenulls=True).over(w)
+    )
+    secs = F.col("next_purchase").cast("long") - F.col("ts").cast("long")
+    band = (
+        F.when(F.col("next_purchase").isNull(), "none")
+        .when(secs <= 3600, "within_1h")
+        .when(secs <= 86400, "within_24h")
+        .otherwise("later")
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("band")
+    )
+
+
+@register(
+    "peak_concurrency",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    n AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+    sess AS (
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTES AS session_end
+        FROM n GROUP BY user_id, sid
+    ),
+    deltas AS (
+        SELECT session_start AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT session_end AS t, -1 AS delta FROM sess
+    ),
+    curve AS (
+        SELECT SUM(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM deltas
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM curve
+    """,
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions — the sweep-line classic, built scalable:
+    +1/−1 boundary events range-partition by time, each partition computes
+    its LOCAL running sum, per-partition totals (one tiny row each) become
+    broadcast exclusive-prefix offsets, and the global curve is local_cum +
+    offset — the textbook two-phase distributed prefix sum, no single
+    global-sort reducer. Ends sort before starts at equal instants
+    ([start, end) half-open sessions don't overlap at the boundary)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    sess = windows_ops.session_window_agg(events).select("session_start", "session_end")
+    deltas = sess.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(sess.select(F.col("session_end").alias("t"), F.lit(-1).alias("delta")))
+
+    parts = deltas.repartitionByRange(8, "t", "delta").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("local_cum", F.sum("delta").over(w_local))
+    totals = parts.groupBy("pid").agg(F.sum("delta").alias("tot"))
+    w_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "offset", F.sum("tot").over(w_off) - F.col("tot")
+    ).select("pid", "offset")
+    curve = local.join(F.broadcast(offsets), "pid").withColumn(
+        "conc", F.col("local_cum") + F.col("offset")
+    )
+    n_sessions = sess.count()
+    return curve.agg(
+        F.lit(n_sessions).cast("long").alias("n_sessions"),
+        F.max("conc").cast("long").alias("peak_concurrency"),
+    )
