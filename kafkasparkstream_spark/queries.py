@@ -5194,3 +5194,68 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_sessions).cast("long").alias("n_sessions"),
         F.max("conc").cast("long").alias("peak_concurrency"),
     )
+
+
+@register(
+    "top3_per_user_agg_twin",
+    oracle="""
+    SELECT * FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rnk
+        FROM events
+    ) WHERE rnk <= 3
+    ORDER BY user_id, rnk
+    """,
+)
+def top3_per_user_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per key WITHOUT a rank window: one hash aggregate collects each
+    key's rows, sorts the tiny per-key array, slices k, re-explodes. Same
+    oracle as top3_by_value_per_user — two physical strategies, one truth.
+    The agg form wins on high-cardinality keys with small groups (map-side
+    partial collect, no sort of the whole partition); the window form wins
+    when single keys are huge (no per-key array buffering). Both are in the
+    registry so the trade-off is measured, not guessed."""
+    events = load_table(spark, "events", sf_dir)
+    cols = events.columns
+    inner = F.struct(
+        (-F.col("value")).alias("nv"),
+        F.col("event_id").alias("eid"),
+        F.struct(*cols).alias("row"),
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(F.slice(F.sort_array(F.collect_list(inner)), 1, 3).alias("top"))
+        .select(F.posexplode("top").alias("pos", "item"))
+        .select("item.row.*", (F.col("pos") + 1).cast("int").alias("rnk"))
+        .orderBy("user_id", "rnk")
+    )
+
+
+@register(
+    "value_trend_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch(ts)) * 86400, 6) AS slope_per_day,
+           ROUND(regr_r2(value, epoch(ts)), 6) AS r2
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: value regressed on event time, reported as
+    slope-per-day + fit quality — the drift/trend detector for metric
+    monitoring. regr_slope/regr_r2 are decomposable aggregates (sums of
+    products), so this is one map-side-combined hash agg."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.expr("regr_slope(value, CAST(ts AS DOUBLE))") * 86400, 6
+            ).alias("slope_per_day"),
+            F.round(F.expr("regr_r2(value, CAST(ts AS DOUBLE))"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
