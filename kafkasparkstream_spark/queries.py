@@ -5259,3 +5259,66 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "label_separability",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    pos AS (
+        SELECT label, i, AVG(emb[i]) AS m
+        FROM e, (SELECT unnest(range(1, 1 + len(emb))) AS i
+                 FROM (SELECT emb FROM e LIMIT 1)) idx
+        GROUP BY 1, 2
+    ),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM pos GROUP BY label),
+    sc AS (
+        SELECT e.label,
+               list_cosine_similarity(e.emb, cent.c) AS cos
+        FROM e JOIN cent USING (label)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(cos), 4) AS avg_cos_to_centroid,
+           ROUND(MIN(cos), 4) AS min_cos_to_centroid
+    FROM sc GROUP BY label ORDER BY label
+    """,
+)
+def label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality diagnostic per class label: each label's mean
+    vector (centroid) and how tightly members cohere to it (avg/min cosine).
+    Loose clusters flag label noise or an under-trained encoder before any
+    model consumes the embeddings.
+
+    Shape: one posexplode → (label, dim) mean (the only fact-sized
+    shuffle, map-side combined), centroids re-assembled label-side
+    (labels × dims rows — broadcastable), then a broadcast join back and a
+    zip_with/aggregate dot product per row — no Python, no driver math.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    pos = (
+        e.select("label", F.posexplode("emb").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+    )
+    cent = (
+        pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_im"))
+        .select("label", F.expr("transform(_im, s -> s.m)").alias("c"))
+    )
+    dot = F.expr("aggregate(zip_with(emb, c, (a, b) -> a * b), 0D, (acc, v) -> acc + v)")
+    nrm = lambda col: F.sqrt(F.expr(f"aggregate(transform({col}, x -> x * x), 0D, (acc, v) -> acc + v)"))  # noqa: E731
+    sc = (
+        e.join(F.broadcast(cent), "label")
+        .withColumn("cos", dot / (nrm("emb") * nrm("c")))
+    )
+    return (
+        sc.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+            F.round(F.min("cos"), 4).alias("min_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
