@@ -5322,3 +5322,91 @@ def label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "label_confusion_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    pos AS (
+        SELECT label, i, AVG(emb[i]) AS m
+        FROM e, (SELECT unnest(range(1, 1 + len(emb))) AS i
+                 FROM (SELECT emb FROM e LIMIT 1)) idx
+        GROUP BY 1, 2
+    ),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM pos GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(list_cosine_similarity(a.c, b.c), 4) AS centroid_cos
+    FROM cent a JOIN cent b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def label_confusion_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-collision matrix: pairwise cosine between label centroids —
+    labels whose centroids nearly coincide are indistinguishable to any
+    downstream model (label noise, or classes that should merge). Pairs are
+    labels² rows over broadcast-sized centroids; the corpus is scanned once
+    for the (label, dim) means."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select("label", F.col("embedding").cast("array<double>").alias("emb"))
+    pos = (
+        e.select("label", F.posexplode("emb").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+    )
+    cent = (
+        pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_im"))
+        .select("label", F.expr("transform(_im, s -> s.m)").alias("c"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    dot = F.expr("aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    nrm = lambda col: F.sqrt(F.expr(f"aggregate(transform({col}, x -> x * x), 0D, (acc, v) -> acc + v)"))  # noqa: E731
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(dot / (nrm("ca") * nrm("cb")), 4).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@register(
+    "value_decile_uniformity",
+    oracle="""
+    WITH r AS (
+        SELECT event_type,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cd
+        FROM events
+    )
+    SELECT event_type,
+           CAST(LEAST(FLOOR(cd * 10), 9) AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r
+    GROUP BY 1, 2
+    ORDER BY event_type, decile
+    """,
+)
+def value_decile_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization check via cume_dist: mapping each value to its
+    within-group cumulative rank must land ~uniform decile occupancy (the
+    flatness IS the property quantile normalization promises). Ties broken
+    by event_id so both engines rank identically; one window shuffle per
+    group key."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.withColumn("cd", F.cume_dist().over(w))
+        .select(
+            "event_type",
+            F.least(F.floor(F.col("cd") * 10), F.lit(9)).cast("int").alias("decile"),
+        )
+        .groupBy("event_type", "decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "decile")
+    )
