@@ -5410,3 +5410,57 @@ def value_decile_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "decile")
     )
+
+
+@register(
+    "streaming_dedup_replay",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication proven end-to-end: the wire replay contains
+    EVERY event twice (an at-least-once source re-delivering the whole
+    topic), dedup_stage drops the re-deliveries inside the stream, and the
+    sink's per-type counts must equal the clean batch counts — the
+    exactly-once-ish ingest guard the reference lacks (its JDBC append
+    doubles on replay, SURVEY.md ST3), hash-verified rather than asserted
+    on a toy fixture. Dedup keys on (event_id, ts): state is one entry per
+    in-horizon event, evicted as the watermark passes."""
+    import tempfile
+
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.pipeline import PipelineConfig, dedup_stage
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    events = load_table(spark, "events", sf_dir)
+    workdir = tempfile.mkdtemp(prefix="kss_ddr_")
+    src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
+    doubled = events.unionByName(events)  # the re-delivered topic
+    _events_to_wire(doubled, src)
+
+    raw = file_json_stream(spark, src, max_files_per_trigger=None)
+    parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
+    cfg = PipelineConfig(ts_col="ts")
+    deduped = dedup_stage(parsed, keys=("event_id", "ts"), cfg=cfg)
+
+    with _clamped_shuffle_partitions(spark):
+        q = (
+            deduped.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
