@@ -129,20 +129,24 @@ def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[st
 
     # Next: truncate short names to unique prefixes of shrinking length, at
     # 2dp first, then 1dp (BENCH_DETAIL.json keeps full names + 4dp always).
+    # Collisions get an incrementing numeric suffix, re-checked against every
+    # key already assigned — guaranteed unique at any width.
+    def _unique_trunc(width: int) -> dict[str, str]:
+        out: dict[str, str] = {}
+        used: set[str] = set()
+        for n in names:
+            s = short_name(n)[:width]
+            c, k = s, 2
+            while c in used:
+                c = f"{s}{k}"
+                k += 1
+            used.add(c)
+            out[n] = c
+        return out
+
     for dp in (2, 1):
-        for width in (10, 8, 6, 5, 4):
-            trunc: dict[str, str] = {}
-            seen: dict[str, int] = {}
-            for n in names:
-                s = short_name(n)[:width]
-                c = seen.get(s, 0)
-                seen[s] = c + 1
-                trunc[n] = s if c == 0 else f"{s}{c + 1}"
-            if len(set(trunc.values())) != len(names):
-                # a natural truncation collided with a digit-suffixed
-                # disambiguation (e.g. 'ab_cd2') — this width would silently
-                # drop a timing; try the next one
-                continue
+        for width in (10, 8, 6, 5, 4, 3):
+            trunc = _unique_trunc(width)
             line = build(trunc, dp)
             if len(line) <= STDOUT_BUDGET:
                 return line, {v: k for k, v in trunc.items()}

@@ -94,6 +94,7 @@ def test_no_degenerate_joins_anywhere(spark):
             "psi_value_drift",  # 1-row bucket-totals broadcast
             "session_type_pairs",  # 1-row session-total broadcast
             "knn_triangle_stats",  # 1-row wedge/edge-count stat broadcasts
+            "label_confusion_cosine",  # |labels|-row centroid pair inequality join
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
