@@ -5081,31 +5081,41 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: each click's STRICTLY-NEXT purchase by the same user,
-    banded into conversion-latency buckets. The Spark side uses the ordered
-    union-and-carry construction (one user-keyed window, purchases sorted
-    before clicks at equal instants so same-instant purchases don't count);
-    the oracle uses a min-join — two different constructions that must
+    banded into conversion-latency buckets. The Spark side is the
+    union-and-carry construction of operators/temporal.py:asof_join run in
+    REVERSED time order — ``last(ignorenulls)`` over an
+    unboundedPreceding..currentRow frame, which Spark evaluates
+    incrementally in one pass (a currentRow..following frame re-scans to
+    the partition end for every row: O(n²) per hot user). At equal
+    instants the click sorts first in the reversed scan, so same-instant
+    purchases are excluded — strict forward semantics by sort order alone.
+    The oracle uses a min-join — two different constructions that must
     agree, which is the point."""
     from pyspark.sql.window import Window
 
     events = load_table(spark, "events", sf_dir)
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(0).alias("_side"), F.col("ts").alias("_p_ts")
+        "user_id", "ts", F.lit(1).alias("_side"), F.col("ts").alias("_p_ts")
     )
     clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.lit(1).alias("_side"), F.lit(None).cast("timestamp").alias("_p_ts")
+        "user_id", "ts", F.lit(0).alias("_side"), F.lit(None).cast("timestamp").alias("_p_ts")
     )
-    # purchases sort BEFORE clicks at equal ts (side 0 < 1), so the
-    # current→following frame from a click row sees only strictly-later ones.
+    # Reversed scan (ts desc): the preceding frame holds later-ts rows, and
+    # last(ignorenulls) is the nearest — i.e. the earliest later purchase.
+    # At equal ts the click (_side 0) precedes the purchase (_side 1), so
+    # the purchase stays outside the click's frame: strictly-after only.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "_side")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = purchases.unionByName(clicks).withColumn(
-        "next_purchase", F.first("_p_ts", ignorenulls=True).over(w)
+        "next_purchase", F.last("_p_ts", ignorenulls=True).over(w)
     )
-    secs = F.col("next_purchase").cast("long") - F.col("ts").cast("long")
+    # double-precision epoch difference — cast('long') would FLOOR each side
+    # and band a 3600.8 s latency as 3600 (sub-second fractions are real in
+    # the fixtures); the oracle's epoch() keeps fractions too.
+    secs = F.col("next_purchase").cast("double") - F.col("ts").cast("double")
     band = (
         F.when(F.col("next_purchase").isNull(), "none")
         .when(secs <= 3600, "within_1h")
@@ -5113,7 +5123,7 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("later")
     )
     return (
-        carried.filter(F.col("_side") == 1)
+        carried.filter(F.col("_side") == 0)  # keep the click rows
         .select(band.alias("band"))
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_clicks"))
@@ -5161,7 +5171,13 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast exclusive-prefix offsets, and the global curve is local_cum +
     offset — the textbook two-phase distributed prefix sum, no single
     global-sort reducer. Ends sort before starts at equal instants
-    ([start, end) half-open sessions don't overlap at the boundary)."""
+    ([start, end) half-open sessions don't overlap at the boundary).
+
+    The (t, delta, pid) table is materialized ONCE (checkpoint) before both
+    consumers: RangePartitioner boundaries come from nondeterministic
+    sampling, so letting the local-cumsum and totals branches each re-plan
+    the exchange would only agree while exchange reuse happens to dedupe
+    them — pin it instead of relying on an optimizer artifact."""
     from pyspark.sql.window import Window
 
     events = load_table(spark, "events", sf_dir)
@@ -5170,8 +5186,10 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_start").alias("t"), F.lit(1).alias("delta")
     ).unionByName(sess.select(F.col("session_end").alias("t"), F.lit(-1).alias("delta")))
 
-    parts = deltas.repartitionByRange(8, "t", "delta").withColumn(
-        "pid", F.spark_partition_id()
+    parts = (
+        deltas.repartitionByRange(8, "t", "delta")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_local = (
         Window.partitionBy("pid")
@@ -5189,9 +5207,10 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve = local.join(F.broadcast(offsets), "pid").withColumn(
         "conc", F.col("local_cum") + F.col("offset")
     )
-    n_sessions = sess.count()
+    # n_sessions = number of +1 boundary rows — free in the same aggregate,
+    # instead of a second full sessionization job for a count literal.
     return curve.agg(
-        F.lit(n_sessions).cast("long").alias("n_sessions"),
+        F.sum((F.col("delta") == 1).cast("long")).alias("n_sessions"),
         F.max("conc").cast("long").alias("peak_concurrency"),
     )
 
@@ -5261,6 +5280,23 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, c) mean-embedding table: one posexplode → (label, dim) mean
+    (the only fact-sized shuffle, map-side combined), re-assembled into an
+    ordered array per label — labels × dims rows, broadcastable."""
+    e = emb.select("label", F.col("embedding").cast("array<double>").alias("emb"))
+    pos = (
+        e.select("label", F.posexplode("emb").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+    )
+    return (
+        pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_im"))
+        .select("label", F.expr("transform(_im, s -> s.m)").alias("c"))
+    )
+
+
 @register(
     "label_separability",
     oracle="""
@@ -5295,23 +5331,14 @@ def label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     (labels × dims rows — broadcastable), then a broadcast join back and a
     zip_with/aggregate dot product per row — no Python, no driver math.
     """
+    from kafkasparkstream_spark.operators.similarity import dot, norm
+
     emb = load_table(spark, "embeddings", sf_dir)
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
-    pos = (
-        e.select("label", F.posexplode("emb").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.avg("x").alias("m"))
-    )
-    cent = (
-        pos.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_im"))
-        .select("label", F.expr("transform(_im, s -> s.m)").alias("c"))
-    )
-    dot = F.expr("aggregate(zip_with(emb, c, (a, b) -> a * b), 0D, (acc, v) -> acc + v)")
-    nrm = lambda col: F.sqrt(F.expr(f"aggregate(transform({col}, x -> x * x), 0D, (acc, v) -> acc + v)"))  # noqa: E731
-    sc = (
-        e.join(F.broadcast(cent), "label")
-        .withColumn("cos", dot / (nrm("emb") * nrm("c")))
+    # centroid norm precomputed once per label, not per corpus row
+    cent = _label_centroids(emb).withColumn("c_norm", norm(F.col("c")))
+    sc = e.join(F.broadcast(cent), "label").withColumn(
+        "cos", dot(F.col("emb"), F.col("c")) / (norm(F.col("emb")) * F.col("c_norm"))
     )
     return (
         sc.groupBy("label")
@@ -5347,28 +5374,18 @@ def label_confusion_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream model (label noise, or classes that should merge). Pairs are
     labels² rows over broadcast-sized centroids; the corpus is scanned once
     for the (label, dim) means."""
+    from kafkasparkstream_spark.operators.similarity import cosine
+
     emb = load_table(spark, "embeddings", sf_dir)
-    e = emb.select("label", F.col("embedding").cast("array<double>").alias("emb"))
-    pos = (
-        e.select("label", F.posexplode("emb").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.avg("x").alias("m"))
-    )
-    cent = (
-        pos.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_im"))
-        .select("label", F.expr("transform(_im, s -> s.m)").alias("c"))
-    )
+    cent = _label_centroids(emb)
     a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
     b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
-    dot = F.expr("aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    nrm = lambda col: F.sqrt(F.expr(f"aggregate(transform({col}, x -> x * x), 0D, (acc, v) -> acc + v)"))  # noqa: E731
     return (
         a.join(b, F.col("label_a") < F.col("label_b"))
         .select(
             "label_a",
             "label_b",
-            F.round(dot / (nrm("ca") * nrm("cb")), 4).alias("centroid_cos"),
+            F.round(cosine(F.col("ca"), F.col("cb")), 4).alias("centroid_cos"),
         )
         .orderBy("label_a", "label_b")
     )
