@@ -540,3 +540,59 @@ def test_quantized_topk_matches_reference(spark, vecs):
         for rnk, (neg, ci) in enumerate(scores[:k], start=1):
             expected[(qi, rnk)] = (ci, round(-neg, 4))
     assert got == expected
+
+
+def test_zvalue_interleave_roundtrip(spark):
+    """Morton key property: de-interleaving the even/odd bits of
+    zvalue_col([x, y]) recovers x and y exactly, for every row — the bit
+    algebra is lossless, so per-file min/max spans of the sorted key bound
+    BOTH dimensions (the data-skipping contract)."""
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.tables import zvalue_col
+
+    bits = 8
+    df = spark.range(0, 512).select(
+        (F.col("id") % 256).alias("x"), ((F.col("id") * 37) % 256).alias("y")
+    )
+    z = df.withColumn("z", zvalue_col([F.col("x"), F.col("y")], bits=bits))
+    back_x = sum(
+        (F.shiftright("z", 2 * b).bitwiseAND(F.lit(1)) * F.lit(1 << b))
+        for b in range(bits)
+    )
+    back_y = sum(
+        (F.shiftright("z", 2 * b + 1).bitwiseAND(F.lit(1)) * F.lit(1 << b))
+        for b in range(bits)
+    )
+    bad = z.filter((back_x != F.col("x")) | (back_y != F.col("y"))).count()
+    assert bad == 0
+
+
+def test_weighted_reservoir_invariants(spark):
+    """Efraimidis–Spirakis sample: exactly k per group (or the whole group
+    when smaller), no replacement, rows drawn from the input, and the same
+    sample under any input partitioning (content-keyed randomness)."""
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.operators.sampling import weighted_reservoir_sample
+    from kafkasparkstream_spark.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+
+    def sample(df):
+        out = weighted_reservoir_sample(
+            df, "event_id", F.col("value") + F.lit(1.0), "event_type", k=5
+        )
+        return sorted((r.event_type, r.event_id) for r in out.collect())
+
+    s1 = sample(events)
+    s2 = sample(events.repartition(13))
+    assert s1 == s2, "sample must not depend on partitioning"
+    from collections import Counter
+
+    per_group = Counter(t for t, _ in s1)
+    sizes = {r.event_type: r["cnt"] for r in
+             events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for g, n in per_group.items():
+        assert n == min(5, sizes[g])
+    assert len(set(s1)) == len(s1), "sampling is without replacement"
