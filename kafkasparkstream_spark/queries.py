@@ -5481,3 +5481,73 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "daily_type_share",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, event_type FROM events
+    )
+    SELECT day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY day), 4) AS share
+    FROM d GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def daily_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition drift over ingest time: each day's event-type mix as
+    within-day shares — the upstream-change detector (a producer that stops
+    sending a type shifts the shares before any count alarm fires). One
+    (day, type) hash aggregate; the share denominator rides a day-keyed
+    window over the aggregate's own (tiny) output."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    agg = (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day")
+    return (
+        agg.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 4))
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "order_fanout_profile",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_lines AS INT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY n_lines
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders
+    FROM per_order GROUP BY n_lines ORDER BY n_lines
+    """,
+)
+def order_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key fan-out histogram: how many lineitems each order key fans
+    out to, with a cumulative curve — the profile that decides whether the
+    orders⋈lineitem join needs skew handling (a long tail here is the skew;
+    compare key_skew_report for the per-key view). Two hash aggregates over
+    8-byte keys; the histogram itself is ~10 rows."""
+    from pyspark.sql.window import Window
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    per_order = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    hist = per_order.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("n_lines").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hist.withColumn("cum_orders", F.sum("n_orders").over(w))
+        .select(
+            F.col("n_lines").cast("int").alias("n_lines"),
+            "n_orders",
+            F.col("cum_orders").cast("long").alias("cum_orders"),
+        )
+        .orderBy("n_lines")
+    )
