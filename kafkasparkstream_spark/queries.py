@@ -5551,3 +5551,310 @@ def order_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+@register(
+    "ewma_value_per_user",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               (value
+                + COALESCE(LAG(value, 1) OVER w * 0.5, 0)
+                + COALESCE(LAG(value, 2) OVER w * 0.25, 0)
+                + COALESCE(LAG(value, 3) OVER w * 0.125, 0)
+                + COALESCE(LAG(value, 4) OVER w * 0.0625, 0)
+                + COALESCE(LAG(value, 5) OVER w * 0.03125, 0)
+                + COALESCE(LAG(value, 6) OVER w * 0.015625, 0)
+                + COALESCE(LAG(value, 7) OVER w * 0.0078125, 0))
+               /
+               (1.0
+                + CASE WHEN LAG(value, 1) OVER w IS NULL THEN 0 ELSE 0.5 END
+                + CASE WHEN LAG(value, 2) OVER w IS NULL THEN 0 ELSE 0.25 END
+                + CASE WHEN LAG(value, 3) OVER w IS NULL THEN 0 ELSE 0.125 END
+                + CASE WHEN LAG(value, 4) OVER w IS NULL THEN 0 ELSE 0.0625 END
+                + CASE WHEN LAG(value, 5) OVER w IS NULL THEN 0 ELSE 0.03125 END
+                + CASE WHEN LAG(value, 6) OVER w IS NULL THEN 0 ELSE 0.015625 END
+                + CASE WHEN LAG(value, 7) OVER w IS NULL THEN 0 ELSE 0.0078125 END)
+               AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(ewma), 4) AS avg_ewma,
+           ROUND(MAX(ewma), 4) AS max_ewma
+    FROM e GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lag exponentially-weighted moving average of ``value`` per
+    user (alpha=0.5, 8 taps), summarized per key. True EWMA is a recursion —
+    hostile to set-oriented engines — but with a geometric decay the tail
+    beyond 8 taps contributes < 0.4% of the weight, so a fixed-depth lag
+    expansion is both exact-enough and embarrassingly parallel: one shuffle
+    on user_id, eight ``lag`` reads inside a single WindowExec pass, no
+    Python. The per-row prefix is renormalized by the weights actually
+    present so early rows aren't biased toward zero. alpha=1/2 makes every
+    tap weight a power of two — each product is exact float scaling, so the
+    Spark and DuckDB values agree bit-for-bit before rounding.
+
+    100 TB shape: partitions by user_id (high-cardinality key), sequential
+    scan per key inside WindowExec — no global sort, no driver state. The
+    8-tap depth is a constant, independent of history length, unlike the
+    recursive formulation which would serialize each key's full timeline.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("value")
+    den = F.lit(1.0)
+    for k in range(1, 8):
+        lk = F.lag("value", k).over(w)
+        wt = 0.5 ** k
+        num = num + F.coalesce(lk * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lk.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    ewma = (num / den).alias("ewma")
+    return (
+        events.select("user_id", ewma)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("ewma"), 4).alias("avg_ewma"),
+            F.round(F.max("ewma"), 4).alias("max_ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "jackknife_mean_se",
+    oracle="""
+    WITH pf AS (
+        SELECT event_type, event_id % 16 AS fold,
+               SUM(value) AS sf, COUNT(*) AS nf
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, SUM(sf) AS s, SUM(nf) AS n, COUNT(*) AS nfolds
+        FROM pf GROUP BY 1
+    ),
+    j AS (
+        SELECT pf.event_type, t.s, t.n, t.nfolds,
+               (t.s - pf.sf) / (t.n - pf.nf) AS loo
+        FROM pf JOIN t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MAX(s) / MAX(n), 4) AS mean_value,
+           ROUND(SQRT((MAX(nfolds) - 1) * var_pop(loo)), 6) AS jackknife_se
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+)
+def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-fold jackknife standard error of the per-type mean: the
+    distributed answer to "what error bar goes on this aggregate?" without
+    resampling the data. 16 deterministic folds (event_id mod 16) give 16
+    leave-one-fold-out means; their population variance scaled by (F-1)
+    estimates the variance of the full mean (Efron & Stein 1981 — public
+    statistics, not engine-specific).
+
+    100 TB shape: ONE fact-sized shuffle — the (type, fold) partial
+    aggregate, map-side combined to |types|x16 rows. Everything after
+    (totals, leave-one-out means, variance across folds) runs on that tiny
+    aggregate; the rejoin broadcasts a |types|-row table. Contrast with
+    bootstrap-by-replication, which multiplies the fact scan by B.
+    """
+    events = load_table(spark, "events", sf_dir)
+    pf = (
+        events.select(
+            "event_type", (F.col("event_id") % 16).alias("fold"), "value"
+        )
+        .groupBy("event_type", "fold")
+        .agg(F.sum("value").alias("sf"), F.count(F.lit(1)).alias("nf"))
+    )
+    tot = pf.groupBy("event_type").agg(
+        F.sum("sf").alias("s"), F.sum("nf").alias("n"), F.count(F.lit(1)).alias("nfolds")
+    )
+    j = pf.join(F.broadcast(tot), "event_type").withColumn(
+        "loo", (F.col("s") - F.col("sf")) / (F.col("n") - F.col("nf"))
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("s") / F.max("n"), 4).alias("mean_value"),
+            F.round(
+                F.sqrt((F.max("nfolds") - F.lit(1)) * F.var_pop("loo")), 6
+            ).alias("jackknife_se"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "pareto_customers",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, c.c_name, c.c_acctbal,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, c_acctbal, n_orders
+    FROM co r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM co s
+        WHERE s.c_acctbal > r.c_acctbal AND s.n_orders > r.n_orders
+    )
+    ORDER BY c_acctbal DESC, c_custkey
+    """,
+)
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over customers: the rows not strictly
+    dominated on (account balance, order count) — "no one is both richer
+    AND more active". Strict dominance on both axes keeps tie handling
+    simple: equal-balance or equal-count rows never dominate each other.
+
+    The oracle is the quadratic NOT EXISTS; the Spark plan is the
+    distributed two-level sweep (Borzsony/Kossmann skyline literature,
+    bucket-prune variant): bucket the x-axis into fixed-width ranges, take
+    max(y) per (bucket, x) — one fact-sized shuffle — roll per-bucket maxima
+    through a tiny ordered window to get each bucket's carry-in (the best y
+    seen in any strictly-higher bucket), then finish with a per-bucket
+    window (partitionBy bucket — parallel, never a global sort) computing
+    the running max over strictly-greater x within the bucket. A row
+    survives iff no strictly-greater x anywhere beat its y. Every step is an
+    equi-join or keyed window; the only single-partition structure is the
+    per-bucket carry-in table (~22 rows).
+    """
+    from pyspark.sql.window import Window
+
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    co = (
+        customer.join(
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .withColumn("bkt", F.floor(F.col("c_acctbal") / 500).cast("int"))
+    )
+    # max n_orders at each distinct x inside each bucket (fact-sized shuffle)
+    g = co.groupBy("bkt", "c_acctbal").agg(F.max("n_orders").alias("gmax"))
+    # carry-in per bucket: best y in any strictly higher bucket (tiny table)
+    b = g.groupBy("bkt").agg(F.max("gmax").alias("bmax"))
+    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = b.withColumn("carry_in", F.max("bmax").over(wb)).select("bkt", "carry_in")
+    # within-bucket running max over strictly greater x (one row per distinct
+    # x in g, so ROWS ... 1 PRECEDING is exactly "strictly greater acctbal")
+    wg = Window.partitionBy("bkt").orderBy(F.col("c_acctbal").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresh = (
+        g.join(F.broadcast(carry), "bkt")
+        .withColumn("local_prev", F.max("gmax").over(wg))
+        .withColumn(
+            "best_above",
+            F.greatest(
+                F.coalesce("local_prev", F.lit(-1).cast("long")),
+                F.coalesce("carry_in", F.lit(-1).cast("long")),
+            ),
+        )
+        .select("bkt", "c_acctbal", "best_above")
+    )
+    return (
+        co.join(thresh, ["bkt", "c_acctbal"])
+        .filter(F.col("best_above") <= F.col("n_orders"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_orders")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    )
+
+
+@register(
+    "brand_basket_lift",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    bc AS (SELECT p_brand, COUNT(*) AS cnt FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS pair_cnt
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b,
+           CAST(pair_cnt AS BIGINT) AS pair_orders,
+           ROUND(pair_cnt * 1.0 * tot.n_orders / (ca.cnt * cb.cnt), 6) AS lift
+    FROM pairs
+    JOIN bc ca ON ca.p_brand = pairs.brand_a
+    JOIN bc cb ON cb.p_brand = pairs.brand_b
+    CROSS JOIN tot
+    WHERE pair_cnt >= 50
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 15
+    """,
+)
+def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between part brands co-purchased in one order:
+    lift = P(a,b) / (P(a)·P(b)) over order baskets, the association-rule
+    screen (lift > 1 = brands bought together more than chance). Extends
+    session_type_pairs (co-occurrence support) with marginal normalization.
+
+    100 TB shape: part is the broadcast dim; the basket self-join is
+    co-partitioned on l_orderkey with fan-out bounded by the max basket size
+    (~13 distinct brands/order → ≤78 pairs), so the pair explosion is
+    linear in facts, not quadratic in the catalog. Pair counts and brand
+    marginals are |brands|² and |brands| rows — the lift join is all
+    broadcast; the 1-row basket total rides a sanctioned broadcast.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    items = (
+        lineitem.select(F.col("l_partkey").alias("p_partkey"), "l_orderkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    bc = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a, bb = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 50)
+    )
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .join(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("pair_cnt").cast("long").alias("pair_orders"),
+            F.round(
+                F.col("pair_cnt") * F.col("n_orders") / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(15)
+    )

@@ -95,6 +95,7 @@ def test_no_degenerate_joins_anywhere(spark):
             "session_type_pairs",  # 1-row session-total broadcast
             "knn_triangle_stats",  # 1-row wedge/edge-count stat broadcasts
             "label_confusion_cosine",  # |labels|-row centroid pair inequality join
+            "brand_basket_lift",  # 1-row basket-total broadcast
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
