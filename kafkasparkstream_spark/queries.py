@@ -5858,3 +5858,200 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(15)
     )
+
+
+@register(
+    "embedding_dim_variance",
+    oracle="""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    x AS (
+        SELECT u.i - 1 AS dim, e.emb[u.i] AS v
+        FROM e, (SELECT unnest(range(1, 1 + len(emb))) AS i
+                 FROM (SELECT emb FROM e LIMIT 1)) u
+    ),
+    d AS (
+        SELECT dim, AVG(v) AS mean_v, var_pop(v) AS var_v
+        FROM x GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(mean_v, 6) AS mean_v,
+           ROUND(var_v, 6) AS variance,
+           ROUND(var_v / SUM(var_v) OVER (), 6) AS var_share
+    FROM d ORDER BY dim
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance audit of the embedding column — the
+    dead-dimension detector (a coordinate with ~zero variance carries no
+    signal; a dominant variance share flags a rogue feature or a collapsed
+    encoder). One posexplode → (dim) hash aggregate, map-side combined to
+    |dims| rows; the variance-share denominator is a window over that tiny
+    output. 100 TB shape: the explode multiplies rows by dim count but every
+    downstream structure is |dims|-sized — no driver math, no collect."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    d = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.avg("v").alias("mean_v"), F.var_pop("v").alias("var_v"))
+    )
+    w = Window.partitionBy()
+    return (
+        d.select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round("mean_v", 6).alias("mean_v"),
+            F.round("var_v", 6).alias("variance"),
+            F.round(F.col("var_v") / F.sum("var_v").over(w), 6).alias("var_share"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "embedding_anisotropy",
+    oracle="""
+    WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    n AS (
+        SELECT label, emb,
+               sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+        FROM e
+    ),
+    u AS (SELECT label, list_transform(emb, x -> x / nrm) AS uv, nrm FROM n),
+    x AS (
+        SELECT u.label, i.i, u.uv[i.i] AS v
+        FROM u, (SELECT unnest(range(1, 1 + len(emb))) AS i
+                 FROM (SELECT emb FROM e LIMIT 1)) i
+    ),
+    m AS (SELECT label, i, AVG(v) AS mv FROM x GROUP BY label, i),
+    a AS (SELECT label, SUM(mv * mv) AS aniso FROM m GROUP BY label),
+    s AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               AVG(nrm) AS avg_norm
+        FROM n GROUP BY label
+    )
+    SELECT s.label, s.n_vecs,
+           ROUND(s.avg_norm, 4) AS avg_norm,
+           ROUND(a.aniso, 6) AS anisotropy
+    FROM s JOIN a USING (label)
+    ORDER BY label
+    """,
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label anisotropy of the embedding space: the squared norm of the
+    mean *unit* vector — 0 for directionally uniform embeddings, →1 when
+    every vector points the same way (the "narrow cone" pathology of
+    contrastive/LM encoders, Ethayarajh 2019). Equals the expected pairwise
+    cosine between members, without materializing any pair.
+
+    100 TB shape: row-local normalization (JVM transform/aggregate — no
+    Python), one posexplode → (label, dim) mean (the only fact-sized
+    shuffle, map-side combined), then |labels|×|dims| → |labels| sums and a
+    broadcast-sized equi-join with the per-label norm stats. Contrast with
+    the naive avg-pairwise-cosine, which is quadratic in corpus size.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select("label", F.col("embedding").cast("array<double>").alias("emb"))
+    n = e.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    u = n.select("label", F.expr("transform(emb, x -> x / nrm)").alias("uv"))
+    m = (
+        u.select("label", F.posexplode("uv").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("mv"))
+    )
+    a = m.groupBy("label").agg(F.sum(F.col("mv") * F.col("mv")).alias("aniso"))
+    s = n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.avg("nrm").alias("avg_norm")
+    )
+    return (
+        s.join(F.broadcast(a), "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round("avg_norm", 4).alias("avg_norm"),
+            F.round("aniso", 6).alias("anisotropy"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "knn_jaccard_links",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(a.emb, b.emb) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    ),
+    knn AS (SELECT vec_id, neighbor_id FROM ranked WHERE rnk <= 5),
+    deg AS (SELECT vec_id, COUNT(*) AS d FROM knn GROUP BY vec_id),
+    inter AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_common
+        FROM knn a JOIN knn b
+          ON a.neighbor_id = b.neighbor_id AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 / (da.d + db.d - n_common), 6) AS jaccard
+    FROM inter
+    JOIN deg da ON da.vec_id = inter.id_a
+    JOIN deg db ON db.vec_id = inter.id_b
+    WHERE n_common >= 2
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def knn_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the k-NN graph: neighborhood Jaccard similarity
+    for vector pairs sharing ≥2 of their top-5 neighbors — the classic
+    common-neighbors score, here used as a near-duplicate/cluster-seed
+    signal on embeddings ("two points whose neighbor sets agree are
+    interchangeable"). The wedge self-join on neighbor_id is the same
+    bounded fan-out shape as knn_triangle_stats: each node has exactly k
+    out-edges, so a shared neighbor fans out to ≤k² wedges — linear in
+    nodes, never all-pairs. Degrees ride a tiny broadcast join; the final
+    top-20 is a TakeOrdered."""
+    edges = similarity.knn_graph(load_table(spark, "embeddings", sf_dir), k=5).select(
+        "vec_id", "neighbor_id"
+    )
+    deg = edges.groupBy("vec_id").agg(F.count(F.lit(1)).alias("d"))
+    a, b = edges.alias("a"), edges.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.neighbor_id") == F.col("b.neighbor_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    da = deg.select(F.col("vec_id").alias("id_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("vec_id").alias("id_b"), F.col("d").alias("db"))
+    return (
+        inter.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common") / (F.col("da") + F.col("db") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
