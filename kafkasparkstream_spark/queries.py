@@ -6055,3 +6055,94 @@ def knn_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
     )
+
+
+@register(
+    "streaming_left_outer_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         er AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error')
+    SELECT c.user_id,
+           CAST(COUNT(er.event_id) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN er.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched_clicks
+    FROM c LEFT JOIN er
+      ON er.user_id = c.user_id
+     AND er.ts >= c.ts
+     AND er.ts <= c.ts + INTERVAL 600 SECONDS
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join executed for real: clicks and
+    errors replay as two watermarked file streams; each click pairs with the
+    same user's errors in the following 10 minutes, and clicks with no such
+    error emit a null-extended row — but only after the watermark proves no
+    matching error can still arrive. That deferred-null emission is the
+    semantic this query pins (the inner twin, streaming_interval_join,
+    never has to wait): a flush sentinel 2 h past the last real event
+    pushes the final watermark so the bounded replay drains every unmatched
+    click out of state, exactly as an unbounded deployment drains them
+    continuously. Sink contents must hash-match the batch LEFT JOIN oracle.
+
+    State sizing is identical to the inner case (arrival rate × (watermark
+    + interval) per side); the outer side adds only the per-row "matched"
+    bit. The sentinel key (-1) pairs with its twin and is filtered on read.
+    """
+    import tempfile
+
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.pipeline import stream_interval_join
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    events = load_table(spark, "events", sf_dir)
+    workdir = tempfile.mkdtemp(prefix="kss_lojoin_")
+
+    src_c, src_e = f"{workdir}/clicks", f"{workdir}/errors"
+    _wire_with_flush_sentinel(events.filter(F.col("event_type") == "click"), src_c)
+    _wire_with_flush_sentinel(events.filter(F.col("event_type") == "error"), src_e)
+
+    def _stream(path: str) -> DataFrame:
+        raw = file_json_stream(spark, path, max_files_per_trigger=None)
+        return parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
+
+    pairs = stream_interval_join(
+        _stream(src_c),
+        _stream(src_e),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        watermark="1 minute",
+        within_seconds=600,
+        how="left_outer",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+    )
+
+    sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
+    with _clamped_shuffle_partitions(spark):
+        q = (
+            pairs.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("error_id").alias("n_pairs"),
+            F.sum(F.when(F.col("error_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched_clicks"),
+        )
+        .orderBy("user_id")
+    )

@@ -190,8 +190,9 @@ def stream_interval_join(
     right_ts: str,
     watermark: str = "1 minute",
     within_seconds: int = 600,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pair each left row with right rows of the
+    """Stream-stream join: pair each left row with right rows of the
     same key whose time falls in ``[left_ts, left_ts + within_seconds]``.
 
     Both sides carry watermarks and the join condition bounds event-time
@@ -199,6 +200,13 @@ def stream_interval_join(
     side can no longer match (state ≈ arrival rate × (watermark + interval)
     per side, regardless of stream length). Without the time bound the
     state would grow forever — Spark rejects that plan for good reason.
+
+    ``how="left_outer"`` additionally emits a null-extended row for each
+    left row that found no match — but only once the watermark has passed
+    the end of that row's join window (the engine must be sure no matching
+    right row can still arrive). A bounded replay therefore needs a final
+    watermark push past the last real event (see the flush sentinel in
+    queries.py) or the tail of unmatched rows stays in state forever.
     """
     l_wm = left.withWatermark(left_ts, watermark).alias("l")
     r_wm = right.withWatermark(right_ts, watermark).alias("r")
@@ -210,4 +218,5 @@ def stream_interval_join(
             F.col(f"r.{right_ts}")
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within_seconds} SECONDS")
         ),
+        how,
     )
