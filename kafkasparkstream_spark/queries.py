@@ -6146,3 +6146,41 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "join_size_estimate",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT CAST(SUM(CASE WHEN user_id % 64 = 0 THEN n * n ELSE 0 END) * 64
+                AS BIGINT) AS est_pairs,
+           CAST(SUM(n * n) AS BIGINT) AS exact_pairs,
+           ROUND(ABS(SUM(CASE WHEN user_id % 64 = 0 THEN n * n ELSE 0 END) * 64.0
+                     - SUM(n * n)) / SUM(n * n), 6) AS rel_err
+    FROM c
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join cardinality estimator: predicts the output size of a
+    self-equi-join (events ⋈ events on user_id = Σ per-key count²) from a
+    1/64 key-universe sample, next to the exact figure and the relative
+    error. At 100 TB you run the estimator BEFORE the join — it prices the
+    shuffle and flags quadratic blowup on skewed keys while touching only
+    the sampled keys' partial counts (the full-key groupBy here exists only
+    to report the exact baseline; production runs the sampled branch alone
+    with a pushed-down key predicate). Key-universe sampling (all rows of a
+    sampled key, not row sampling) is what makes Σ n² unbiased under
+    scaling — row sampling would bias pair counts down by the square of the
+    rate. Deterministic mod keeps the oracle in lockstep; production swaps
+    in a salted hash for arbitrary key types. One map-side-combined hash
+    aggregate; 1-row output, no join anywhere."""
+    events = load_table(spark, "events", sf_dir)
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    n2 = F.col("n") * F.col("n")
+    sampled = F.sum(F.when(F.col("user_id") % 64 == 0, n2).otherwise(F.lit(0)))
+    exact = F.sum(n2)
+    return c.agg(
+        (sampled * 64).cast("long").alias("est_pairs"),
+        exact.cast("long").alias("exact_pairs"),
+        F.round(F.abs(sampled * 64.0 - exact) / exact, 6).alias("rel_err"),
+    )
