@@ -646,3 +646,44 @@ def order_to_ship_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def skyline_2d(df: DataFrame, x: str, y: str, bucket_width: float = 500.0) -> DataFrame:
+    """Strict-dominance 2-D skyline: rows for which no other row has BOTH a
+    strictly greater ``x`` and a strictly greater ``y`` (ties on either axis
+    never dominate). Returns the input rows (original columns) on the
+    frontier.
+
+    Distributed sweep, never a global sort: bucket the x-axis into
+    fixed-width ranges; reduce to max(y) per (bucket, x) — the one
+    fact-sized shuffle; roll per-bucket maxima through a tiny ordered
+    window for each bucket's carry-in (the best y in any strictly-higher
+    bucket — a strictly higher bucket implies strictly higher x); then a
+    keyed within-bucket window computes the running max over strictly
+    greater x (one row per distinct x makes ROWS ... 1 PRECEDING exact).
+    A row survives iff nothing with strictly greater x beat its y.
+    """
+    from pyspark.sql.window import Window
+
+    bkt = F.floor(F.col(x) / F.lit(bucket_width)).cast("long")
+    co = df.withColumn("_bkt", bkt)
+    g = co.groupBy("_bkt", x).agg(F.max(y).alias("_gmax"))
+    b = g.groupBy("_bkt").agg(F.max("_gmax").alias("_bmax"))
+    wb = Window.orderBy(F.col("_bkt").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    carry = b.withColumn("_carry", F.max("_bmax").over(wb)).select("_bkt", "_carry")
+    wg = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(x).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thresh = (
+        g.join(F.broadcast(carry), "_bkt")
+        .withColumn("_local", F.max("_gmax").over(wg))
+        .withColumn("_best_above", F.greatest("_local", "_carry"))
+        .select("_bkt", x, "_best_above")
+    )
+    return (
+        co.join(thresh, ["_bkt", x])
+        .filter(F.col("_best_above").isNull() | (F.col("_best_above") <= F.col(y)))
+        .drop("_bkt", "_best_above")
+    )

@@ -498,3 +498,29 @@ def point_in_time_features(
         res = res.withColumn(f"n_{h}s", F.coalesce(f"n_{h}s", F.lit(0)))
         res = res.withColumn(f"sum_{h}s", F.coalesce(f"sum_{h}s", F.lit(0.0)))
     return res.select(id_col, key_col, ts_col, *out_cols).orderBy(id_col)
+
+
+def bounded_ewma(
+    df: DataFrame,
+    key: str,
+    value: str,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    alpha: float = 0.5,
+    taps: int = 8,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with a fixed tap depth:
+    ewma_i = Σ_{k<taps} alpha^k·v_{i-k} / Σ_{k present} alpha^k, the lag
+    expansion of the EWMA recursion truncated where the geometric tail
+    becomes negligible (alpha=1/2, 8 taps → <0.4% of total weight). The
+    per-row prefix renormalizes by the weights actually present, so early
+    rows are unbiased. Adds an ``ewma`` column; one keyed WindowExec pass,
+    constant work per row regardless of history length."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    num = F.col(value).cast("double")
+    den = F.lit(1.0)
+    for k in range(1, taps):
+        lk = F.lag(value, k).over(w)
+        wt = alpha ** k
+        num = num + F.coalesce(lk * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lk.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return df.withColumn("ewma", num / den)

@@ -5603,20 +5603,10 @@ def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-tap depth is a constant, independent of history length, unlike the
     recursive formulation which would serialize each key's full timeline.
     """
-    from pyspark.sql.window import Window
-
     events = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    num = F.col("value")
-    den = F.lit(1.0)
-    for k in range(1, 8):
-        lk = F.lag("value", k).over(w)
-        wt = 0.5 ** k
-        num = num + F.coalesce(lk * F.lit(wt), F.lit(0.0))
-        den = den + F.when(lk.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
-    ewma = (num / den).alias("ewma")
     return (
-        events.select("user_id", ewma)
+        temporal.bounded_ewma(events, key="user_id", value="value")
+        .select("user_id", "ewma")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -5728,8 +5718,6 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join or keyed window; the only single-partition structure is the
     per-bucket carry-in table (~22 rows).
     """
-    from pyspark.sql.window import Window
-
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     co = (
@@ -5740,36 +5728,9 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(F.count("o_orderkey").alias("n_orders"))
-        .withColumn("bkt", F.floor(F.col("c_acctbal") / 500).cast("int"))
-    )
-    # max n_orders at each distinct x inside each bucket (fact-sized shuffle)
-    g = co.groupBy("bkt", "c_acctbal").agg(F.max("n_orders").alias("gmax"))
-    # carry-in per bucket: best y in any strictly higher bucket (tiny table)
-    b = g.groupBy("bkt").agg(F.max("gmax").alias("bmax"))
-    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    carry = b.withColumn("carry_in", F.max("bmax").over(wb)).select("bkt", "carry_in")
-    # within-bucket running max over strictly greater x (one row per distinct
-    # x in g, so ROWS ... 1 PRECEDING is exactly "strictly greater acctbal")
-    wg = Window.partitionBy("bkt").orderBy(F.col("c_acctbal").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    thresh = (
-        g.join(F.broadcast(carry), "bkt")
-        .withColumn("local_prev", F.max("gmax").over(wg))
-        .withColumn(
-            "best_above",
-            F.greatest(
-                F.coalesce("local_prev", F.lit(-1).cast("long")),
-                F.coalesce("carry_in", F.lit(-1).cast("long")),
-            ),
-        )
-        .select("bkt", "c_acctbal", "best_above")
     )
     return (
-        co.join(thresh, ["bkt", "c_acctbal"])
-        .filter(F.col("best_above") <= F.col("n_orders"))
+        analytics.skyline_2d(co, x="c_acctbal", y="n_orders", bucket_width=500.0)
         .select("c_custkey", "c_name", "c_acctbal", "n_orders")
         .orderBy(F.col("c_acctbal").desc(), "c_custkey")
     )

@@ -596,3 +596,64 @@ def test_weighted_reservoir_invariants(spark):
     for g, n in per_group.items():
         assert n == min(5, sizes[g])
     assert len(set(s1)) == len(s1), "sampling is without replacement"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-10, max_value=10),  # x (small range → ties)
+            st.integers(min_value=0, max_value=6),     # y
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    width=st.sampled_from([1.0, 3.0, 100.0]),
+)
+def test_skyline_2d_matches_bruteforce(spark, pts, width):
+    """The bucketed sweep must equal the quadratic strict-dominance scan on
+    adversarial inputs: heavy x/y ties, single buckets, negative x, all
+    points in one bucket (width=100) and one point per bucket (width=1)."""
+    from kafkasparkstream_spark.operators.analytics import skyline_2d
+
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    got = {r["id"] for r in skyline_2d(df, "x", "y", bucket_width=width).collect()}
+    want = {
+        i
+        for i, x, y in rows
+        if not any(x2 > x and y2 > y for _, x2, y2 in rows)
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, min_size=1, max_size=18))
+def test_bounded_ewma_matches_reference(spark, rows):
+    """The lag-expansion EWMA must equal the direct per-key weighted sum on
+    arbitrary inputs (duplicate timestamps break ties by event_id; prefixes
+    shorter than the tap depth renormalize)."""
+    from kafkasparkstream_spark.operators.temporal import bounded_ewma
+
+    df = _mk_df(spark, rows)
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in bounded_ewma(df, key="user_id", value="value").collect()
+    }
+    # reference: sort each key's rows by (ts, event_id), weighted sum of ≤8 taps
+    by_key: dict[int, list] = {}
+    for i, (k, s, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((BASE + dt.timedelta(seconds=s), i, float(v)))
+    want = {}
+    for seq in by_key.values():
+        seq.sort()
+        for pos in range(len(seq)):
+            num = den = 0.0
+            for k in range(min(8, pos + 1)):
+                w = 0.5 ** k
+                num += w * seq[pos - k][2]
+                den += w
+            want[seq[pos][1]] = num / den
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
