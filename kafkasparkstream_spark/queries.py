@@ -6145,3 +6145,112 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.cast("long").alias("exact_pairs"),
         F.round(F.abs(sampled * 64.0 - exact) / exact, 6).alias("rel_err"),
     )
+
+
+@register(
+    "nation_revenue_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey, c.c_custkey, SUM(o.o_totalprice) AS r
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT c_nationkey, r,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY r, c_custkey) AS i,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+               SUM(r) OVER (PARTITION BY c_nationkey) AS tot
+        FROM rev
+    )
+    SELECT n.n_name,
+           CAST(MAX(rk.n) AS BIGINT) AS n_customers,
+           ROUND(MAX(rk.tot), 4) AS total_revenue,
+           ROUND(2.0 * SUM(rk.i * rk.r) / (MAX(rk.n) * MAX(rk.tot))
+                 - (MAX(rk.n) + 1.0) / MAX(rk.n), 6) AS gini
+    FROM rk JOIN nation n ON n.n_nationkey = rk.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation as a Gini coefficient — the
+    inequality metric behind every 80/20 revenue claim, computed from the
+    Lorenz-ordered rank sum: G = 2·Σ(i·rᵢ)/(n·Σr) − (n+1)/n with customers
+    ranked ascending by revenue (ties broken by key for determinism).
+
+    100 TB shape: one customers⋈orders equi-join pre-aggregated to
+    (nation, customer) revenue, then rank/count/total ride a single
+    nation-partitioned WindowExec pass — per-nation sequential work, all
+    nations in parallel, never a global sort. The nation dim joins by
+    broadcast; output is |nations| rows. A skewed mega-nation serializes
+    its own partition only — the documented mitigation is two-phase rank
+    (range-partition by revenue within nation, offset by per-range counts),
+    same shape as peak_concurrency's distributed prefix sum."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    from pyspark.sql.window import Window
+
+    rev = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+            "c_custkey",
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    wp = Window.partitionBy("c_nationkey")
+    rk = (
+        rev.withColumn("i", F.row_number().over(wp.orderBy("r", "c_custkey")))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("tot", F.sum("r").over(wp))
+    )
+    return (
+        rk.join(
+            F.broadcast(
+                nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(F.max("tot"), 4).alias("total_revenue"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("r")) / (F.max("n") * F.max("tot"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           ROUND(corr(l_quantity, l_discount), 6) AS qty_discount,
+           ROUND(corr(l_extendedprice, l_discount), 6) AS price_discount,
+           ROUND(corr(l_extendedprice, l_tax), 6) AS price_tax
+    FROM lineitem
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between the lineitem numeric measures,
+    all in ONE scan: corr is a decomposable aggregate (sums of products),
+    so four pairs cost one map-side-combined pass with no shuffle beyond
+    the 1-row combine — the feature-redundancy screen run before any model
+    sees the columns. Contrast with calling df.stat.corr per pair, which
+    would scan the fact table four times."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_discount"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_discount"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+    )
