@@ -5778,25 +5778,27 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
-    items = (
+    # one orderkey-keyed shuffle builds each basket's distinct-brand set
+    # (collect_set dedups map-side); pair expansion is a JVM array comb —
+    # no self-join, no second fact-sized shuffle
+    baskets = (
         lineitem.select(F.col("l_partkey").alias("p_partkey"), "l_orderkey")
         .join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("bs"))
     )
-    tot = items.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    bc = baskets.select(F.explode("bs").alias("p_brand")).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    bc = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
-    a, bb = items.alias("a"), items.alias("b")
+    pair_expr = F.expr(
+        "flatten(transform(bs, x -> "
+        "transform(filter(bs, y -> y > x), y -> struct(x AS a, y AS b))))"
+    )
     pairs = (
-        a.join(
-            bb,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
+        baskets.select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+            F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b")
         )
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 50)
