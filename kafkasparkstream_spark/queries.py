@@ -6256,3 +6256,75 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_discount"),
         F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
     )
+
+
+@register(
+    "python_stream_source_gen",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(0, 600)) AS i),
+    g AS (
+        SELECT i,
+               (CASE CAST(('0x' || substr(md5('typ_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+                  WHEN 0 THEN 'temperature' WHEN 1 THEN 'humidity'
+                  WHEN 2 THEN 'pressure' WHEN 3 THEN 'motion' ELSE 'light' END) AS device_type,
+               ROUND((CAST(('0x' || substr(md5('val_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000) / 100.0, 2) AS value
+        FROM idx
+    )
+    SELECT device_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM g GROUP BY device_type ORDER BY device_type
+    """,
+)
+def python_stream_source_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator's STREAMING face executed for real: the Python
+    DataSource's SimpleDataSourceStreamReader feeds 600 rows through
+    micro-batches of 200 (offset = row index, so recovery replays exact
+    ranges), a parquet sink drains the bounded stream, and the rollup of
+    the sink must hash-match the same md5-keyed oracle the batch face uses
+    — one determinism contract across both read paths. Covers G1's
+    rate-limited produce loop (generator.py:86-97) as a first-class
+    streaming source rather than an external process."""
+    import tempfile
+    import time as _time
+
+    from kafkasparkstream_spark.sources.python_source import SensorGenDataSource
+
+    try:
+        spark.dataSource.register(SensorGenDataSource)
+    except Exception:
+        pass
+    workdir = tempfile.mkdtemp(prefix="kss_pysrc_")
+    sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
+    stream = (
+        spark.readStream.format("sensor_gen")
+        .option("rows", 600)
+        .option("rowsPerBatch", 200)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(sink).count() >= 600:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("device_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("device_type")
+    )

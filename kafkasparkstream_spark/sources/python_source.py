@@ -20,7 +20,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 DEVICE_TYPES = ("temperature", "humidity", "pressure", "motion", "light")
 LOCATIONS = ("room1", "room2", "kitchen", "living_room", "bathroom", "outdoor")
@@ -84,3 +89,37 @@ class SensorGenDataSource(DataSource):
 
     def reader(self, schema) -> SensorGenReader:
         return SensorGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SensorGenStreamReader":
+        return SensorGenStreamReader(self.options)
+
+
+class SensorGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the generator (G1 analog as a true source): the
+    offset is simply the next row index, so progress, recovery, and replay
+    are all exact — ``read`` advances the offset by ``rowsPerBatch`` per
+    micro-batch (the reference's MESSAGES_PER_SECOND rate knob,
+    generator.py:13,97), and ``readBetweenOffsets`` regenerates any
+    committed range bit-for-bit after a restart (determinism does the work
+    a write-ahead log does for nondeterministic sources). Bounded by
+    ``rows`` so tests and demos drain; production would leave it unbounded.
+
+    The simple-reader protocol generates on the driver and ships rows to
+    executors — right for a rate-limited demo feed, not for bulk
+    (re)generation; the batch reader above is the partition-parallel path.
+    """
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rowsPerBatch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        s = start["index"]
+        e = min(s + self.per_batch, self.total)
+        return iter([gen_row(i) for i in range(s, e)]), {"index": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([gen_row(i) for i in range(start["index"], end["index"])])

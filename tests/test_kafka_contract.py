@@ -155,3 +155,69 @@ def test_python_datasource_deterministic_and_partitioned(spark):
         assert r.location in LOCATIONS
         assert r.device_id.startswith("sensor_")
         assert 0.0 <= r.value < 100.0 and 0.0 <= r.battery_level < 100.0
+
+
+def test_python_stream_source_drains_exact_rows(spark, tmp_path):
+    """The streaming face of sensor_gen: a rate-limited micro-batch feed
+    whose offset is the row index. Draining the bounded stream must yield
+    exactly the batch generator's rows (same gen_row universe), across
+    multiple micro-batches — determinism stands in for a write-ahead log."""
+    import time
+
+    from kafkasparkstream_spark.sources.python_source import (
+        SensorGenDataSource,
+        gen_row,
+    )
+
+    try:
+        spark.dataSource.register(SensorGenDataSource)
+    except Exception:
+        pass
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("sensor_gen")
+        .option("rows", 250)
+        .option("rowsPerBatch", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(sink).count() >= 250:
+                break
+        except Exception:
+            pass
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert got == sorted(gen_row(i) for i in range(250))
+
+
+def test_python_stream_source_replay_between_offsets():
+    """Recovery contract: readBetweenOffsets must regenerate any committed
+    range bit-for-bit (what the engine calls after a restart)."""
+    from kafkasparkstream_spark.sources.python_source import (
+        SensorGenStreamReader,
+        gen_row,
+    )
+
+    r = SensorGenStreamReader({"rows": "100", "rowsPerBatch": "30"})
+    assert r.initialOffset() == {"index": 0}
+    batch, nxt = r.read({"index": 0})
+    assert list(batch) == [gen_row(i) for i in range(30)] and nxt == {"index": 30}
+    # tail batch clips at the bound
+    batch, nxt = r.read({"index": 90})
+    assert list(batch) == [gen_row(i) for i in range(90, 100)]
+    assert nxt == {"index": 100}
+    replay = list(r.readBetweenOffsets({"index": 40}, {"index": 70}))
+    assert replay == [gen_row(i) for i in range(40, 70)]
