@@ -145,18 +145,34 @@ def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[st
         return out
 
     for dp in (2, 1):
-        for width in (10, 8, 6, 5, 4, 3):
+        for width in (10, 8, 6, 5, 4, 3, 2):
             trunc = _unique_trunc(width)
             line = build(trunc, dp)
             if len(line) <= STDOUT_BUDGET:
                 return line, {v: k for k, v in trunc.items()}
-    # Give up on fitting (thousands of queries): emit totals-only line.
+    # Thousands of queries: keep the slowest timings that fit (they are the
+    # ones worth reading in a truncated record; BENCH_DETAIL.json always has
+    # the full set) rather than emitting nothing.
+    trunc = _unique_trunc(2)
+    by_cost = sorted(names, key=lambda n: -timings[n])
+    keep: dict[str, str] = {}
     line = json.dumps(
         {"metric": "total_query_sec", "value": round(total, 3),
-         "unit": "sec", "sf": sf, "queries": {}},
+         "unit": "sec", "sf": sf, "truncated": True, "queries": {}},
         separators=(",", ":"),
     )
-    return line, {}
+    for n in by_cost:
+        trial = dict(keep, **{n: trunc[n]})
+        cand = json.dumps(
+            {"metric": "total_query_sec", "value": round(total, 3),
+             "unit": "sec", "sf": sf, "truncated": True,
+             "queries": {trial[m]: round(timings[m], 1) for m in trial}},
+            separators=(",", ":"),
+        )
+        if len(cand) > STDOUT_BUDGET:
+            break
+        keep, line = trial, cand
+    return line, {v: k for k, v in keep.items()}
 
 
 def _force(df) -> int:
