@@ -538,3 +538,61 @@ def countmin_estimates(
         .groupBy(key_col, "true_cnt")
         .agg(F.min("_c").alias("cms_est"))
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Gap fill by LINEAR INTERPOLATION between the surrounding observed
+    points — :func:`resample_ffill`'s twin for metrics that drift rather
+    than step. Same distributed shape (bucket agg → sequence() grid →
+    left join); the fill needs one backward and one forward
+    ignore-nulls window pass per key instead of one. Because each key's
+    grid spans exactly its observed [min, max] buckets, every gap is
+    interior: the previous and next anchors always exist and the slope
+    denominator is never zero.
+
+    All values ride an integer ten-thousandths grid and every round is at
+    scale 0: interpolation midpoints land exactly on .5 decimal
+    boundaries, where fractional-scale ROUND implementations disagree
+    across engines (BigDecimal half-up vs multiply-and-floor); scale-0
+    rounding of identical IEEE doubles is the one portable form."""
+    from pyspark.sql.window import Window
+
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    pts = (
+        df.groupBy(F.col(key_col), bucket.alias("bucket"))
+        .agg(F.round(F.avg(value_col) * 10000, 0).alias("_vi"))
+    )
+    span = pts.groupBy(key_col).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence("_b0", "_b1", F.expr(f"INTERVAL 1 {unit}"))).alias("bucket"),
+    )
+    j = grid.join(pts, [key_col, "bucket"], "left")
+    wb = Window.partitionBy(key_col).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy(key_col).orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_bucket = F.when(F.col("_vi").isNotNull(), F.col("bucket"))
+    pv = F.last("_vi", ignorenulls=True).over(wb)
+    pb = F.last(obs_bucket, ignorenulls=True).over(wb).cast("double")
+    nv = F.first("_vi", ignorenulls=True).over(wf)
+    nb = F.first(obs_bucket, ignorenulls=True).over(wf).cast("double")
+    eb = F.col("bucket").cast("double")
+    interp_i = F.round((pv * (nb - eb) + nv * (eb - pb)) / (nb - pb), 0)
+    vi = F.when(F.col("_vi").isNotNull(), F.col("_vi")).otherwise(interp_i)
+    return j.select(
+        key_col,
+        "bucket",
+        (vi / 10000.0).alias("value_interp"),
+        F.col("_vi").isNull().alias("is_gap"),
+    ).orderBy(key_col, "bucket")

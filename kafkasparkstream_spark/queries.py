@@ -6328,3 +6328,50 @@ def python_stream_source_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("device_type")
     )
+
+
+@register(
+    "resample_hourly_interp",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               ROUND(AVG(value) * 10000, 0) AS vi
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM pts GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket FROM span),
+    j AS (SELECT g.user_id, g.bucket, p.vi FROM grid g LEFT JOIN pts p USING (user_id, bucket)),
+    k AS (
+        SELECT user_id, bucket, vi,
+               last_value(vi IGNORE NULLS) OVER wb AS pv,
+               epoch(last_value(CASE WHEN vi IS NOT NULL THEN bucket END IGNORE NULLS) OVER wb) AS pb,
+               first_value(vi IGNORE NULLS) OVER wf AS nv,
+               epoch(first_value(CASE WHEN vi IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf) AS nb
+        FROM j
+        WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           (CASE WHEN vi IS NOT NULL THEN vi
+                 ELSE ROUND((pv * (nb - epoch(bucket)) + nv * (epoch(bucket) - pb))
+                            / (nb - pb), 0) END) / 10000.0
+               AS value_interp,
+           vi IS NULL AS is_gap
+    FROM k
+    ORDER BY user_id, bucket
+    """,
+)
+def resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill, interpolation flavor: the hourly grid per
+    user (users 0-19) with interior gaps filled by the line between the
+    surrounding observed hourly averages — resample_hourly_ffill's twin for
+    metrics that drift between samples rather than hold. One bucket
+    aggregate, distributed sequence() grid, and two ignore-nulls window
+    passes per key; anchors always exist because each key's grid spans its
+    own observed range. Values ride an integer ten-thousandths grid with
+    scale-0 rounds only (see resample_interp's portability note)."""
+    events = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    return aggregates.resample_interp(events, unit="hour")
