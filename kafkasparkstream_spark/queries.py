@@ -6375,3 +6375,71 @@ def resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-0 rounds only (see resample_interp's portability note)."""
     events = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
     return aggregates.resample_interp(events, unit="hour")
+
+
+@register(
+    "rollup_cascade_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(ROUND(value * 100, 0)) / 100.0 AS sum_value,
+           ROUND(SUM(ROUND(value * 100, 0)) * 100 / COUNT(*), 0) / 10000.0
+               AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup cascade (the hypertable continuous-
+    aggregate pattern): minute partials re-aggregate to hours, hours to
+    days, and the day tier must equal a direct day aggregate off the raw
+    stream — which is exactly what the oracle computes. The cascade only
+    works because every kept statistic is decomposable (sum/count/min/max
+    merge associatively; avg is DERIVED from sum/count at read time, never
+    stored — storing avg would make tiers unmergeable).
+
+    Sums ride an integer cents grid: the 2dp values become exact integers
+    (ROUND(value*100, 0) of the identical stored double on any engine), so
+    re-aggregation order cannot shift a single bit between the cascade and
+    the direct aggregate — float sums would differ at 1e-10 and flip 4dp
+    rounding at boundaries. avg derives from the exact sums with one
+    scale-0 round (see resample_interp's portability note).
+
+    100 TB shape: the only fact-sized shuffle builds the minute tier; each
+    further tier aggregates the previous (much smaller) tier. In
+    production each tier is a materialized sink maintained incrementally
+    (incremental_rollup_merge is the merge step); a day query then scans
+    |days|x|types| rows instead of the raw stream."""
+    events = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0)
+    minute = (
+        events.groupBy(
+            F.date_trunc("minute", "ts").alias("m"), "event_type"
+        ).agg(
+            F.sum(cents).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "m").alias("h"), "event_type")
+        .agg(
+            F.sum("sv").alias("sv"),
+            F.sum("n").alias("n"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return (
+        hour.groupBy(F.to_date("h").alias("day"), "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            (F.sum("sv") / 100.0).alias("sum_value"),
+            (F.round(F.sum("sv") * 100 / F.sum("n"), 0) / 10000.0).alias("avg_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )
