@@ -6443,3 +6443,105 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+               AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    ORDER BY fk
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table foreign-key audit: orphan counts for the four main FK
+    edges, the first integrity gate a 100 TB warehouse runs after ingest.
+    Each edge is a LEFT ANTI join — dimension sides (nation, part,
+    customer) broadcast; the lineitem→orders edge is the one shuffled
+    anti-join, co-partitioned on the key. Four tiny counts union to one
+    4-row report; a healthy warehouse reads all zeros."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+
+    def orphans(fact, key, dim, dkey, label, bcast=True):
+        d = dim.select(F.col(dkey).alias(key)).distinct()
+        d = F.broadcast(d) if bcast else d
+        return (
+            fact.select(key)
+            .join(d, key, "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "lineitem.l_orderkey->orders", bcast=False)
+        .unionByName(orphans(orders, "o_custkey", customer, "c_custkey", "orders.o_custkey->customer"))
+        .unionByName(orphans(customer, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey->nation"))
+        .unionByName(orphans(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey->part"))
+        .orderBy("fk")
+    )
+
+
+@register(
+    "trimmed_mean_by_type",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, value,
+               quantile_cont(value, 0.05) OVER (PARTITION BY event_type) AS lo,
+               quantile_cont(value, 0.95) OVER (PARTITION BY event_type) AS hi
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value >= lo AND value <= hi) AS BIGINT)
+               AS n_kept,
+           ROUND(AVG(value), 4) AS raw_mean,
+           ROUND(AVG(value) FILTER (WHERE value >= lo AND value <= hi), 4)
+               AS trimmed_mean
+    FROM b GROUP BY event_type ORDER BY event_type
+    """,
+)
+def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per event type next to the raw mean — the robust
+    location estimate that survives the fat tails MAD flags
+    (mad_outliers_per_type is the detection view; this is the corrected
+    statistic). Two passes over one shuffled partition set: exact p05/p95
+    per type (tiny |types|-row table, broadcast back), then a conditional
+    average. At 100 TB the documented swap is approx_percentile for the
+    cut points — same shape, sketch-sized state."""
+    events = load_table(spark, "events", sf_dir)
+    cuts = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    kept = F.col("value").between(F.col("lo"), F.col("hi"))
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg(F.when(kept, F.col("value"))), 4).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
