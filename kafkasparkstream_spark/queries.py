@@ -6545,3 +6545,57 @@ def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "max_drawdown_per_user",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               SUM(ROUND(value * 100, 0)) OVER w AS cum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    d AS (
+        SELECT user_id, cum,
+               MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM c
+    )
+    SELECT user_id,
+           MAX(cum) / 100.0 AS peak_cum_value,
+           MAX(peak - cum) / 100.0 AS max_drawdown
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative value series: the largest
+    peak-to-trough drop, i.e. max over time of (running-peak − running-sum).
+    The classic "needs a scan" financial metric, expressed entirely with
+    keyed windows: one partition-by-user WindowExec pass computes the
+    cumulative sum AND its running max (same sort order, shared window
+    frame), then a hash aggregate takes the maxima — no recursion, no
+    Python, parallel across users. Sums ride the integer-cents grid so
+    cumulative order noise can't shift results between engines.
+
+    (Here drawdown measures a streak of negative values; on a price-like
+    series the same plan applies unchanged.)"""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.round(F.col("value") * 100, 0)).over(w)
+    d = events.select("user_id", "ts", "event_id", cum.alias("cum")).withColumn(
+        "peak", F.max("cum").over(w)
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            (F.max("cum") / 100.0).alias("peak_cum_value"),
+            (F.max(F.col("peak") - F.col("cum")) / 100.0).alias("max_drawdown"),
+        )
+        .orderBy("user_id")
+    )
