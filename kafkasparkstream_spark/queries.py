@@ -6599,3 +6599,91 @@ def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "value_autocorr_lag1",
+    oracle="""
+    WITH l AS (
+        SELECT event_type, value,
+               LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                   AS lv
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(lv) AS BIGINT) AS n_pairs,
+           ROUND(corr(value, lv), 6) AS autocorr_lag1
+    FROM l GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the value series per event type — the
+    is-this-noise-or-a-process test (≈0 for i.i.d. readings; persistent
+    positive values mean smoothing/windowed models will help, and that
+    block bootstrap, not row bootstrap, is the right error bar). One keyed
+    WindowExec pass for the lag, then corr — a decomposable aggregate —
+    map-side combined to |types| rows. Both engines skip the per-key first
+    row (null lag) by SQL corr semantics."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    l = events.select(
+        "event_type", "value", F.lag("value").over(w).alias("lv")
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count("lv").alias("n_pairs"),
+            F.round(F.corr("value", "lv"), 6).alias("autocorr_lag1"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "weekday_effect_by_type",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               COUNT(*) AS n, SUM(value) AS s, SUM(value * value) AS ss
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           ROUND((SUM(s * s / n) - SUM(s) * SUM(s) / SUM(n))
+                 / (SUM(ss) - SUM(s) * SUM(s) / SUM(n)), 6) AS eta_sq
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def weekday_effect_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per event type as ANOVA eta²:
+    between-weekday sum of squares over total sum of squares — ~0 when the
+    weekday means are indistinguishable, →1 when the weekday alone predicts
+    the value. Computed entirely from decomposable sums: ONE
+    (type, weekday) partial aggregate (map-side combined, ≤7 rows per
+    type), then pure arithmetic on that tiny table — the textbook
+    two-level aggregation that replaces a per-group variance pass at
+    100 TB."""
+    events = load_table(spark, "events", sf_dir)
+    g = (
+        events.select(
+            "event_type", F.dayofweek("ts").alias("dow"), "value"
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+    )
+    ssb = F.sum(F.col("s") * F.col("s") / F.col("n")) - F.sum("s") * F.sum("s") / F.sum("n")
+    sst = F.sum("ss") - F.sum("s") * F.sum("s") / F.sum("n")
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(ssb / sst, 6).alias("eta_sq"),
+        )
+        .orderBy("event_type")
+    )
