@@ -6687,3 +6687,87 @@ def weekday_effect_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dedup_edit_distance_blocked",
+    oracle="""
+    WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+    b AS (SELECT doc_id, t, substr(t, 1, 32) AS blk FROM d)
+    SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+           CAST(levenshtein(a.t, bb.t) AS BIGINT) AS edit_dist
+    FROM b a JOIN b bb
+      ON a.blk = bb.blk AND a.doc_id < bb.doc_id
+    WHERE levenshtein(a.t, bb.t) <= 40
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by bounded edit distance with prefix blocking:
+    only documents sharing their first 32 characters are compared, then
+    Levenshtein (JVM built-in, O(len²) per pair) verifies within the
+    block. Blocking is what makes edit distance usable at scale — the
+    quadratic cost is confined to each block's candidates (the same
+    prune-then-verify shape as MinHash→Jaccard, with a cheaper prune and a
+    costlier verify); an all-pairs Levenshtein would be O(n²·len²). The
+    equi-join on the block key is an ordinary shuffled hash join."""
+    docs = load_table(spark, "documents", sf_dir)
+    b = docs.select(
+        "doc_id",
+        F.trim("text").alias("t"),
+        F.substring(F.trim("text"), 1, 32).alias("blk"),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t")).cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 40)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "pricing_exact_decimal",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(18,0))) / 100
+                AS DECIMAL(18,2)) AS sum_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(18,0))
+                    * CAST(100 - ROUND(l_discount * 100, 0) AS DECIMAL(18,0)))
+                / 10000 AS DECIMAL(20,4)) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def pricing_exact_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pricing summary on EXACT decimal arithmetic — what a financial
+    close needs, where the double-based twin (pricing_summary) carries
+    ~1e-10 summation noise. The 2dp source doubles become integer cents
+    via a scale-0 round (the portable quantization — casting a double
+    straight to DECIMAL(18,2) re-rounds at the representation boundary and
+    engines disagree by a cent); all sums then run in integer decimal
+    space, exact and order-independent, and only the final scale shift
+    (÷100, ÷10000) produces the ledger columns. Still one map-side-
+    combined hash agg; decimal costs ~2-3x double arithmetic, the price
+    of auditable-to-the-cent results."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(18,0)")
+    disc_c = (F.lit(100) - F.round(F.col("l_discount") * 100, 0)).cast("decimal(18,0)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents) / 100).cast("decimal(18,2)").alias("sum_price"),
+            (F.sum(cents * disc_c) / 10000).cast("decimal(20,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
