@@ -666,7 +666,12 @@ def skyline_2d(df: DataFrame, x: str, y: str, bucket_width: float = 500.0) -> Da
     from pyspark.sql.window import Window
 
     bkt = F.floor(F.col(x) / F.lit(bucket_width)).cast("long")
-    co = df.withColumn("_bkt", bkt)
+    # The input feeds both the threshold build AND the final filter join;
+    # without materialization Catalyst re-executes the whole upstream plan
+    # (often an aggregate over a fact join) once per consumer. One eager
+    # localCheckpoint pins the (post-aggregate, key-sized) table on
+    # executors; blocks free on GC via the context cleaner.
+    co = df.withColumn("_bkt", bkt).localCheckpoint()
     g = co.groupBy("_bkt", x).agg(F.max(y).alias("_gmax"))
     b = g.groupBy("_bkt").agg(F.max("_gmax").alias("_bmax"))
     wb = Window.orderBy(F.col("_bkt").desc()).rowsBetween(Window.unboundedPreceding, -1)
