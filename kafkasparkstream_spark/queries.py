@@ -5662,6 +5662,9 @@ def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "fold")
         .agg(F.sum("value").alias("sf"), F.count(F.lit(1)).alias("nf"))
+        # |types|x16 rows feeding two consumers (totals + rejoin): pin it
+        # so the fact scan runs once
+        .localCheckpoint()
     )
     tot = pf.groupBy("event_type").agg(
         F.sum("sf").alias("s"), F.sum("nf").alias("n"), F.count(F.lit(1)).alias("nfolds")
@@ -5786,6 +5789,9 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
         .groupBy("l_orderkey")
         .agg(F.collect_set("p_brand").alias("bs"))
+        # three consumers (total, marginals, pairs) — materialize the
+        # basket-sized table once instead of re-running the fact join+agg
+        .localCheckpoint()
     )
     tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     bc = baskets.select(F.explode("bs").alias("p_brand")).groupBy("p_brand").agg(
@@ -5921,23 +5927,25 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x)),
     )
-    u = n.select("label", F.expr("transform(emb, x -> x / nrm)").alias("uv"))
+    # ONE fact pass: the exploded rows carry nrm, so the (label, dim)
+    # aggregate yields the unit-component means AND (replicated per dim,
+    # divided back out by max) the per-label norm sums and counts — no
+    # second scan of the embedding table.
     m = (
-        u.select("label", F.posexplode("uv").alias("i", "v"))
+        n.select("label", "nrm", F.posexplode(F.expr("transform(emb, x -> x / nrm)")).alias("i", "v"))
         .groupBy("label", "i")
-        .agg(F.avg("v").alias("mv"))
-    )
-    a = m.groupBy("label").agg(F.sum(F.col("mv") * F.col("mv")).alias("aniso"))
-    s = n.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"), F.avg("nrm").alias("avg_norm")
+        .agg(
+            F.avg("v").alias("mv"),
+            F.sum("nrm").alias("sn"),
+            F.count(F.lit(1)).alias("nv"),
+        )
     )
     return (
-        s.join(F.broadcast(a), "label")
-        .select(
-            "label",
-            "n_vecs",
-            F.round("avg_norm", 4).alias("avg_norm"),
-            F.round("aniso", 6).alias("anisotropy"),
+        m.groupBy("label")
+        .agg(
+            F.max("nv").cast("long").alias("n_vecs"),
+            F.round(F.max("sn") / F.max("nv"), 4).alias("avg_norm"),
+            F.round(F.sum(F.col("mv") * F.col("mv")), 6).alias("anisotropy"),
         )
         .orderBy("label")
     )
