@@ -6779,3 +6779,134 @@ def pricing_exact_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "debounce_events",
+    oracle="""
+    WITH l AS (
+        SELECT event_type, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                          OR epoch(ts) - epoch(prev_ts) > 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                          AND epoch(ts) - epoch(prev_ts) <= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM l GROUP BY event_type ORDER BY event_type
+    """,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: within each (user, type) stream, an event
+    arriving ≤5 s after the previous one is a bounce (double-click, retry,
+    sensor chatter) and is dropped; the report counts kept vs debounced
+    per type. Distinct from dedup (these are REAL distinct events arriving
+    too fast) and from sessionization (the gap rule keeps the first of a
+    burst rather than grouping it). One keyed WindowExec lag pass — the
+    same shape runs streaming via the watermark-scoped dropDuplicates
+    stage with a rounded-time key."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    l = events.select(
+        "event_type",
+        (gap.isNull() | (gap > 5)).alias("keep"),
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_debounced"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "revenue_rank_stability",
+    oracle="""
+    WITH h AS (SELECT MIN(o_orderdate)
+                      + to_days(CAST(date_diff('day', MIN(o_orderdate),
+                                               MAX(o_orderdate)) // 2 AS INT))
+                   AS mid FROM orders),
+    r1 AS (
+        SELECT o_custkey, SUM(ROUND(o_totalprice * 100, 0)) AS rev1
+        FROM orders, h WHERE o_orderdate < mid GROUP BY o_custkey
+    ),
+    r2 AS (
+        SELECT o_custkey, SUM(ROUND(o_totalprice * 100, 0)) AS rev2
+        FROM orders, h WHERE o_orderdate >= mid GROUP BY o_custkey
+    ),
+    top AS (
+        SELECT o_custkey, rev1, rev2 FROM r1 JOIN r2 USING (o_custkey)
+        ORDER BY rev1 DESC, o_custkey LIMIT 100
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.rev1 - b.rev1) * (a.rev2 - b.rev2) > 0
+                    THEN 1 ELSE 0 END AS conc
+        FROM top a JOIN top b ON a.o_custkey < b.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           ROUND(2.0 * SUM(conc) / COUNT(*) - 1.0, 6) AS kendall_tau
+    FROM pairs
+    """,
+)
+def revenue_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the revenue leaderboard stable? Kendall tau-a between customers'
+    first-half and second-half revenue orderings, over the top-100
+    first-half customers — ~1 means the ranking persists, ~0 means churn.
+    Concordance needs only RELATIVE order, so no global rank window ever
+    runs: the top slice comes from orderBy+limit (TakeOrderedAndProject —
+    parallel partial top-k, never a full sort) and pairs compare revenue
+    differences directly. The quadratic pair join runs only on the k-row
+    slice (k²/2 pairs regardless of corpus size — the standard way to make
+    rank correlation feasible at 100 TB), broadcast to itself. Revenues
+    ride the integer-cents grid so cross-engine sums tie exactly."""
+    orders = load_table(spark, "orders", sf_dir)
+    h = orders.agg(
+        F.expr(
+            "DATE_ADD(MIN(o_orderdate), "
+            "CAST(DATEDIFF(MAX(o_orderdate), MIN(o_orderdate)) / 2 AS INT))"
+        ).alias("mid")
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0)
+    o = orders.join(F.broadcast(h))
+    r1 = (
+        o.filter(F.col("o_orderdate") < F.col("mid"))
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev1"))
+    )
+    r2 = (
+        o.filter(F.col("o_orderdate") >= F.col("mid"))
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev2"))
+    )
+    top = (
+        r1.join(r2, "o_custkey")
+        .orderBy(F.desc("rev1"), "o_custkey")
+        .limit(100)
+        .localCheckpoint()
+    )
+    a, b = top.alias("a"), top.alias("b")
+    conc = F.when(
+        (F.col("a.rev1") - F.col("b.rev1")) * (F.col("a.rev2") - F.col("b.rev2")) > 0,
+        1,
+    ).otherwise(0)
+    return (
+        a.join(F.broadcast(b), F.col("a.o_custkey") < F.col("b.o_custkey"))
+        .select(conc.alias("conc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("conc").cast("long").alias("concordant"),
+            F.round(2.0 * F.sum("conc") / F.count(F.lit(1)) - 1.0, 6).alias("kendall_tau"),
+        )
+    )
