@@ -6910,3 +6910,87 @@ def revenue_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(2.0 * F.sum("conc") / F.count(F.lit(1)) - 1.0, 6).alias("kendall_tau"),
         )
     )
+
+
+@register(
+    "cusum_changepoint_by_type",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, ts, event_id,
+               ROUND(value * 100, 0) AS vc
+        FROM events
+    ),
+    tot AS (
+        SELECT event_type, SUM(vc) AS s, COUNT(*) AS n
+        FROM base GROUP BY event_type
+    ),
+    c AS (
+        SELECT b.event_type, b.ts,
+               SUM(b.vc) OVER w
+                 - (ROW_NUMBER() OVER w) * (t.s / t.n) AS dev
+        FROM base b JOIN tot t USING (event_type)
+        WINDOW w AS (PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    r AS (
+        SELECT event_type, ts, ABS(dev) AS cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(dev) DESC, ts) AS rn
+        FROM c
+    )
+    SELECT event_type,
+           ROUND(cusum / 100.0, 4) AS max_cusum,
+           ts AS changepoint_ts
+    FROM r WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the running sum of
+    deviations from the series mean peaks (in absolute value) exactly
+    where the level shifts — the classic Page/CUSUM statistic, with the
+    argmax timestamp as the estimated change point. Values ride the
+    integer-cents grid; the only non-integer term, row_number × mean, is
+    the same IEEE product on both engines, so the argmax cannot flip.
+
+    Shape: one tiny per-type totals aggregate broadcast back, then a
+    single keyed WindowExec pass computes the cumulative deviation AND its
+    per-type argmax rank (two window specs, same partition+sort — one
+    shuffle, one sort). Per-type sequential work parallel across types;
+    the documented mitigation for a mega-type is the two-phase prefix-sum
+    split used by peak_concurrency."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    base = events.select(
+        "event_type", "ts", "event_id", F.round(F.col("value") * 100, 0).alias("vc")
+    )
+    tot = base.groupBy("event_type").agg(
+        F.sum("vc").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        base.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "dev",
+            F.sum("vc").over(w)
+            - F.row_number().over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+            * (F.col("s") / F.col("n")),
+        )
+    )
+    r = c.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.abs("dev").desc(), "ts")
+        ),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.round(F.abs("dev") / 100.0, 4).alias("max_cusum"),
+            F.col("ts").alias("changepoint_ts"),
+        )
+        .orderBy("event_type")
+    )
