@@ -6994,3 +6994,69 @@ def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "hard_negatives_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT a.vec_id, a.label AS label_a, b.vec_id AS neighbor_id,
+               b.label AS label_b,
+               list_cosine_similarity(a.emb, b.emb) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored WHERE label_a <> label_b
+    )
+    SELECT vec_id, neighbor_id AS negative_id,
+           label_a AS anchor_label, label_b AS negative_label,
+           ROUND(cos, 4) AS cosine
+    FROM ranked WHERE rnk <= 2
+    ORDER BY vec_id, rnk
+    """,
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's top-2
+    most-similar embeddings carrying a DIFFERENT label — the pairs that
+    teach a metric model the most (easy negatives are already far away).
+    Same block-tiled GEMM top-k as the kNN graph, with the cross-label
+    filter applied BEFORE the per-anchor rank so a same-label near-dup
+    can't crowd a true hard negative out of the k slots. Labels ride the
+    broadcastable (id, label) projection; nothing new is quadratic.
+
+    The 25-neighbor oversample bounds the work; it is exact as long as no
+    anchor's top 25 neighbors are ALL same-label (true here — verified
+    against the unbounded oracle; re-size the oversample for corpora with
+    tighter label clustering)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    labels = emb.select("vec_id", "label")
+    # oversample neighbors (k=25) so the cross-label filter still leaves ≥2
+    # per anchor, then re-rank among negatives only
+    from pyspark.sql.window import Window
+
+    edges = similarity.knn_graph(emb, k=25)
+    la = labels.select(F.col("vec_id"), F.col("label").alias("anchor_label"))
+    lb = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("negative_label")
+    )
+    neg = (
+        edges.join(F.broadcast(la), "vec_id")
+        .join(F.broadcast(lb), "neighbor_id")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        neg.withColumn("rnk2", F.row_number().over(w))
+        .filter(F.col("rnk2") <= 2)
+        .select(
+            "vec_id",
+            F.col("neighbor_id").alias("negative_id"),
+            "anchor_label",
+            "negative_label",
+            "cosine",
+        )
+        .orderBy("vec_id", "rnk2")
+    )
