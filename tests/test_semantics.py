@@ -299,3 +299,44 @@ def test_ks_drift_bounds_and_identity(spark):
     # odd ids -> sample 1 -> values 101.0; even -> 1.0: disjoint supports
     r2 = ks_two_sample_drift(disjoint).first()
     assert r2.ks_stat == 1.0
+
+
+def test_builtin_approx_aggs_within_tolerance(spark):
+    """The two built-in sketch queries (HLL++ distinct, GK percentiles)
+    must land inside their documented error bands against the exact
+    answers on the same data — the driver only rows-checks them, so the
+    tolerance contract is pinned here."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+
+    approx = {
+        r["event_type"]: r
+        for r in E.queries()["approx_value_percentiles"](spark, sf).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, a in approx.items():
+        e = exact[t]
+        # accuracy=10000 → rank error ≤ 1/10000; values are dense in [0,500],
+        # allow a generous 1% of the local range
+        assert abs(a["p50_approx"] - e["p50"]) <= max(1.0, 0.02 * e["p50"]), t
+        assert abs(a["p95_approx"] - e["p95"]) <= max(1.0, 0.02 * e["p95"]), t
+
+    got = E.queries()["approx_distinct_user_count"](spark, sf).collect()
+    exact_n = events.select("user_id").distinct().count()
+    for r in got:
+        for field, v in r.asDict().items():
+            if field.startswith("approx"):
+                assert abs(v - exact_n) <= 0.1 * exact_n, (field, v, exact_n)
