@@ -7060,3 +7060,119 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "rnk2")
     )
+
+
+@register(
+    "daily_activity_span",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               epoch(MAX(ts)) - epoch(MIN(ts)) AS span_s,
+               COUNT(*) AS n_ev
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users,
+           ROUND(AVG(span_s) / 60.0, 4) AS avg_active_minutes,
+           ROUND(AVG(n_ev), 4) AS avg_events_per_user
+    FROM s GROUP BY day ORDER BY day
+    """,
+)
+def daily_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily engagement profile: per active user-day, the first-to-last
+    event span and event count, rolled up per day — the session-free
+    activity feature (how long users stay engaged each day, how many touch
+    the product). Two hash aggregates: the (day, user) grain is the only
+    fact-sized shuffle (min/max/count all map-side combined); the day
+    rollup is |days|-sized. Span arithmetic is exact integer seconds."""
+    events = load_table(spark, "events", sf_dir)
+    s = (
+        events.groupBy(F.to_date("ts").alias("day"), "user_id")
+        .agg(
+            (F.max("ts").cast("double") - F.min("ts").cast("double")).alias("span_s"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+    )
+    return (
+        s.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_users"),
+            F.round(F.avg("span_s") / 60.0, 4).alias("avg_active_minutes"),
+            F.round(F.avg("n_ev"), 4).alias("avg_events_per_user"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "rfm_segment_counts",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders)) AS recency_d,
+               COUNT(*) AS freq,
+               SUM(ROUND(o_totalprice * 100, 0)) AS monetary_c
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency_d, 0.5) AS r_med,
+               quantile_cont(freq, 0.5) AS f_med,
+               quantile_cont(monetary_c, 0.5) AS m_med
+        FROM rfm
+    )
+    SELECT CASE WHEN recency_d <= r_med THEN 'recent' ELSE 'lapsed' END AS r_seg,
+           CASE WHEN freq > f_med THEN 'frequent' ELSE 'occasional' END AS f_seg,
+           CASE WHEN monetary_c > m_med THEN 'high_value' ELSE 'low_value' END AS m_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(monetary_c) / 100.0, 4) AS avg_monetary
+    FROM rfm, cuts
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation, the marketing
+    workhorse, built WITHOUT the global ntile sort: per-customer R/F/M from
+    one orders aggregate, median cut points from an exact-percentile
+    aggregate (a 1-row broadcast — the sanctioned shape), then segment
+    assignment is a row-local CASE and the cell counts a tiny hash agg.
+    At 100 TB the cut points swap to approx_percentile, same plan.
+    Monetary rides integer cents; the recency anchor is the corpus max
+    date so the result is replay-stable."""
+    orders = load_table(spark, "orders", sf_dir)
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        orders.join(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("maxd"), F.col("o_orderdate"))).alias("recency_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0)).alias("monetary_c"),
+        )
+    )
+    cuts = rfm.agg(
+        F.percentile("recency_d", F.lit(0.5)).alias("r_med"),
+        F.percentile("freq", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary_c", F.lit(0.5)).alias("m_med"),
+    )
+    seg = rfm.join(F.broadcast(cuts)).select(
+        F.when(F.col("recency_d") <= F.col("r_med"), "recent")
+        .otherwise("lapsed")
+        .alias("r_seg"),
+        F.when(F.col("freq") > F.col("f_med"), "frequent")
+        .otherwise("occasional")
+        .alias("f_seg"),
+        F.when(F.col("monetary_c") > F.col("m_med"), "high_value")
+        .otherwise("low_value")
+        .alias("m_seg"),
+        "monetary_c",
+    )
+    return (
+        seg.groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary_c") / 100.0, 4).alias("avg_monetary"),
+        )
+        .orderBy("r_seg", "f_seg", "m_seg")
+    )
