@@ -96,6 +96,8 @@ def test_no_degenerate_joins_anywhere(spark):
             "knn_triangle_stats",  # 1-row wedge/edge-count stat broadcasts
             "label_confusion_cosine",  # |labels|-row centroid pair inequality join
             "brand_basket_lift",  # 1-row basket-total broadcast
+            "rfm_segment_counts",  # 1-row anchor-date + median-cuts broadcasts
+            "revenue_rank_stability",  # 1-row mid-date broadcast + 100-row pair join
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
