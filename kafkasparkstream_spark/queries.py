@@ -7289,3 +7289,112 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "first_touch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+        SELECT p.purchase_id, e.event_type, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 1 HOUR
+         AND e.ts < p.ts
+         AND e.event_type IN ('click', 'view')
+    )
+    SELECT event_type AS first_touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM cand WHERE rn = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase is credited to the EARLIEST
+    click/view in the preceding hour — the complement of the as-of join
+    (asof_purchase_click credits the latest). The user-keyed equi-join
+    with a time-band condition bounds fan-out to one user-hour of
+    touchpoints per purchase; the per-purchase argmin is a keyed
+    row_number window over that bounded candidate set. At 100 TB the same
+    plan holds because both sides co-partition on user_id and the band
+    keeps state linear in arrival rate."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    e = events.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cand = p.join(e, "user_id").filter(
+        (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < F.col("pts"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy("ts", "event_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("first_touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("first_touch_type")
+    )
+
+
+@register(
+    "customer_order_concentration",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               MAX(ROUND(o_totalprice * 100, 0)) AS top_c,
+               SUM(ROUND(o_totalprice * 100, 0)) AS tot_c,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    sh AS (
+        SELECT o_custkey, n_orders, top_c / tot_c AS top_share FROM per
+        WHERE n_orders >= 2
+    )
+    SELECT CAST(FLOOR(top_share * 10) AS INT) AS share_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(n_orders), 4) AS avg_orders
+    FROM sh GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wallet concentration: what fraction of each multi-order customer's
+    spend sits in their single largest order, histogrammed by decile —
+    near 1/n means even spending, near 1.0 means one-big-purchase
+    customers (a different risk segment). One customer-grain aggregate
+    (max and sum are the same map-side-combined pass), a row-local share
+    and bucket, then a 10-row histogram. Cents grid keeps the share's
+    decile assignment engine-stable (an exact decile boundary would flip
+    on float sum noise otherwise)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0)
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(cents).alias("top_c"),
+            F.sum(cents).alias("tot_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+    return (
+        per.select(
+            F.floor(F.col("top_c") / F.col("tot_c") * 10).cast("int").alias("share_decile"),
+            "n_orders",
+        )
+        .groupBy("share_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+        )
+        .orderBy("share_decile")
+    )
