@@ -7398,3 +7398,112 @@ def customer_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("share_decile")
     )
+
+
+@register(
+    "daily_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+    SELECT ud.day,
+           CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returning
+    FROM ud JOIN f USING (user_id)
+    GROUP BY ud.day ORDER BY ud.day
+    """,
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth chart: daily active users split into first-ever-seen
+    (new) vs returning — the first split any activation dashboard draws.
+    Distinct (day, user) grain is the one fact-sized shuffle; first-seen
+    days re-aggregate from that same grain (user-keyed, map-side
+    combined) and join back co-partitioned on user_id. No window over the
+    full history, so the plan is two hash aggs + one equi-join at any
+    scale."""
+    events = load_table(spark, "events", sf_dir)
+    ud = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    f = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("n_new"),
+            F.sum((F.col("day") > F.col("first_day")).cast("long")).alias(
+                "n_returning"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+    WITH supply AS (
+        SELECT s.s_nationkey AS nk,
+               SUM(ROUND(l.l_extendedprice * 100, 0)) AS sell_c
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1
+    ),
+    demand AS (
+        SELECT c.c_nationkey AS nk,
+               SUM(ROUND(o.o_totalprice * 100, 0)) AS buy_c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT n.n_name,
+           ROUND(COALESCE(sell_c, 0) / 100.0, 2) AS supply_revenue,
+           ROUND(COALESCE(buy_c, 0) / 100.0, 2) AS demand_spend,
+           ROUND((COALESCE(sell_c, 0) - COALESCE(buy_c, 0)) / 100.0, 2)
+               AS trade_balance
+    FROM nation n
+    LEFT JOIN supply ON supply.nk = n.n_nationkey
+    LEFT JOIN demand ON demand.nk = n.n_nationkey
+    ORDER BY n.n_name
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: revenue its suppliers sell vs what its
+    customers spend — the two fact aggregates every geo BI page overlays.
+    Each side is one broadcast-dim join + hash agg to |nations| rows; the
+    final three-way combine is all broadcast-sized. Cents grid keeps both
+    sums exact; nations missing a side coalesce to zero rather than drop
+    (LEFT joins from the dim)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    supply = (
+        li.select(F.col("l_suppkey").alias("s_suppkey"),
+                  F.round(F.col("l_extendedprice") * 100, 0).alias("c"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), "s_suppkey")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.sum("c").alias("sell_c"))
+    )
+    demand = (
+        orders.select(F.col("o_custkey").alias("c_custkey"),
+                      F.round(F.col("o_totalprice") * 100, 0).alias("c"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), "c_custkey")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum("c").alias("buy_c"))
+    )
+    n = nation.select(F.col("n_nationkey").alias("nk"), "n_name")
+    return (
+        n.join(F.broadcast(supply), "nk", "left")
+        .join(F.broadcast(demand), "nk", "left")
+        .select(
+            "n_name",
+            F.round(F.coalesce("sell_c", F.lit(0)) / 100.0, 2).alias("supply_revenue"),
+            F.round(F.coalesce("buy_c", F.lit(0)) / 100.0, 2).alias("demand_spend"),
+            F.round(
+                (F.coalesce("sell_c", F.lit(0)) - F.coalesce("buy_c", F.lit(0))) / 100.0,
+                2,
+            ).alias("trade_balance"),
+        )
+        .orderBy("n_name")
+    )
