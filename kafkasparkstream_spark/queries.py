@@ -7507,3 +7507,66 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "part_price_dispersion",
+    oracle="""
+    WITH u AS (
+        SELECT l_partkey, l_extendedprice / l_quantity AS unit_price
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    d AS (
+        SELECT l_partkey,
+               COUNT(*) AS n_lines,
+               AVG(unit_price) AS mean_up,
+               stddev_samp(unit_price) AS sd_up
+        FROM u GROUP BY l_partkey
+        HAVING COUNT(*) >= 8
+    )
+    SELECT p.p_brand, d.l_partkey AS partkey,
+           CAST(d.n_lines AS BIGINT) AS n_lines,
+           ROUND(d.mean_up, 4) AS mean_unit_price,
+           ROUND(d.sd_up / d.mean_up, 6) AS price_cv
+    FROM d JOIN part p ON p.p_partkey = d.l_partkey
+    ORDER BY price_cv DESC, partkey
+    LIMIT 20
+    """,
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-consistency audit: the 20 parts whose realized unit price
+    (extended price / quantity) varies most across order lines, as a
+    coefficient of variation — high CV flags discount leakage or data
+    errors on that SKU. One part-keyed hash aggregate (count/avg/stddev
+    all decomposable, map-side combined), brand attached by broadcast,
+    TakeOrdered for the top slice. The HAVING floor keeps small-n noise
+    out of the ranking."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    u = li.filter(F.col("l_quantity") > 0).select(
+        "l_partkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("up")
+    )
+    d = (
+        u.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.avg("up").alias("mean_up"),
+            F.stddev_samp("up").alias("sd_up"),
+        )
+        .filter(F.col("n_lines") >= 8)
+    )
+    return (
+        d.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+            "l_partkey",
+        )
+        .select(
+            "p_brand",
+            F.col("l_partkey").alias("partkey"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.round("mean_up", 4).alias("mean_unit_price"),
+            F.round(F.col("sd_up") / F.col("mean_up"), 6).alias("price_cv"),
+        )
+        .orderBy(F.col("price_cv").desc(), "partkey")
+        .limit(20)
+    )
