@@ -7570,3 +7570,81 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("price_cv").desc(), "partkey")
         .limit(20)
     )
+
+
+@register(
+    "streaming_batch_parity_audit",
+    oracle="""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+               event_type,
+               ROUND(AVG(value), 4) AS avg_value,
+               COUNT(*) AS reading_count
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(0 AS BIGINT) AS n_mismatches
+    FROM w
+    """,
+)
+def streaming_batch_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine auditing itself: run the real micro-batch pipeline
+    (parse → watermark → 1-min window agg → update-mode sink → latest
+    state), compute the same aggregate as a batch query, and anti-join the
+    two INSIDE the engine — the output row claims how many windows exist
+    and that zero disagree, and the oracle independently recomputes the
+    window count so a silent divergence (or an empty sink) fails the
+    hash. This is the Lambda-architecture reconciliation job expressed as
+    one query: at 100 TB you run exactly this to certify a streaming
+    sink's backfill against the batch path, and both sides here are the
+    engine's own operators (no driver-side comparison)."""
+    import tempfile
+
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.pipeline import PipelineConfig, start_pipeline
+    from kafkasparkstream_spark.streaming.sinks import latest_state
+
+    events = load_table(spark, "events", sf_dir)
+    workdir = tempfile.mkdtemp(prefix="kss_parity_")
+    src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
+    _events_to_wire(events, src)
+    cfg = PipelineConfig(
+        dims=("event_type",),
+        ts_col="ts",
+        value_col="value",
+        battery_col=None,
+        schema=EVENT_WIRE_SCHEMA,
+    )
+    raw = file_json_stream(spark, src, max_files_per_trigger=None)
+    with _clamped_shuffle_partitions(spark):
+        agg_q, raw_q = start_pipeline(raw, sink, ckpt, cfg, available_now=True)
+        agg_q.awaitTermination()
+        raw_q.awaitTermination()
+
+    streamed = latest_state(
+        spark.read.parquet(f"{sink}/sensor_aggregates"),
+        ("window_start", "window_end", "event_type"),
+    ).select(
+        "window_start",
+        "event_type",
+        F.round("avg_value", 4).alias("avg_value"),
+        F.col("reading_count").cast("long").alias("reading_count"),
+    )
+    batch = (
+        events.groupBy(
+            F.window("ts", "1 minute").alias("w"), "event_type"
+        )
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("reading_count"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value", "reading_count")
+    )
+    cols = ["window_start", "event_type", "avg_value", "reading_count"]
+    mism = (
+        batch.select(*cols).exceptAll(streamed.select(*cols))
+        .unionAll(streamed.select(*cols).exceptAll(batch.select(*cols)))
+    )
+    return batch.agg(
+        F.count(F.lit(1)).alias("n_windows")
+    ).join(F.broadcast(mism.agg(F.count(F.lit(1)).alias("n_mismatches"))))

@@ -98,6 +98,7 @@ def test_no_degenerate_joins_anywhere(spark):
             "brand_basket_lift",  # 1-row basket-total broadcast
             "rfm_segment_counts",  # 1-row anchor-date + median-cuts broadcasts
             "revenue_rank_stability",  # 1-row mid-date broadcast + 100-row pair join
+            "streaming_batch_parity_audit",  # 1-row count x 1-row mismatch-count combine
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
