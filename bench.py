@@ -132,14 +132,22 @@ def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[st
     # Collisions get an incrementing numeric suffix, re-checked against every
     # key already assigned — guaranteed unique at any width.
     def _unique_trunc(width: int) -> dict[str, str]:
+        """Unique keys of EXACTLY ``width`` chars: a collided truncation
+        draws the next unused combo from a deterministic base-36 pool
+        instead of growing a numeric suffix past the width (at 200 queries
+        the suffixed form blew the byte budget the truncation existed to
+        meet). BENCH_KEYS.json records the mapping either way."""
+        import itertools
+        import string
+
         out: dict[str, str] = {}
         used: set[str] = set()
+        alphabet = string.ascii_lowercase + string.digits
+        pool = ("".join(p) for p in itertools.product(alphabet, repeat=width))
         for n in names:
-            s = short_name(n)[:width]
-            c, k = s, 2
-            while c in used:
-                c = f"{s}{k}"
-                k += 1
+            c = short_name(n)[:width].ljust(width, "x")
+            if c in used:
+                c = next(p for p in pool if p not in used)
             used.add(c)
             out[n] = c
         return out
