@@ -152,7 +152,7 @@ def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[st
             out[n] = c
         return out
 
-    for dp in (2, 1):
+    for dp in (2, 1, 0):
         for width in (10, 8, 6, 5, 4, 3, 2):
             trunc = _unique_trunc(width)
             line = build(trunc, dp)
