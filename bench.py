@@ -128,24 +128,32 @@ def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[st
             return line, {v: k for k, v in mapping.items()}
 
     # Next: truncate short names to unique prefixes of shrinking length, at
-    # 2dp first, then 1dp (BENCH_DETAIL.json keeps full names + 4dp always).
-    # Collisions get an incrementing numeric suffix, re-checked against every
-    # key already assigned — guaranteed unique at any width.
+    # 2dp first, then 1dp, then whole seconds (BENCH_DETAIL.json keeps full
+    # names + 4dp always).
     def _unique_trunc(width: int) -> dict[str, str]:
-        """Unique keys of EXACTLY ``width`` chars: a collided truncation
-        draws the next unused combo from a deterministic base-36 pool
-        instead of growing a numeric suffix past the width (at 200 queries
-        the suffixed form blew the byte budget the truncation existed to
-        meet). BENCH_KEYS.json records the mapping either way."""
+        """Unique keys of at most ``width`` chars where possible: an
+        un-collided truncation keeps its natural (possibly shorter) form;
+        a collided one draws the next unused combo from a deterministic
+        base-36 pool of that width (growing a numeric suffix past the
+        width blew the byte budget the truncation existed to meet at 200
+        queries). Past 36^width names the pool chains to width+1 combos —
+        slightly over-width keys beat a crash. BENCH_KEYS.json records
+        the mapping either way."""
         import itertools
         import string
 
+        alphabet = string.ascii_lowercase + string.digits
+
+        def pool_gen():
+            for w in range(width, len(alphabet)):
+                for p in itertools.product(alphabet, repeat=w):
+                    yield "".join(p)
+
         out: dict[str, str] = {}
         used: set[str] = set()
-        alphabet = string.ascii_lowercase + string.digits
-        pool = ("".join(p) for p in itertools.product(alphabet, repeat=width))
+        pool = pool_gen()
         for n in names:
-            c = short_name(n)[:width].ljust(width, "x")
+            c = short_name(n)[:width]
             if c in used:
                 c = next(p for p in pool if p not in used)
             used.add(c)

@@ -2239,13 +2239,21 @@ def _clamped_shuffle_partitions(spark: SparkSession, cap: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _wire_with_flush_sentinel(events: DataFrame, path: str) -> None:
+def _wire_with_flush_sentinel(
+    events: DataFrame, path: str, anchor: DataFrame | None = None
+) -> None:
     """Serialize events to the JSON wire format plus one far-future sentinel
     row (user_id = event_id = -1, ts = max + 2 h): the sentinel advances the
     watermark past every real window/session so a bounded append-mode replay
     flushes all state, while its own window never closes — it self-excludes
-    from output (filter user_id >= 0 where the sink could contain it)."""
-    flush = events.select(
+    from output (filter user_id >= 0 where the sink could contain it).
+
+    ``anchor`` supplies the max-ts base when the serialized side is one
+    stream of a MULTI-stream query: Spark's global watermark is the MIN
+    across streams, so each side's sentinel must sit past the max event
+    time of ALL sides or a short side's sentinel can strand the long
+    side's tail state (pass the parent table both times)."""
+    flush = (anchor if anchor is not None else events).select(
         F.lit(-1).cast("long").alias("event_id"),
         F.lit(-1).cast("long").alias("user_id"),
         F.lit("flush").alias("event_type"),
@@ -6072,8 +6080,15 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="kss_lojoin_")
 
     src_c, src_e = f"{workdir}/clicks", f"{workdir}/errors"
-    _wire_with_flush_sentinel(events.filter(F.col("event_type") == "click"), src_c)
-    _wire_with_flush_sentinel(events.filter(F.col("event_type") == "error"), src_e)
+    # anchor both sentinels on the PARENT table's max ts: the global
+    # watermark is the min across the two streams, so a per-side anchor
+    # would strand tail state whenever one stream ends much earlier
+    _wire_with_flush_sentinel(
+        events.filter(F.col("event_type") == "click"), src_c, anchor=events
+    )
+    _wire_with_flush_sentinel(
+        events.filter(F.col("event_type") == "error"), src_e, anchor=events
+    )
 
     def _stream(path: str) -> DataFrame:
         raw = file_json_stream(spark, path, max_files_per_trigger=None)
@@ -6318,15 +6333,22 @@ def python_stream_source_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     deadline = _time.time() + 120
+    drained = False
     while _time.time() < deadline:
         try:
             if spark.read.parquet(sink).count() >= 600:
+                drained = True
                 break
         except Exception:
-            pass
+            pass  # sink dir not created yet on the first probes
         _time.sleep(0.5)
     q.stop()
     q.awaitTermination()
+    if not drained:
+        raise RuntimeError(
+            "python_stream_source_gen: stream did not drain 600 rows within "
+            "120 s — timeout, not a determinism failure"
+        )
     return (
         spark.read.parquet(sink)
         .groupBy("device_type")
@@ -7028,7 +7050,8 @@ def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cos DESC, neighbor_id) AS rnk
+                                     ORDER BY ROUND(cos, 4) DESC, neighbor_id)
+                      AS rnk
         FROM scored WHERE label_a <> label_b
     )
     SELECT vec_id, neighbor_id AS negative_id,

@@ -189,15 +189,18 @@ def test_python_stream_source_drains_exact_rows(spark, tmp_path):
         .start()
     )
     deadline = time.time() + 120
+    drained = False
     while time.time() < deadline:
         try:
             if spark.read.parquet(sink).count() >= 250:
+                drained = True
                 break
         except Exception:
-            pass
+            pass  # sink dir not created yet on the first probes
         time.sleep(0.5)
     q.stop()
     q.awaitTermination()
+    assert drained, "stream did not drain 250 rows in 120 s (timeout, not content)"
 
     got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
     assert got == sorted(gen_row(i) for i in range(250))

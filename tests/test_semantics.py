@@ -329,8 +329,8 @@ def test_builtin_approx_aggs_within_tolerance(spark):
     assert set(approx) == set(exact)
     for t, a in approx.items():
         e = exact[t]
-        # accuracy=10000 → rank error ≤ 1/10000; values are dense in [0,500],
-        # allow a generous 1% of the local range
+        # accuracy=10000 → rank error ≤ 1/10000; allow a generous 2% of the
+        # point value (≥1.0 absolute) so shared-box sketch jitter can't flake
         assert abs(a["p50_approx"] - e["p50"]) <= max(1.0, 0.02 * e["p50"]), t
         assert abs(a["p95_approx"] - e["p95"]) <= max(1.0, 0.02 * e["p95"]), t
 
