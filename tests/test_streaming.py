@@ -679,3 +679,74 @@ def test_pipeline_on_rocksdb_state_store(spark, tmp_path):
     finally:
         use_rocksdb_state(spark, enable=False)
     assert rocks == base and len(base) > 0
+
+
+def test_left_outer_join_drains_tail_when_one_stream_ends_early(spark, tmp_path):
+    """Regression: Spark's global watermark is the MIN across both streams,
+    so a flush sentinel derived per-side strands the long side's tail
+    unmatched rows whenever the short side ends hours earlier. With both
+    sentinels anchored on the union's max ts, every unmatched left row
+    must null-extend out of state — clicks three hours after the last
+    error included."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.queries import (
+        EVENT_WIRE_SCHEMA,
+        _clamped_shuffle_partitions,
+        _wire_with_flush_sentinel,
+    )
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.pipeline import stream_interval_join
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = []
+    # errors only in the first 10 minutes; clicks trail on for 3 more hours
+    for i in range(3):
+        rows.append((100 + i, i % 2, "error", 1.0, base + dt.timedelta(minutes=i)))
+    for i in range(8):
+        rows.append((200 + i, i % 2, "click", 1.0, base + dt.timedelta(minutes=25 * i)))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts timestamp"
+    )
+    src_c, src_e = str(tmp_path / "clicks"), str(tmp_path / "errors")
+    _wire_with_flush_sentinel(
+        events.filter(F.col("event_type") == "click"), src_c, anchor=events
+    )
+    _wire_with_flush_sentinel(
+        events.filter(F.col("event_type") == "error"), src_e, anchor=events
+    )
+
+    def _stream(path):
+        raw = file_json_stream(spark, path, max_files_per_trigger=None)
+        return parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
+
+    pairs = stream_interval_join(
+        _stream(src_c), _stream(src_e),
+        key="user_id", left_ts="ts", right_ts="ts",
+        watermark="1 minute", within_seconds=600, how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"), F.col("r.event_id").alias("error_id")
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    with _clamped_shuffle_partitions(spark):
+        q = (
+            pairs.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = spark.read.parquet(sink).filter(F.col("click_id") >= 0)
+    # every real click must appear; the tail ones null-extended (the join
+    # looks for errors in the 10 minutes FOLLOWING each click, and no error
+    # exists after minute 2)
+    clicks_out = {r["click_id"] for r in got.collect()}
+    assert clicks_out == {200 + i for i in range(8)}
+    unmatched = {r["click_id"] for r in got.filter(F.col("error_id").isNull()).collect()}
+    assert {200 + i for i in range(1, 8)} <= unmatched
