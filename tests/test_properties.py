@@ -692,3 +692,90 @@ def test_debounce_matches_reference(spark, rows):
             want[i] = prev is None or (ts - prev).total_seconds() > 5
             prev = ts
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_basket_pair_expansion_matches_reference(spark, baskets):
+    """The JVM array-comb pair expansion (transform/filter/flatten over
+    collect_set) must produce exactly the sorted unique pairs of each
+    basket — including empty and single-item baskets (no pairs) and
+    duplicate items (deduped by collect_set)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"b{x}") for i, items in enumerate(baskets) for x in items]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "oid long, brand string")
+    got = (
+        df.groupBy("oid")
+        .agg(F.collect_set("brand").alias("bs"))
+        .select(
+            "oid",
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, x -> "
+                    "transform(filter(bs, y -> y > x), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p"),
+        )
+        .select("oid", "p.a", "p.b")
+        .collect()
+    )
+    got_set = {(r["oid"], r["a"], r["b"]) for r in got}
+    want = set()
+    for i, items in enumerate(baskets):
+        uniq = sorted({f"b{x}" for x in items})
+        for ai in range(len(uniq)):
+            for bi in range(ai + 1, len(uniq)):
+                want.add((i, uniq[ai], uniq[bi]))
+    assert got_set == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),   # hour slot
+            st.integers(min_value=-20, max_value=20), # value
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_resample_interp_matches_pandas(spark, pts):
+    """The distributed linear gap fill must match pandas' interpolate on
+    the same hourly grid (observed points averaged per bucket first, on
+    the same integer ten-thousandths grid)."""
+    import pandas as pd
+
+    from kafkasparkstream_spark.operators.aggregates import resample_interp
+
+    rows = [
+        (i, 0, BASE + dt.timedelta(hours=h), float(v))
+        for i, (h, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    got = {
+        r["bucket"]: r["value_interp"]
+        for r in resample_interp(df, key_col="user_id", unit="hour").collect()
+    }
+    pdf = pd.DataFrame(
+        {"h": [h for h, _ in pts], "v": [float(v) for _, v in pts]}
+    )
+    bucketed = pdf.groupby("h")["v"].mean().round(4)
+    grid = pd.Series(
+        index=range(bucketed.index.min(), bucketed.index.max() + 1), dtype=float
+    )
+    grid.loc[bucketed.index] = bucketed
+    filled = grid.interpolate(method="linear")
+    for h, v in filled.items():
+        b = BASE.replace(minute=0, second=0) + dt.timedelta(hours=int(h))
+        assert b in got, (h, got)
+        assert abs(got[b] - round(v, 4)) <= 1.5e-4, (h, got[b], v)
