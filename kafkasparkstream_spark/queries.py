@@ -7671,3 +7671,91 @@ def streaming_batch_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.agg(
         F.count(F.lit(1)).alias("n_windows")
     ).join(F.broadcast(mism.agg(F.count(F.lit(1)).alias("n_mismatches"))))
+
+
+@register(
+    "monthly_revenue_trend",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               SUM(ROUND(o_totalprice * 100, 0)) AS rev_c,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(rev_c / 100.0, 2) AS revenue,
+           COALESCE(ROUND((rev_c - LAG(rev_c) OVER (ORDER BY month))
+                 / LAG(rev_c) OVER (ORDER BY month), 6), 0.0) AS mom_growth
+    FROM m ORDER BY month
+    """,
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month growth — the first chart on
+    any revenue dashboard. The fact scan reduces straight to |months| rows
+    (map-side combined, cents-exact); the growth lag is a window over that
+    tiny table, so the 'global' sort orders ~a hundred rows, not the fact
+    stream. The first month's undefined growth reads 0.0 on both sides
+    (the driver's value-hash cannot order NULLs against floats)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    m = (
+        orders.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0)).alias("rev_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return (
+        m.select(
+            "month",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.coalesce(
+                F.round((F.col("rev_c") - prev) / prev, 6), F.lit(0.0)
+            ).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "dow_hour_heatmap",
+    oracle="""
+    SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The traffic heatmap: event counts per (weekday, hour) cell with
+    corpus share — the capacity-planning view (when to schedule
+    compaction, when spikes land). One hash aggregate to ≤168 cells; the
+    share denominator is a window over that fixed-size output. Weekday
+    numbering differs across engines (Spark Sun=1, DuckDB Sun=0) so the
+    Spark side emits dayofweek-1 to match the oracle's labels."""
+    events = load_table(spark, "events", sf_dir)
+    g = (
+        events.select(
+            (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hr")
+        )
+        .groupBy("dow", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    return (
+        g.select(
+            "dow",
+            "hr",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("dow", "hr")
+    )
