@@ -779,3 +779,91 @@ def test_resample_interp_matches_pandas(spark, pts):
         b = BASE.replace(minute=0, second=0) + dt.timedelta(hours=int(h))
         assert b in got, (h, got)
         assert abs(got[b] - round(v, 4)) <= 1.5e-4, (h, got[b], v)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    revs=st.lists(
+        st.integers(min_value=1, max_value=1000), min_size=2, max_size=15
+    )
+)
+def test_gini_rank_sum_matches_definition(spark, revs):
+    """The Lorenz rank-sum Gini used by nation_revenue_gini must equal the
+    mean-absolute-difference definition G = Σ|xi−xj| / (2n²·mean) on
+    arbitrary positive revenue vectors (including heavy ties)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(0, i, float(r)) for i, r in enumerate(revs)], "g int, id int, r double"
+    )
+    wp = Window.partitionBy("g")
+    rk = (
+        df.withColumn("i", F.row_number().over(wp.orderBy("r", "id")))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("tot", F.sum("r").over(wp))
+    )
+    got = rk.groupBy("g").agg(
+        (
+            2.0 * F.sum(F.col("i") * F.col("r")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n")
+        ).alias("gini")
+    ).collect()[0]["gini"]
+    n = len(revs)
+    mean = sum(revs) / n
+    mad = sum(abs(a - b) for a in revs for b in revs) / (n * n)
+    want = mad / (2 * mean)
+    assert abs(got - want) < 1e-9, (got, want, revs)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, min_size=2, max_size=16))
+def test_cusum_argmax_matches_reference(spark, rows):
+    """The windowed CUSUM deviation and its argmax must equal a sequential
+    scan: cumulative (value − running position × mean) with ties on
+    |deviation| resolved to the earliest timestamp."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = _mk_df(spark, rows).withColumn("event_type", F.lit("t"))
+    base = df.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).alias("vc"),
+    )
+    tot = base.groupBy("event_type").agg(
+        F.sum("vc").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = base.join(F.broadcast(tot), "event_type").withColumn(
+        "dev",
+        F.sum("vc").over(w)
+        - F.row_number().over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")
+        )
+        * (F.col("s") / F.col("n")),
+    )
+    r = c.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.abs("dev").desc(), "ts")
+        ),
+    ).filter(F.col("rn") == 1)
+    got = r.select("ts", F.abs("dev").alias("cusum")).collect()[0]
+
+    seq = sorted(
+        (BASE + dt.timedelta(seconds=s), i, float(v) * 100)
+        for i, (k, s, v) in enumerate(rows)
+    )
+    mean = sum(v for _, _, v in seq) / len(seq)
+    cum, best = 0.0, None
+    for pos, (ts, _, v) in enumerate(seq, start=1):
+        cum += v
+        dev = abs(cum - pos * mean)
+        if best is None or dev > best[0] + 1e-12 or (
+            abs(dev - best[0]) <= 1e-12 and ts < best[1]
+        ):
+            best = (dev, ts)
+    assert abs(got["cusum"] - best[0]) < 1e-6
+    assert got["ts"].replace(tzinfo=None) == best[1]
