@@ -444,3 +444,27 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_window_fusion_on_lag_family_operators(spark):
+    """The 8 EWMA taps must fuse into a SINGLE WindowExec pass; the
+    drawdown's peak-over-cum is a sequential dependency (two Window nodes
+    are inherent) but both must ride ONE user_id shuffle — a second
+    hashpartitioning exchange means the shared sort order was lost."""
+    import re
+
+    plan = _plan(spark, "ewma_value_per_user")
+    n_windows = len(re.findall(r"\(\d+\) Window\b", plan))
+    assert n_windows == 1, f"ewma: expected 1 WindowExec, saw {n_windows}"
+
+    plan = _plan(spark, "max_drawdown_per_user")
+    n_ex = plan.count("hashpartitioning(user_id")
+    assert n_ex == 1, f"drawdown: expected 1 user_id exchange, saw {n_ex}"
+
+
+def test_basket_lift_has_no_fact_join(spark):
+    """brand_basket_lift's pair generation is a JVM array comb over
+    collect_set baskets — a SortMergeJoin/ShuffledHashJoin in the plan
+    means the expensive self-join came back."""
+    plan = _plan(spark, "brand_basket_lift")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
