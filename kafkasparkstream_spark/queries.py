@@ -6335,6 +6335,8 @@ def python_stream_source_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = _time.time() + 120
     drained = False
     while _time.time() < deadline:
+        if not q.isActive:
+            break  # terminated (error surfaces from awaitTermination below)
         try:
             if spark.read.parquet(sink).count() >= 600:
                 drained = True
@@ -6344,6 +6346,13 @@ def python_stream_source_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         _time.sleep(0.5)
     q.stop()
     q.awaitTermination()
+    if not drained:
+        # the final rows may have landed in the last poll gap — recheck the
+        # settled sink before declaring a timeout
+        try:
+            drained = spark.read.parquet(sink).count() >= 600
+        except Exception:
+            drained = False
     if not drained:
         raise RuntimeError(
             "python_stream_source_gen: stream did not drain 600 rows within "
@@ -7045,14 +7054,17 @@ def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT a.vec_id, a.label AS label_a, b.vec_id AS neighbor_id,
                b.label AS label_b,
-               list_cosine_similarity(a.emb, b.emb) AS cos
+               list_cosine_similarity(a.emb, b.emb) AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY list_cosine_similarity(a.emb, b.emb)
+                                               DESC, b.vec_id) AS knn_rnk
         FROM e a JOIN e b ON a.vec_id <> b.vec_id
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY ROUND(cos, 4) DESC, neighbor_id)
                       AS rnk
-        FROM scored WHERE label_a <> label_b
+        FROM scored WHERE knn_rnk <= 25 AND label_a <> label_b
     )
     SELECT vec_id, neighbor_id AS negative_id,
            label_a AS anchor_label, label_b AS negative_label,
