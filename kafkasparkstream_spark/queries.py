@@ -6782,8 +6782,11 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    from kafkasparkstream_spark.util import fanout
+
     return (
-        pairs.select(
+        fanout(pairs)  # the join lands on the scan's few splits; spread the
+        .select(       # O(len·k) kernel across cores (no-op at real scale)
             "id_a",
             "id_b",
             F.levenshtein("ta", "tb", 40).cast("long").alias("edit_dist"),
