@@ -867,3 +867,120 @@ def test_cusum_argmax_matches_reference(spark, rows):
             best = (dev, ts)
     assert abs(got["cusum"] - best[0]) < 1e-6
     assert got["ts"].replace(tzinfo=None) == best[1]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    purchases=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 120)), min_size=1, max_size=6),
+    touches=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 120)), max_size=10),
+)
+def test_first_touch_attribution_matches_reference(spark, purchases, touches):
+    """Each purchase credits the EARLIEST same-user touch in [t-1h, t) —
+    checked against a brute-force scan including boundary cases: a touch
+    at exactly t is excluded, at exactly t-1h included, ties on timestamp
+    break by event_id."""
+    import datetime as dt2
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = []
+    for i, (u, s) in enumerate(purchases):
+        rows.append((i, u, "purchase", 0.0, BASE + dt2.timedelta(minutes=s)))
+    off = len(purchases)
+    for j, (u, s) in enumerate(touches):
+        rows.append((off + j, u, "click", 0.0, BASE + dt2.timedelta(minutes=s)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts timestamp"
+    )
+    p = df.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    e = df.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    cand = p.join(e, "user_id").filter(
+        (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < F.col("pts"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy("ts", "event_id")
+    got = {
+        r["purchase_id"]: r["event_id"]
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    want = {}
+    for i, (u, s) in enumerate(purchases):
+        pt = BASE + dt2.timedelta(minutes=s)
+        cands = [
+            (BASE + dt2.timedelta(minutes=ts), off + j)
+            for j, (tu, ts) in enumerate(touches)
+            if tu == u
+            and pt - dt2.timedelta(hours=1) <= BASE + dt2.timedelta(minutes=ts) < pt
+        ]
+        if cands:
+            want[i] = min(cands)[1]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=60), min_size=2, max_size=10
+    )
+)
+def test_edit_distance_blocking_matches_bruteforce(spark, docs):
+    """The prefix-blocked banded-Levenshtein pair set must equal the
+    brute-force scan restricted to the same blocking rule — including
+    short texts (block = whole text), whitespace-only docs (trim!), and
+    the length-difference prune (which must never drop a qualifying
+    pair)."""
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.util import fanout  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    b = df.select(
+        "doc_id",
+        F.trim("text").alias("t"),
+        F.length(F.trim("text")).alias("len"),
+        F.substring(F.trim("text"), 1, 8).alias("blk"),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= 5),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t"), 5).cast("long").alias("d"),
+        )
+        .filter((F.col("d") >= 0) & (F.col("d") <= 5))
+    )
+    got = {(r["id_a"], r["id_b"], r["d"]) for r in pairs.collect()}
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    trimmed = [d.strip() for d in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if trimmed[i][:8] == trimmed[j][:8]:
+                d = lev(trimmed[i], trimmed[j])
+                if d <= 5:
+                    want.add((i, j, d))
+    assert got == want
