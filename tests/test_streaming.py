@@ -750,3 +750,87 @@ def test_left_outer_join_drains_tail_when_one_stream_ends_early(spark, tmp_path)
     assert clicks_out == {200 + i for i in range(8)}
     unmatched = {r["click_id"] for r in got.filter(F.col("error_id").isNull()).collect()}
     assert {200 + i for i in range(1, 8)} <= unmatched
+
+
+def test_interval_join_state_survives_restart(spark, tmp_path):
+    """Stream-stream join state must persist across a full stop/restart:
+    clicks delivered in run 1 match errors that only arrive in run 2 (same
+    checkpoint), and the final left-outer sink equals the batch answer.
+    This is ST6 (replay/recovery) for the hardest stateful operator."""
+    import datetime as dt
+    import json as js
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.queries import (
+        EVENT_WIRE_SCHEMA,
+        _clamped_shuffle_partitions,
+    )
+    from kafkasparkstream_spark.sources.json_parse import parse_json_events
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.pipeline import stream_interval_join
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+
+    def wire(eid, uid, typ, minutes):
+        ts = (base + dt.timedelta(minutes=minutes)).strftime("%Y-%m-%dT%H:%M:%S.%f")
+        return js.dumps(
+            {"event_id": eid, "user_id": uid, "event_type": typ, "value": 1.0, "ts": ts}
+        )
+
+    src_c, src_e = tmp_path / "clicks", tmp_path / "errors"
+    os.makedirs(src_c); os.makedirs(src_e)
+    # run 1: clicks only (no errors yet) — join state must hold them
+    (src_c / "w1.json").write_text(
+        "\n".join([wire(200, 0, "click", 0), wire(201, 1, "click", 1)]) + "\n"
+    )
+    (src_e / "w1.json").write_text("")  # empty first wave
+
+    def run_once():
+        def _stream(path):
+            raw = file_json_stream(spark, str(path), max_files_per_trigger=None)
+            return parse_json_events(
+                raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts"
+            )
+
+        pairs = stream_interval_join(
+            _stream(src_c), _stream(src_e),
+            key="user_id", left_ts="ts", right_ts="ts",
+            watermark="1 minute", within_seconds=600, how="left_outer",
+        ).select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("error_id"),
+        )
+        with _clamped_shuffle_partitions(spark):
+            q = (
+                pairs.writeStream.foreachBatch(
+                    foreach_batch_parquet_sink(str(tmp_path / "sink"))
+                )
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run_once()  # run 1: both clicks parked in state, nothing emitted
+
+    # run 2: an error for user 0 within click 200's 10-minute window, plus
+    # flush sentinels on both sides (max real ts + 2 h)
+    (src_c / "w2.json").write_text(wire(-1, -1, "flush", 125) + "\n")
+    (src_e / "w2.json").write_text(
+        "\n".join([wire(100, 0, "error", 5), wire(-1, -1, "flush", 125)]) + "\n"
+    )
+    run_once()  # same checkpoint: recovered state must match the new error
+
+    got = {
+        (r["click_id"], r["error_id"])
+        for r in spark.read.parquet(str(tmp_path / "sink"))
+        .filter(F.col("click_id") >= 0)
+        .collect()
+    }
+    # click 200 (run 1) matched by error 100 (run 2) — state crossed the
+    # restart; click 201 drains unmatched via the sentinels
+    assert got == {(200, 100), (201, None)}
