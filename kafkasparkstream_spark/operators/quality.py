@@ -31,9 +31,19 @@ def check_range(col: str, lo, hi) -> tuple[str, Column]:
     return f"{col}_in_range", ~F.col(col).between(lo, hi)
 
 def check_json_parseable(col: str, schema: str) -> tuple[str, Column]:
+    """Flag non-null strings that fail to parse as JSON AT ALL. Spark 4's
+    PERMISSIVE from_json never returns a null struct for malformed input
+    (it yields a struct of null fields — indistinguishable from valid JSON
+    missing those fields), so detection must ride the corrupt-record
+    column: only truly unparseable input populates it."""
+    parsed = F.from_json(
+        F.col(col),
+        f"{schema}, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
     return (
         f"{col}_json_parseable",
-        F.col(col).isNotNull() & F.from_json(F.col(col), schema).isNull(),
+        F.col(col).isNotNull() & parsed.getField("_corrupt_record").isNotNull(),
     )
 
 
