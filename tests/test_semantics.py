@@ -340,3 +340,37 @@ def test_builtin_approx_aggs_within_tolerance(spark):
         for field, v in r.asDict().items():
             if field.startswith("approx"):
                 assert abs(v - exact_n) <= 0.1 * exact_n, (field, v, exact_n)
+
+
+def test_md5_int_matches_duckdb_twin(spark):
+    """The documented SQL twin of md5_int must reproduce the Spark values
+    bit-for-bit — on ints, strings, unicode, the empty string, and salted
+    variants. Every dedup/sampling oracle leans on this contract."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.functions.hashing import md5_int
+
+    vals = ["", "a", "hello world", "naïve café ☕", "0", "12345", "sensor_7"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: (r["h8"], r["h15"], r["salted"])
+        for r in df.select(
+            "s",
+            md5_int(F.col("s")).alias("h8"),
+            md5_int(F.col("s"), hex_chars=15).alias("h15"),
+            md5_int(F.col("s"), salt="tag_").alias("salted"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        h8, h15, salted = con.execute(
+            """
+            SELECT CAST(('0x' || substr(md5(?), 1, 8)) AS BIGINT),
+                   CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT),
+                   CAST(('0x' || substr(md5('tag_' || ?), 1, 8)) AS BIGINT)
+            """,
+            [v, v, v],
+        ).fetchone()
+        assert got[v] == (h8, h15, salted), (v, got[v], (h8, h15, salted))
