@@ -468,3 +468,25 @@ def test_basket_lift_has_no_fact_join(spark):
     means the expensive self-join came back."""
     plan = _plan(spark, "brand_basket_lift")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_plan_report_detects_degenerate_joins(spark):
+    """The watchdog's watchdog: plan_report must actually flag a cartesian
+    product and a broadcast-nested-loop join when one is planned — if
+    Spark ever renames these nodes, every guard in this file silently
+    stops guarding, so this test plants real degenerate plans and expects
+    the alarm."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(5)
+    b = spark.range(5).withColumnRenamed("id", "id2")
+    cross = a.crossJoin(b)
+    rep = plan_report(cross)
+    assert rep.degenerate, f"cartesian not flagged: {rep}"
+
+    bnlj = a.join(F.broadcast(b), F.col("id") < F.col("id2"))
+    rep2 = plan_report(bnlj)
+    assert rep2.degenerate, f"BNLJ not flagged: {rep2}"
+
+    clean = a.join(b, F.col("id") == F.col("id2"))
+    assert not plan_report(clean).degenerate
