@@ -680,3 +680,56 @@ def containment_pairs(
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_chars: int = 32,
+    max_dist: int = 40,
+) -> DataFrame:
+    """Near-duplicate pairs by bounded edit distance with prefix blocking:
+    only documents sharing their first ``block_chars`` characters (after
+    trim) are compared; the banded-threshold Levenshtein verifies within
+    the block. Result-preserving prunes before the kernel: distance ≥ the
+    length difference, and the threshold form runs O(len·k) instead of
+    the full O(len²) table. The localCheckpoint is a deliberate
+    optimization BARRIER — without it Catalyst pushes the distance filter
+    into the join condition AHEAD of the cheap conjuncts, running the
+    kernel ~3× per candidate (measured 13.5 s → 2.5 s at sf0.1); fanout
+    then spreads the kernel across cores (the checkpoint inherits the
+    scan's few splits)."""
+    from kafkasparkstream_spark.util import fanout
+
+    b = docs.select(
+        F.col(id_col).alias("_id"),
+        F.trim(text_col).alias("_t"),
+        F.length(F.trim(text_col)).alias("_len"),
+        F.substring(F.trim(text_col), 1, block_chars).alias("_blk"),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= max_dist),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._t").alias("_ta"),
+            F.col("b._t").alias("_tb"),
+        )
+        .localCheckpoint()
+    )
+    return (
+        fanout(pairs)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb", max_dist).cast("long").alias("edit_dist"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )

@@ -30,20 +30,21 @@ def check_in_domain(col: str, values: tuple[str, ...]) -> tuple[str, Column]:
 def check_range(col: str, lo, hi) -> tuple[str, Column]:
     return f"{col}_in_range", ~F.col(col).between(lo, hi)
 
-def check_json_parseable(col: str, schema: str) -> tuple[str, Column]:
-    """Flag non-null strings that fail to parse as JSON AT ALL. Spark 4's
-    PERMISSIVE from_json never returns a null struct for malformed input
-    (it yields a struct of null fields — indistinguishable from valid JSON
-    missing those fields), so detection must ride the corrupt-record
-    column: only truly unparseable input populates it."""
-    parsed = F.from_json(
-        F.col(col),
-        f"{schema}, _corrupt_record STRING",
-        {"columnNameOfCorruptRecord": "_corrupt_record"},
-    )
+def check_json_parseable(col: str, schema: str | None = None) -> tuple[str, Column]:
+    """Flag non-null strings that are not valid JSON — the exact semantic
+    of DuckDB's ``json_valid`` (objects, arrays, and scalars all count as
+    valid), via ``try_parse_json``, which returns NULL for any
+    unparseable input including empty/whitespace strings. Schema-directed
+    ``from_json`` cannot express this on Spark 4: PERMISSIVE mode yields
+    a struct of null fields for malformed OBJECTS (indistinguishable from
+    valid JSON missing those fields) yet a null struct for blank input,
+    and its corrupt-record column also fires on valid non-object JSON.
+    ``schema`` is accepted for signature stability but unused — validity
+    is schema-independent."""
+    del schema  # validity is schema-independent; kept for call-site compat
     return (
         f"{col}_json_parseable",
-        F.col(col).isNotNull() & parsed.getField("_corrupt_record").isNotNull(),
+        F.col(col).isNotNull() & F.try_parse_json(F.col(col)).isNull(),
     )
 
 

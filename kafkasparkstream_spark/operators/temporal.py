@@ -524,3 +524,21 @@ def bounded_ewma(
         num = num + F.coalesce(lk * F.lit(wt), F.lit(0.0))
         den = den + F.when(lk.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
     return df.withColumn("ewma", num / den)
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    gap_seconds: float = 5.0,
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Telemetry debounce flag: within each key's (ts, tie) order, a row
+    arriving ≤ ``gap_seconds`` after the PREVIOUS row (kept or not) is a
+    bounce — double-click, retry, sensor chatter. Adds a boolean ``keep``
+    column; one keyed WindowExec lag pass. Distinct from dedup (bounces
+    are real distinct events arriving too fast) and from sessionization
+    (keeps the first of a burst rather than grouping it)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tie_col)
+    gap = F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
+    return df.withColumn("keep", gap.isNull() | (gap > gap_seconds))

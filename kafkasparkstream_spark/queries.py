@@ -2239,6 +2239,37 @@ def _clamped_shuffle_partitions(spark: SparkSession, cap: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _drain_sink(spark, q, sink: str, n_rows: int, timeout_s: float = 120.0) -> bool:
+    """Poll a parquet sink until it holds ``n_rows`` rows, the query dies,
+    or the deadline passes; then stop the query and re-check the SETTLED
+    sink (the final rows can land in the last poll gap). Fast-fails when
+    the query terminates early — awaitTermination surfaces its error.
+    Returns whether the sink drained; shared by the stream-source query
+    and its pytest twin so the drain logic cannot drift."""
+    import time as _t
+
+    deadline = _t.time() + timeout_s
+    drained = False
+    while _t.time() < deadline:
+        if not q.isActive:
+            break
+        try:
+            if spark.read.parquet(sink).count() >= n_rows:
+                drained = True
+                break
+        except Exception:
+            pass  # sink dir not created yet on the first probes
+        _t.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    if not drained:
+        try:
+            drained = spark.read.parquet(sink).count() >= n_rows
+        except Exception:
+            drained = False
+    return drained
+
+
 def _wire_with_flush_sentinel(
     events: DataFrame, path: str, anchor: DataFrame | None = None
 ) -> None:
@@ -6332,28 +6363,7 @@ def python_stream_source_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
-    deadline = _time.time() + 120
-    drained = False
-    while _time.time() < deadline:
-        if not q.isActive:
-            break  # terminated (error surfaces from awaitTermination below)
-        try:
-            if spark.read.parquet(sink).count() >= 600:
-                drained = True
-                break
-        except Exception:
-            pass  # sink dir not created yet on the first probes
-        _time.sleep(0.5)
-    q.stop()
-    q.awaitTermination()
-    if not drained:
-        # the final rows may have landed in the last poll gap — recheck the
-        # settled sink before declaring a timeout
-        try:
-            drained = spark.read.parquet(sink).count() >= 600
-        except Exception:
-            drained = False
-    if not drained:
+    if not _drain_sink(spark, q, sink, n_rows=600, timeout_s=120):
         raise RuntimeError(
             "python_stream_source_gen: stream did not drain 600 rows within "
             "120 s — timeout, not a determinism failure"
@@ -6751,49 +6761,9 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     costlier verify); an all-pairs Levenshtein would be O(n²·len²). The
     equi-join on the block key is an ordinary shuffled hash join."""
     docs = load_table(spark, "documents", sf_dir)
-    b = docs.select(
-        "doc_id",
-        F.trim("text").alias("t"),
-        F.length(F.trim("text")).alias("len"),
-        F.substring(F.trim("text"), 1, 32).alias("blk"),
-    )
-    a, bb = b.alias("a"), b.alias("b")
-    # result-preserving prunes before the expensive kernel: distance is
-    # ≥ the length difference (skip hopeless pairs without touching the
-    # strings), and the threshold form of levenshtein runs the banded
-    # O(len·k) algorithm instead of the full O(len²) table (returns -1
-    # above the bound — exactly the pairs the filter drops anyway).
-    # The localCheckpoint is a deliberate optimization BARRIER: without it
-    # Catalyst pushes the edit_dist filter into the join condition AHEAD
-    # of the cheap doc_id/len conjuncts, running the kernel ~3× per
-    # candidate (measured 13.5 s → 2.5 s at sf0.1).
-    pairs = (
-        a.join(
-            bb,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= 40),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.t").alias("ta"),
-            F.col("b.t").alias("tb"),
-        )
-        .localCheckpoint()
-    )
-    from kafkasparkstream_spark.util import fanout
-
-    return (
-        fanout(pairs)  # the join lands on the scan's few splits; spread the
-        .select(       # O(len·k) kernel across cores (no-op at real scale)
-            "id_a",
-            "id_b",
-            F.levenshtein("ta", "tb", 40).cast("long").alias("edit_dist"),
-        )
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 40))
-        .orderBy("id_a", "id_b")
-    )
+    return dedup.edit_distance_pairs(
+        docs, block_chars=32, max_dist=40
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -6864,15 +6834,8 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     burst rather than grouping it). One keyed WindowExec lag pass — the
     same shape runs streaming via the watermark-scoped dropDuplicates
     stage with a rounded-time key."""
-    from pyspark.sql.window import Window
-
     events = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-    l = events.select(
-        "event_type",
-        (gap.isNull() | (gap > 5)).alias("keep"),
-    )
+    l = temporal.debounce(events).select("event_type", "keep")
     return (
         l.groupBy("event_type")
         .agg(

@@ -48,6 +48,9 @@ def test_quality_audit_exact_violation_counts(spark):
             (2, None, -1.0, "not json"),
             (2, "zzz", 1000.0, None),
             (3, "view", 50.0, '{"a": 2}'),
+            (4, "view", 50.0, ""),        # blank: invalid JSON (json_valid semantics)
+            (5, "view", 50.0, "[1, 2]"),  # valid non-object JSON: NOT a violation
+            (6, "view", 50.0, "123"),     # valid scalar JSON: NOT a violation
         ],
         "event_id long, event_type string, value double, props string",
     )
@@ -68,10 +71,11 @@ def test_quality_audit_exact_violation_counts(spark):
     # null is NOT a domain violation (not-null is its own check)
     assert rep["event_type_in_domain"]["n_violations"] == 1
     assert rep["value_in_range"]["n_violations"] == 2  # -1 and 1000
-    # null props: parse check counts only non-null unparseable strings
-    assert rep["props_json_parseable"]["n_violations"] == 1
+    # json_valid semantics: 'not json' and '' are violations; null is
+    # skipped; arrays and scalars are VALID JSON (matching the oracle)
+    assert rep["props_json_parseable"]["n_violations"] == 2
     assert rep["event_id_unique"]["n_violations"] == 1  # id 2 twice
-    assert all(r["n_rows"] == 4 for r in rep.values())
+    assert all(r["n_rows"] == 7 for r in rep.values())
     assert not rep["value_in_range"]["passed"]
 
 

@@ -188,26 +188,11 @@ def test_python_stream_source_drains_exact_rows(spark, tmp_path):
         .trigger(processingTime="0 seconds")
         .start()
     )
-    deadline = time.time() + 120
-    drained = False
-    while time.time() < deadline:
-        if not q.isActive:
-            break  # terminated; awaitTermination below surfaces the error
-        try:
-            if spark.read.parquet(sink).count() >= 250:
-                drained = True
-                break
-        except Exception:
-            pass  # sink dir not created yet on the first probes
-        time.sleep(0.5)
-    q.stop()
-    q.awaitTermination()
-    if not drained:  # final rows may land in the last poll gap
-        try:
-            drained = spark.read.parquet(sink).count() >= 250
-        except Exception:
-            drained = False
-    assert drained, "stream did not drain 250 rows in 120 s (timeout, not content)"
+    from kafkasparkstream_spark.queries import _drain_sink
+
+    assert _drain_sink(spark, q, sink, n_rows=250, timeout_s=120), (
+        "stream did not drain 250 rows in 120 s (timeout, not content)"
+    )
 
     got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
     assert got == sorted(gen_row(i) for i in range(250))

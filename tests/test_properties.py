@@ -668,18 +668,14 @@ def test_debounce_matches_reference(spark, rows):
     events. Note the operator debounces against the previous EVENT, not
     the previous KEPT event — a long burst with 4 s spacing keeps only its
     first row under the reference semantics pinned here."""
-    from kafkasparkstream_spark.queries import debounce_events as _q  # noqa: F401
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+
+    from kafkasparkstream_spark.operators.temporal import debounce
 
     df = _mk_df(spark, rows).withColumn("event_type", F.lit("t"))
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
     got = {
         r["event_id"]: r["keep"]
-        for r in df.select(
-            "event_id", (gap.isNull() | (gap > 5)).alias("keep")
-        ).collect()
+        for r in debounce(df).select("event_id", "keep").collect()
     }
     by_key: dict[int, list] = {}
     for i, (k, s, v) in enumerate(rows):
@@ -861,11 +857,11 @@ def test_cusum_argmax_matches_reference(spark, rows):
     for pos, (ts, _, v) in enumerate(seq, start=1):
         cum += v
         dev = abs(cum - pos * mean)
-        if best is None or dev > best[0] + 1e-12 or (
-            abs(dev - best[0]) <= 1e-12 and ts < best[1]
-        ):
+        # exact comparisons: every term is the same IEEE op sequence Spark
+        # runs, so values are bit-identical and ties are exact, never eps
+        if best is None or dev > best[0]:
             best = (dev, ts)
-    assert abs(got["cusum"] - best[0]) < 1e-6
+    assert abs(got["cusum"] - best[0]) < 1e-9
     assert got["ts"].replace(tzinfo=None) == best[1]
 
 
@@ -931,40 +927,17 @@ def test_first_touch_attribution_matches_reference(spark, purchases, touches):
     )
 )
 def test_edit_distance_blocking_matches_bruteforce(spark, docs):
-    """The prefix-blocked banded-Levenshtein pair set must equal the
-    brute-force scan restricted to the same blocking rule — including
-    short texts (block = whole text), whitespace-only docs (trim!), and
-    the length-difference prune (which must never drop a qualifying
-    pair)."""
-    from pyspark.sql import functions as F
-
-    from kafkasparkstream_spark.util import fanout  # noqa: F401
+    """The SHIPPED edit_distance_pairs operator must equal the brute-force
+    scan restricted to the same blocking rule — including short texts
+    (block = whole text), whitespace-only docs (trim!), and the
+    length-difference prune (which must never drop a qualifying pair)."""
+    from kafkasparkstream_spark.operators.dedup import edit_distance_pairs
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
     )
-    b = df.select(
-        "doc_id",
-        F.trim("text").alias("t"),
-        F.length(F.trim("text")).alias("len"),
-        F.substring(F.trim("text"), 1, 8).alias("blk"),
-    )
-    a, bb = b.alias("a"), b.alias("b")
-    pairs = (
-        a.join(
-            bb,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= 5),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.t"), F.col("b.t"), 5).cast("long").alias("d"),
-        )
-        .filter((F.col("d") >= 0) & (F.col("d") <= 5))
-    )
-    got = {(r["id_a"], r["id_b"], r["d"]) for r in pairs.collect()}
+    pairs = edit_distance_pairs(df, block_chars=8, max_dist=5)
+    got = {(r["id_a"], r["id_b"], r["edit_dist"]) for r in pairs.collect()}
 
     def lev(x, y):
         prev = list(range(len(y) + 1))
