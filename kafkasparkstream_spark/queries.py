@@ -6340,7 +6340,6 @@ def python_stream_source_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate-limited produce loop (generator.py:86-97) as a first-class
     streaming source rather than an external process."""
     import tempfile
-    import time as _time
 
     from kafkasparkstream_spark.sources.python_source import SensorGenDataSource
 
