@@ -665,6 +665,8 @@ def skyline_2d(df: DataFrame, x: str, y: str, bucket_width: float = 500.0) -> Da
     """
     from pyspark.sql.window import Window
 
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be positive")
     bkt = F.floor(F.col(x) / F.lit(bucket_width)).cast("long")
     # The input feeds both the threshold build AND the final filter join;
     # without materialization Catalyst re-executes the whole upstream plan

@@ -515,6 +515,8 @@ def bounded_ewma(
     per-row prefix renormalizes by the weights actually present, so early
     rows are unbiased. Adds an ``ewma`` column; one keyed WindowExec pass,
     constant work per row regardless of history length."""
+    if not (0.0 < alpha < 1.0) or taps < 1:
+        raise ValueError("need 0 < alpha < 1 and taps >= 1")
     w = Window.partitionBy(key).orderBy(*order_cols)
     num = F.col(value).cast("double")
     den = F.lit(1.0)
