@@ -86,3 +86,22 @@ def test_quality_audit_on_all_null_column(spark):
     assert by["x_not_null"]["n_violations"] == 2
     # count(col) ignores nulls → zero non-null rows, zero duplicates
     assert by["x_unique"]["n_violations"] == 0
+
+
+def test_operator_parameter_guards():
+    """Misconfigured operators must fail at build time with clear errors,
+    not produce silently wrong plans."""
+    import pytest as _pytest
+
+    from kafkasparkstream_spark.operators.analytics import skyline_2d
+    from kafkasparkstream_spark.operators.temporal import bounded_ewma
+    from kafkasparkstream_spark.functions.hashing import md5_int
+
+    with _pytest.raises(ValueError, match="bucket_width"):
+        skyline_2d(None, x="x", y="y", bucket_width=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        bounded_ewma(None, key="k", value="v", alpha=1.0)
+    with _pytest.raises(ValueError, match="taps"):
+        bounded_ewma(None, key="k", value="v", taps=0)
+    with _pytest.raises(ValueError, match="hex_chars"):
+        md5_int(None, hex_chars=16)
