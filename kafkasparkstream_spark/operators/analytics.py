@@ -648,11 +648,18 @@ def order_to_ship_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
-def skyline_2d(df: DataFrame, x: str, y: str, bucket_width: float = 500.0) -> DataFrame:
-    """Strict-dominance 2-D skyline: rows for which no other row has BOTH a
-    strictly greater ``x`` and a strictly greater ``y`` (ties on either axis
-    never dominate). Returns the input rows (original columns) on the
-    frontier.
+def skyline_2d(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bucket_width: float = 500.0,
+    maximize: tuple[bool, bool] = (True, True),
+) -> DataFrame:
+    """Strict-dominance 2-D skyline: rows for which no other row is
+    strictly better on BOTH axes (ties on either axis never dominate).
+    ``maximize`` sets the better-direction per axis — (True, False) finds
+    e.g. max-performance/min-cost frontiers. Returns the input rows
+    (original columns) on the frontier.
 
     Distributed sweep, never a global sort: bucket the x-axis into
     fixed-width ranges; reduce to max(y) per (bucket, x) — the one
@@ -667,30 +674,42 @@ def skyline_2d(df: DataFrame, x: str, y: str, bucket_width: float = 500.0) -> Da
 
     if not bucket_width > 0:
         raise ValueError("bucket_width must be positive")
-    bkt = F.floor(F.col(x) / F.lit(bucket_width)).cast("long")
+    # minimize-direction axes run through negation: dominance on -v is
+    # dominance-toward-smaller v, and the sweep below stays max-max
+    mx, my = maximize
+    xi = F.col(x) if mx else (-F.col(x))
+    yi = (F.col(y) if my else (-F.col(y))).alias("_yi")
+    bkt = F.floor(xi / F.lit(bucket_width)).cast("long")
     # The input feeds both the threshold build AND the final filter join;
     # without materialization Catalyst re-executes the whole upstream plan
     # (often an aggregate over a fact join) once per consumer. One eager
     # localCheckpoint pins the (post-aggregate, key-sized) table on
     # executors; blocks free on GC via the context cleaner.
-    co = df.withColumn("_bkt", bkt).localCheckpoint()
-    g = co.groupBy("_bkt", x).agg(F.max(y).alias("_gmax"))
+    co = (
+        df.withColumn("_bkt", bkt)
+        .withColumn("_xi", xi)
+        .withColumn("_yi", F.col(y) if my else (-F.col(y)))
+        .localCheckpoint()
+    )
+    g = co.groupBy("_bkt", "_xi").agg(F.max("_yi").alias("_gmax"))
     b = g.groupBy("_bkt").agg(F.max("_gmax").alias("_bmax"))
     wb = Window.orderBy(F.col("_bkt").desc()).rowsBetween(Window.unboundedPreceding, -1)
     carry = b.withColumn("_carry", F.max("_bmax").over(wb)).select("_bkt", "_carry")
     wg = (
         Window.partitionBy("_bkt")
-        .orderBy(F.col(x).desc())
+        .orderBy(F.col("_xi").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     thresh = (
         g.join(F.broadcast(carry), "_bkt")
         .withColumn("_local", F.max("_gmax").over(wg))
         .withColumn("_best_above", F.greatest("_local", "_carry"))
-        .select("_bkt", x, "_best_above")
+        .select("_bkt", "_xi", "_best_above")
     )
     return (
-        co.join(thresh, ["_bkt", x])
-        .filter(F.col("_best_above").isNull() | (F.col("_best_above") <= F.col(y)))
-        .drop("_bkt", "_best_above")
+        co.join(thresh, ["_bkt", "_xi"])
+        .filter(
+            F.col("_best_above").isNull() | (F.col("_best_above") <= F.col("_yi"))
+        )
+        .drop("_bkt", "_xi", "_yi", "_best_above")
     )

@@ -957,3 +957,36 @@ def test_edit_distance_blocking_matches_bruteforce(spark, docs):
                 if d <= 5:
                     want.add((i, j, d))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-8, 8), st.integers(0, 6)), min_size=1, max_size=20
+    ),
+    mx=st.booleans(),
+    my=st.booleans(),
+)
+def test_skyline_direction_variants_match_bruteforce(spark, pts, mx, my):
+    """All four better-direction combinations of the skyline must equal the
+    quadratic strict-dominance scan with the corresponding comparisons."""
+    from kafkasparkstream_spark.operators.analytics import skyline_2d
+
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    got = {
+        r["id"]
+        for r in skyline_2d(df, "x", "y", bucket_width=3.0, maximize=(mx, my)).collect()
+    }
+
+    def better(a, b, want_max):  # is a strictly better than b on this axis?
+        return a > b if want_max else a < b
+
+    want = {
+        i
+        for i, x, y in rows
+        if not any(
+            better(x2, x, mx) and better(y2, y, my) for _, x2, y2 in rows
+        )
+    }
+    assert got == want
