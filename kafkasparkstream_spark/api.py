@@ -149,29 +149,45 @@ def create_app(
 
     @app.get("/api/stats")
     def stats():  # app.py:238-288
+        # One job / one table scan: GROUPING SETS computes the global row
+        # (count + time range) and both distributions in a single
+        # partial-aggregated pass; grouping_id() tells the slices apart
+        # (NULL group values are not distinguishable from NULL data).
         df = _sensor_data()
-        total = df.count()
-        by_type = {
-            r["device_type"]: r["count"]
-            for r in df.groupBy("device_type").agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), "device_type").collect()
-        }
-        by_loc = {
-            r["location"]: r["count"]
-            for r in df.groupBy("location").agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), "location").collect()
-        }
-        rng = df.agg(
-            F.min(ts_col).alias("earliest"), F.max(ts_col).alias("latest")
-        ).collect()[0]
+        slices = (
+            df.groupingSets(
+                [[], ["device_type"], ["location"]], "device_type", "location"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.min(ts_col).alias("earliest"),
+                F.max(ts_col).alias("latest"),
+                F.grouping_id().alias("gid"),
+            )
+            .collect()
+        )
+        n_groups = 2  # grouping columns -> gid bits: device_type=2, location=1
+        total, earliest, latest = 0, None, None
+        by_type: dict = {}
+        by_loc: dict = {}
+        for r in slices:
+            if r["gid"] == (1 << n_groups) - 1:  # global slice
+                total, earliest, latest = r["count"], r["earliest"], r["latest"]
+            elif r["gid"] == 1:  # grouped by device_type (location aggregated)
+                by_type[r["device_type"]] = r["count"]
+            elif r["gid"] == 2:  # grouped by location
+                by_loc[r["location"]] = r["count"]
+        order = lambda d: dict(  # noqa: E731 — reference orders by count desc
+            sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
         return _respond(
             {
                 "total_readings": total,
-                "device_type_distribution": by_type,
-                "location_distribution": by_loc,
+                "device_type_distribution": order(by_type),
+                "location_distribution": order(by_loc),
                 "time_range": {
-                    "earliest": rng["earliest"].isoformat() if rng["earliest"] else None,
-                    "latest": rng["latest"].isoformat() if rng["latest"] else None,
+                    "earliest": earliest.isoformat() if earliest else None,
+                    "latest": latest.isoformat() if latest else None,
                 },
             }
         )

@@ -147,6 +147,42 @@ def salted_group_agg(
     )
 
 
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    salt_col: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side, replicate the dim side.
+
+    A shuffle join keyed on a skewed column sends the hot key's entire fact
+    partition to ONE reducer — the straggler that gates the stage at 100 TB.
+    Salting splits the hot key across ``buckets`` reducers: the fact rows
+    get a deterministic per-row salt (``hash(salt_col) % buckets`` — pass a
+    row-unique column, e.g. the fact's id; never a random, which breaks
+    task-retry determinism), the dim side is replicated once per bucket via
+    ``explode(sequence(...))``, and the join runs on (key, salt). Dim-side
+    cost: ``buckets ×`` its row count — use for genuinely dim-sized right
+    sides that are still too big (or too mid-plan) to broadcast.
+
+    Prefer, in order: ``broadcast(dim)`` when it fits; AQE's
+    ``skewJoin.enabled`` (splits oversized partitions at runtime) when a
+    shuffle join is unavoidable; this operator when the skew is known ahead
+    of time and per-key (AQE splits partitions, not keys — a single key
+    bigger than one executor's memory still needs key-level salting).
+    ``scripts/skew_bench.py`` measures all three on a 50%-hot-key fixture.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    f = fact.withColumn("_salt", F.pmod(F.hash(F.col(salt_col)), F.lit(buckets)))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return f.join(d, [key_col, "_salt"], how).drop("_salt")
+
+
 def distribution_stats(
     df: DataFrame,
     key_col: str = "event_type",

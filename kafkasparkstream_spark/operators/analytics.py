@@ -678,7 +678,7 @@ def skyline_2d(
     # dominance-toward-smaller v, and the sweep below stays max-max
     mx, my = maximize
     xi = F.col(x) if mx else (-F.col(x))
-    yi = (F.col(y) if my else (-F.col(y))).alias("_yi")
+    yi = F.col(y) if my else (-F.col(y))
     bkt = F.floor(xi / F.lit(bucket_width)).cast("long")
     # The input feeds both the threshold build AND the final filter join;
     # without materialization Catalyst re-executes the whole upstream plan
@@ -688,7 +688,7 @@ def skyline_2d(
     co = (
         df.withColumn("_bkt", bkt)
         .withColumn("_xi", xi)
-        .withColumn("_yi", F.col(y) if my else (-F.col(y)))
+        .withColumn("_yi", yi)
         .localCheckpoint()
     )
     g = co.groupBy("_bkt", "_xi").agg(F.max("_yi").alias("_gmax"))

@@ -408,6 +408,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Cluster near-duplicate pairs into groups: ``(doc_id, cluster_id)``
     with cluster_id = the smallest doc id in the connected component.
@@ -453,7 +454,12 @@ def connected_components(
     )
     from kafkasparkstream_spark.util import LocalCheckpointer
 
-    ck = LocalCheckpointer(pairs.sparkSession)
+    if checkpoint_mode not in ("local", "reliable"):
+        raise ValueError(f"checkpoint_mode must be 'local' or 'reliable', got {checkpoint_mode!r}")
+    # "reliable": per-round truncation goes through checkpoint() into the
+    # session's checkpoint dir — survives executor preemption; see
+    # graph.pagerank for the trade-off discussion.
+    ck = LocalCheckpointer(pairs.sparkSession, reliable=(checkpoint_mode == "reliable"))
     for _ in range(max_iters):
         # labels is hash-partitioned on u; the rename to v keeps the
         # partitioning attribute, so this join matches edges' partitioning.

@@ -22,6 +22,7 @@ def pagerank(
     id_col: str = "vec_id",
     iterations: int = 10,
     damping: float = 0.85,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Power-iteration PageRank with a fixed iteration count.
 
@@ -43,22 +44,28 @@ def pagerank(
     superseded round's blocks are freed as the next lands, so executor
     storage stays O(1) in iterations (only the final round's table — which
     the returned plan reads — outlives the call). ``localCheckpoint``
-    stores to executor memory/disk — on a cluster where executor loss must
-    be survivable mid-computation, swap for ``checkpoint()`` with a
-    reliable checkpoint dir; same plan shape.
+    stores to executor memory/disk — fast, but lost with an executor.
+    ``checkpoint_mode="reliable"`` swaps every round's truncation for a
+    reliable ``checkpoint()`` into ``sparkContext.setCheckpointDir`` (call
+    it first): identical plan shape and results, survives executor
+    preemption mid-computation at the cost of a write+read per round —
+    the right default on spot/preemptible clusters.
     """
     from kafkasparkstream_spark.util import LocalCheckpointer, checkpoint_tracked, free_rdd_ids
 
+    if checkpoint_mode not in ("local", "reliable"):
+        raise ValueError(f"checkpoint_mode must be 'local' or 'reliable', got {checkpoint_mode!r}")
+    reliable = checkpoint_mode == "reliable"
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    ed, ed_ids = checkpoint_tracked(e.join(deg, "_src"))
+    ed, ed_ids = checkpoint_tracked(e.join(deg, "_src"), reliable=reliable)
     try:
         n = nodes.count()
-        np_, np_ids = checkpoint_tracked(nodes.select(F.col(id_col)))
+        np_, np_ids = checkpoint_tracked(nodes.select(F.col(id_col)), reliable=reliable)
         ranks = np_.withColumn("rank", F.lit(1.0 / n))
         teleport = (1.0 - damping) / n
-        ck = LocalCheckpointer(spark)
+        ck = LocalCheckpointer(spark, reliable=reliable)
         for _ in range(iterations):
             inflow = (
                 ed.join(ranks, ed["_src"] == ranks[id_col])

@@ -631,9 +631,23 @@ def knn_graph(
         return ids, mat
 
     def _partial_topk(ids_q, ids_c, sims) -> pd.DataFrame:
-        """Per-row top-k of a query-block × candidate-block score matrix."""
+        """Per-row top-k of a query-block × candidate-block score matrix.
+
+        Selection order is (cosine on a 4dp grid DESC, neighbor id ASC) —
+        the same total order the global window and the SQL oracles use.
+        Ranking raw GEMM doubles here would let a last-ulp difference vs
+        another engine's sequential dot product swap which neighbor makes
+        the cut at the rank-k boundary; on the 4dp grid such near-ties
+        collapse and the id tie-break decides deterministically. The
+        composite key rq·(m+1) − id_rank is exact lexicographic order in
+        one float64 (|rq| ≤ 10^4, id_rank < m+1 ⇒ well under 2^53)."""
+        s4 = np.where(np.isfinite(sims), sims, -2.0) * 10000.0  # -inf diag → below any real cos
+        t = np.trunc(s4)
+        rq = np.where(np.abs(s4 - t) == 0.5, t + np.sign(s4), np.rint(s4))
+        id_rank = np.argsort(np.argsort(ids_c))
+        comp = rq * (len(ids_c) + 1.0) - id_rank
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        part = np.argpartition(-comp, kk - 1, axis=1)[:, :kk]
         rows = np.repeat(ids_q, kk)
         cols = ids_c[part.ravel()]
         vals = np.take_along_axis(sims, part, axis=1).ravel()
@@ -666,7 +680,11 @@ def knn_graph(
         .groupBy("ti", "tj")
         .applyInPandas(tile_kernel, out_schema)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # Global reduce ranks on the same (4dp grid DESC, id ASC) total order as
+    # the tile kernels and the SQL oracles (see _partial_topk).
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("cos") * 10000, 0)), F.asc("neighbor_id")
+    )
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

@@ -186,17 +186,24 @@ def time_weighted_avg(
     not let burst periods dominate the mean.
 
     One shuffle on the key; the next-timestamp lookup is a `lead` in the
-    same window pass. Durations are exact int64 microseconds; the weighted
-    sum divides only at the end, so the oracle (identical SQL) reproduces
-    the arithmetic bit-for-bit up to the final rounding grid.
+    same window pass.
+
+    Portability grid: values ride an integer cents grid and the weighted
+    sum is pure int64 arithmetic (cents × microseconds), summed exactly in
+    any accumulation order on any engine; the single float division and the
+    scale-0 round at the end are then bit-identical everywhere — the float
+    SUM(value · dur) form flipped rounded rows against the oracle at 10×
+    data. Magnitudes: |cents| ≤ ~10^5 and per-key span is bounded by the
+    dataset's time range, so the int64 sum has ~10^18 of headroom.
     """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc(tiebreak))
     us = F.unix_micros(F.col(ts_col))
     dur = F.lead(us, 1).over(w) - us
+    vq = F.round(F.col(value_col) * 100, 0).cast("long")
     weighted = df.select(
-        key, F.col(value_col).alias("_v"), dur.alias("_dur_us")
+        key, vq.alias("_vq"), dur.alias("_dur_us")
     ).filter(F.col("_dur_us").isNotNull())
     # A key whose readings all share one instant has zero total span — its
     # TWA is undefined (and a 0/0 under ANSI mode); exclude it, as the
@@ -204,16 +211,28 @@ def time_weighted_avg(
     return (
         weighted.groupBy(key)
         .agg(
-            F.sum(F.col("_v") * (F.col("_dur_us") / 1_000_000.0)).alias("_ws"),
-            F.sum(F.col("_dur_us") / 1_000_000.0).alias("_span_sec"),
+            F.sum(F.col("_vq") * F.col("_dur_us")).alias("_sp"),
+            F.sum(F.col("_dur_us")).alias("_sd"),
             F.count(F.lit(1)).alias("n_intervals"),
         )
-        .filter(F.col("_span_sec") > 0)  # before the divide: ANSI-safe
+        .filter(F.col("_sd") > 0)  # before the divide: ANSI-safe
         .select(
             key,
-            F.round(F.col("_ws") / F.col("_span_sec"), 4).alias("twa_value"),
+            (
+                F.round(
+                    F.col("_sp").cast("double")
+                    / F.col("_sd").cast("double")
+                    / 100.0
+                    * 10000,
+                    0,
+                )
+                / 10000
+                + 0.0  # canonicalize IEEE -0.0 across engines
+            ).alias("twa_value"),
             "n_intervals",
-            F.round("_span_sec", 4).alias("span_seconds"),
+            (F.round(F.col("_sd").cast("double") / 100.0, 0) / 10000).alias(
+                "span_seconds"
+            ),
         )
         .orderBy(key)
     )

@@ -209,16 +209,33 @@ def zscore_per_key_window(
     """Per-key z-score via window functions — the preferred shape for
     SQL-expressible per-key math: stays in whole-stage codegen, one shuffle
     on the key, no Python hop. ~6× faster than the grouped-map form when
-    keys are numerous and small (measured at sf0.1 / 1500 keys)."""
+    keys are numerous and small (measured at sf0.1 / 1500 keys).
+
+    Portability grid: values are quantized to an integer cents grid and
+    mean/variance are derived from exact integer sums (SUM of
+    integer-valued doubles is order-independent below 2^53), so every
+    engine computes the same IEEE doubles and the final scale-0 round
+    agrees bit-for-bit at every scale factor — fractional-scale ROUND over
+    engine-accumulated floats flipped rows at 10× data. Degenerate keys
+    (single row, constant values) yield NULL z-scores.
+    """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key_col)
-    # nullif(sd, 0): a constant-valued key has sd = 0 — its z-score is
-    # undefined (null), not an ANSI divide-by-zero failure.
-    sd = F.nullif(F.stddev_samp(value_col).over(w), F.lit(0.0))
-    z = (F.col(value_col) - F.avg(value_col).over(w)) / sd
+    vq = F.round(F.col(value_col) * 100, 0)
+    s = F.sum(vq).over(w)
+    n = F.count(F.lit(1)).over(w)
+    ss = F.sum(vq * vq).over(w)
+    spread = F.min(vq).over(w) < F.max(vq).over(w)
+    var = (ss - s * s / n) / (n - 1)
+    z = (vq - s / n) / F.sqrt(var)
+    # + 0.0 canonicalizes IEEE -0.0 (DuckDB's round keeps the sign bit,
+    # Spark's BigDecimal round drops it; -0.0 + 0.0 == +0.0 everywhere)
+    zr = F.when(
+        (n > 1) & spread & (var > 0), F.round(z * 10000, 0) / 10000 + 0.0
+    )
     return df.select(
-        id_col, key_col, value_col, F.round(z, 4).alias("zscore")
+        id_col, key_col, value_col, zr.alias("zscore")
     ).orderBy(id_col)
 
 
@@ -260,22 +277,50 @@ def zscore_per_key(
         ]
     )
 
+    import numpy as np
+
+    def _round_half_away(a: "np.ndarray") -> "np.ndarray":
+        """Scale-0 round, half away from zero — bit-matches Spark's
+        BigDecimal HALF_UP and DuckDB's std::round on the same doubles.
+        np.rint is half-to-even only at exact .5 ties (which are exactly
+        representable, so the tie test below is exact); everywhere else
+        rint == nearest == both engines."""
+        t = np.trunc(a)
+        tie = np.abs(a - t) == 0.5
+        return np.where(tie, t + np.sign(a), np.rint(a))
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf[value_col].mean()
-        sd = pdf[value_col].std(ddof=1)  # sample stddev, matches stddev_samp
-        if sd and sd > 0:  # NaN (single-row group) fails sd > 0 too
-            z = ((pdf[value_col] - mu) / sd).round(4).astype("Float64")
+        # Same cents-grid/exact-integer-sum formula as the window-function
+        # twin and the SQL oracle: identical IEEE ops over identical
+        # integers on every engine — numpy's pairwise-summed float mean/std
+        # diverges from SQL accumulation in the last ulp and flips rounded
+        # rows at larger scale factors.
+        v = pdf[value_col].to_numpy(dtype="float64")
+        vq = _round_half_away(v * 100.0)
+        n = float(len(vq))
+        s = float(vq.sum())
+        ss = float((vq * vq).sum())
+        if len(vq) > 1 and vq.min() < vq.max():
+            var = (ss - s * s / n) / (n - 1.0)
+        else:
+            var = 0.0
+        if var > 0:
+            z = (vq - s / n) / np.sqrt(var)
+            # + 0.0 canonicalizes IEEE -0.0, matching both SQL engines
+            zr = pd.array(
+                _round_half_away(z * 10000.0) / 10000.0 + 0.0, dtype="Float64"
+            )
         else:
             # degenerate group (constant values or a single row): z-score is
-            # undefined — real NULLs, matching NULLIF(stddev, 0) in the
-            # window-function twin and the SQL oracle (not 0.0, not NaN).
-            z = pd.array([None] * len(pdf), dtype="Float64")
+            # undefined — real NULLs, matching the window-function twin and
+            # the SQL oracle (not 0.0, not NaN).
+            zr = pd.array([None] * len(pdf), dtype="Float64")
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],
                 key_col: pdf[key_col],
                 value_col: pdf[value_col],
-                "zscore": z,
+                "zscore": zr,
             }
         )
 

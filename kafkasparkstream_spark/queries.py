@@ -1588,12 +1588,25 @@ def session_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "zscore_per_user",
     oracle="""
+    WITH q AS (
+        SELECT event_id, user_id, value, ROUND(value * 100, 0) AS vq
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, value, vq,
+               SUM(vq) OVER win AS s, COUNT(*) OVER win AS n,
+               SUM(vq * vq) OVER win AS ss,
+               MIN(vq) OVER win AS vmin, MAX(vq) OVER win AS vmax
+        FROM q WINDOW win AS (PARTITION BY user_id)
+    )
     SELECT event_id, user_id, value,
-           ROUND((value - AVG(value) OVER w)
-                 / NULLIF(stddev_samp(value) OVER w, 0), 4) AS zscore
-    FROM events
-    WINDOW w AS (PARTITION BY user_id)
-    ORDER BY event_id
+           CASE WHEN n > 1 AND vmin < vmax
+                     AND (ss - s * s / n) / (n - 1) > 0
+                THEN ROUND((vq - s / n)
+                           / SQRT((ss - s * s / n) / (n - 1))
+                           * 10000, 0) / 10000 + 0.0
+           END AS zscore
+    FROM w ORDER BY event_id
     """,
 )
 def zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,12 +1620,25 @@ def zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "zscore_per_type_grouped_map",
     oracle="""
+    WITH q AS (
+        SELECT event_id, event_type, value, ROUND(value * 100, 0) AS vq
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, event_type, value, vq,
+               SUM(vq) OVER win AS s, COUNT(*) OVER win AS n,
+               SUM(vq * vq) OVER win AS ss,
+               MIN(vq) OVER win AS vmin, MAX(vq) OVER win AS vmax
+        FROM q WINDOW win AS (PARTITION BY event_type)
+    )
     SELECT event_id, event_type, value,
-           ROUND((value - AVG(value) OVER w)
-                 / NULLIF(stddev_samp(value) OVER w, 0), 4) AS zscore
-    FROM events
-    WINDOW w AS (PARTITION BY event_type)
-    ORDER BY event_id
+           CASE WHEN n > 1 AND vmin < vmax
+                     AND (ss - s * s / n) / (n - 1) > 0
+                THEN ROUND((vq - s / n)
+                           / SQRT((ss - s * s / n) / (n - 1))
+                           * 10000, 0) / 10000 + 0.0
+           END AS zscore
+    FROM w ORDER BY event_id
     """,
 )
 def zscore_per_type_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,19 +1981,24 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_weighted_avg_user",
     oracle="""
     WITH d AS (
-        SELECT user_id, value,
+        SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS vq,
                lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    - epoch_us(ts) AS dur_us
         FROM events
+    ),
+    a AS (
+        SELECT user_id, SUM(vq * dur_us) AS sp, SUM(dur_us) AS sd,
+               COUNT(*) AS n_intervals
+        FROM d WHERE dur_us IS NOT NULL
+        GROUP BY user_id
+        HAVING SUM(dur_us) > 0
     )
     SELECT user_id,
-           ROUND(SUM(value * (dur_us / 1000000.0)) / SUM(dur_us / 1000000.0), 4) AS twa_value,
-           COUNT(*) AS n_intervals,
-           ROUND(SUM(dur_us) / 1000000.0, 4) AS span_seconds
-    FROM d WHERE dur_us IS NOT NULL
-    GROUP BY user_id
-    HAVING SUM(dur_us) > 0
-    ORDER BY user_id
+           ROUND(CAST(sp AS DOUBLE) / CAST(sd AS DOUBLE) / 100.0 * 10000, 0)
+               / 10000 + 0.0 AS twa_value,
+           n_intervals,
+           ROUND(CAST(sd AS DOUBLE) / 100.0, 0) / 10000 AS span_seconds
+    FROM a ORDER BY user_id
     """,
 )
 def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2558,7 +2589,7 @@ def time_decay_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
         SELECT vec_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY cos DESC, neighbor_id) AS rnk
+                                  ORDER BY ROUND(cos * 10000, 0) DESC, neighbor_id) AS rnk
         FROM scored
     )
     SELECT vec_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
@@ -3954,7 +3985,7 @@ def _pagerank_oracle_sql(iterations: int = 10) -> str:
     g AS (
         SELECT src, dst FROM (
             SELECT src, dst,
-                   row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+                   row_number() OVER (PARTITION BY src ORDER BY ROUND(cos * 10000, 0) DESC, dst) AS rnk
             FROM scored) WHERE rnk <= 5
     ),
     nodes AS (SELECT vec_id FROM embeddings),
@@ -4648,7 +4679,7 @@ def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT event_type,
-               CAST(substr(regexp_replace(CAST(ABS(value) AS VARCHAR), '[0.]*', '', 'g'), 1, 1) AS INT) AS fd
+               TRY_CAST(substr(regexp_replace(CAST(ABS(value) AS VARCHAR), '[0.]*', '', 'g'), 1, 1) AS INT) AS fd
         FROM events WHERE value IS NOT NULL AND value <> 0
     ),
     c AS (
@@ -4938,7 +4969,7 @@ def id_continuity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
         SELECT src, dst FROM (
             SELECT src, dst,
-                   row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+                   row_number() OVER (PARTITION BY src ORDER BY ROUND(cos * 10000, 0) DESC, dst) AS rnk
             FROM scored) WHERE rnk <= 5
     ),
     e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM g),
@@ -5670,7 +5701,8 @@ def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     j AS (
         SELECT pf.event_type, t.s, t.n, t.nfolds,
-               (t.s - pf.sf) / (t.n - pf.nf) AS loo
+               CASE WHEN t.n > pf.nf
+                    THEN (t.s - pf.sf) / (t.n - pf.nf) END AS loo
         FROM pf JOIN t USING (event_type)
     )
     SELECT event_type,
@@ -5708,8 +5740,15 @@ def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pf.groupBy("event_type").agg(
         F.sum("sf").alias("s"), F.sum("nf").alias("n"), F.count(F.lit(1)).alias("nfolds")
     )
+    # Guarded: a type whose rows all land in one fold has n == nf for that
+    # fold; both engines must yield NULL there, not an engine-specific
+    # divide-by-zero artifact (Spark NULL vs DuckDB inf).
     j = pf.join(F.broadcast(tot), "event_type").withColumn(
-        "loo", (F.col("s") - F.col("sf")) / (F.col("n") - F.col("nf"))
+        "loo",
+        F.when(
+            F.col("n") > F.col("nf"),
+            (F.col("s") - F.col("sf")) / (F.col("n") - F.col("nf")),
+        ),
     )
     return (
         j.groupBy("event_type")
@@ -6002,7 +6041,7 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
         SELECT vec_id, neighbor_id,
                row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY cos DESC, neighbor_id) AS rnk
+                                  ORDER BY ROUND(cos * 10000, 0) DESC, neighbor_id) AS rnk
         FROM scored
     ),
     knn AS (SELECT vec_id, neighbor_id FROM ranked WHERE rnk <= 5),
@@ -7021,8 +7060,8 @@ def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                b.label AS label_b,
                list_cosine_similarity(a.emb, b.emb) AS cos,
                row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY list_cosine_similarity(a.emb, b.emb)
-                                               DESC, b.vec_id) AS knn_rnk
+                                  ORDER BY ROUND(list_cosine_similarity(a.emb, b.emb)
+                                                 * 10000, 0) DESC, b.vec_id) AS knn_rnk
         FROM e a JOIN e b ON a.vec_id <> b.vec_id
     ),
     ranked AS (
@@ -7627,27 +7666,41 @@ def streaming_batch_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "window_start",
         "event_type",
-        F.round("avg_value", 4).alias("avg_value"),
-        F.col("reading_count").cast("long").alias("reading_count"),
+        F.col("avg_value").alias("s_avg"),
+        F.col("reading_count").cast("long").alias("s_count"),
     )
     batch = (
         events.groupBy(
             F.window("ts", "1 minute").alias("w"), "event_type"
         )
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.count(F.lit(1)).alias("reading_count"),
+            F.avg("value").alias("b_avg"),
+            F.count(F.lit(1)).alias("b_count"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value", "reading_count")
+        .select(F.col("w.start").alias("window_start"), "event_type", "b_avg", "b_count")
     )
-    cols = ["window_start", "event_type", "avg_value", "reading_count"]
-    mism = (
-        batch.select(*cols).exceptAll(streamed.select(*cols))
-        .unionAll(streamed.select(*cols).exceptAll(batch.select(*cols)))
+    # Keyed full-outer reconciliation with a float tolerance, not exact
+    # equality of independently rounded averages: the two paths accumulate
+    # partial sums in different orders, so a window whose true average sits
+    # on a 4dp .5 boundary could round apart and report a spurious
+    # mismatch. Counts compare exactly; averages within 1e-9 (noise is
+    # ~1e-13 relative) agree, genuine divergence still fails the oracle.
+    j = batch.join(streamed, ["window_start", "event_type"], "full_outer")
+    mismatch = (
+        F.col("b_count").isNull()
+        | F.col("s_count").isNull()
+        | (F.col("b_count") != F.col("s_count"))
+        | (F.abs(F.col("b_avg") - F.col("s_avg")) > 1e-9)
     )
     return batch.agg(
         F.count(F.lit(1)).alias("n_windows")
-    ).join(F.broadcast(mism.agg(F.count(F.lit(1)).alias("n_mismatches"))))
+    ).join(
+        F.broadcast(
+            j.agg(
+                F.sum(mismatch.cast("long")).alias("n_mismatches")
+            ).select(F.coalesce("n_mismatches", F.lit(0)).alias("n_mismatches"))
+        )
+    )
 
 
 @register(

@@ -44,16 +44,32 @@ def free_rdd_ids(sc, ids) -> None:
                 pass
 
 
-def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set]:
+def checkpoint_tracked(df: DataFrame, reliable: bool = False) -> tuple[DataFrame, set]:
     """``localCheckpoint`` + the ids of the blocks it pinned, so callers can
     free them deterministically (``Dataset.unpersist`` is a no-op for
     checkpoint blocks — they otherwise live until driver GC).
+
+    ``reliable=True`` swaps in a reliable ``checkpoint()`` to the session's
+    checkpoint dir (``sparkContext.setCheckpointDir`` must have been
+    called): survives executor loss on preemptible clusters, costs a
+    write+read of the table per round. No executor blocks are pinned in
+    that mode, so the returned free-set is empty; superseded round files
+    are removed by Spark's reference-tracking cleaner
+    (``spark.cleaner.referenceTracking.cleanCheckpoints``) or checkpoint-dir
+    TTL hygiene, not by ``free_rdd_ids``.
 
     Not safe under concurrent checkpoint activity on the same session (the
     id set is computed by before/after diff); the iterative operators using
     this run their loops synchronously.
     """
     sc = df.sparkSession.sparkContext
+    if reliable:
+        if sc._jsc.sc().checkpointDir().isEmpty():
+            raise ValueError(
+                "reliable checkpoint mode requires "
+                "spark.sparkContext.setCheckpointDir(...) to be set"
+            )
+        return df.checkpoint(eager=True), set()
     before = _persistent_ids(sc)
     out = df.localCheckpoint()
     return out, _persistent_ids(sc) - before
@@ -74,13 +90,14 @@ class LocalCheckpointer:
     storage is bounded at history+1 tables regardless of iteration count.
     """
 
-    def __init__(self, spark, history: int = 1):
+    def __init__(self, spark, history: int = 1, reliable: bool = False):
         self._sc = spark.sparkContext
         self._past: list[set] = []
         self._history = max(1, history)
+        self._reliable = reliable
 
     def step(self, df: DataFrame) -> DataFrame:
-        out, new = checkpoint_tracked(df)
+        out, new = checkpoint_tracked(df, reliable=self._reliable)
         self._past.append(new)
         while len(self._past) > self._history + 1:
             free_rdd_ids(self._sc, self._past.pop(0))  # superseded, unread

@@ -72,8 +72,9 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = "?
     _, s_norm = normalize_result(s_cols, s_rows)
     _, d_norm = normalize_result(d_cols, d_rows)
     if s_norm != d_norm:
-        diff_s = [r for r in s_norm if r not in set(d_norm)][:5]
-        diff_d = [r for r in d_norm if r not in set(s_norm)][:5]
+        d_set, s_set = set(d_norm), set(s_norm)
+        diff_s = [r for r in s_norm if r not in d_set][:5]
+        diff_d = [r for r in d_norm if r not in s_set][:5]
         raise AssertionError(
             f"{name}: value mismatch.\n spark-only (≤5): {diff_s}\n duckdb-only (≤5): {diff_d}"
         )

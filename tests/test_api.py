@@ -116,5 +116,9 @@ def test_stats_shape(app_client):
     assert body["total_readings"] == 4
     assert body["device_type_distribution"] == {"temperature": 3, "humidity": 1}
     assert body["location_distribution"] == {"room1": 3, "kitchen": 1}
+    # reference serves distributions ordered by count desc (app.py:238-288);
+    # the single-pass GROUPING SETS rewrite must preserve that
+    assert list(body["device_type_distribution"]) == ["temperature", "humidity"]
+    assert list(body["location_distribution"]) == ["room1", "kitchen"]
     assert body["time_range"]["earliest"].startswith("2024-01-01T10:00:05")
     assert body["time_range"]["latest"].startswith("2024-01-01T10:02:50")

@@ -374,3 +374,37 @@ def test_md5_int_matches_duckdb_twin(spark):
             [v, v, v],
         ).fetchone()
         assert got[v] == (h8, h15, salted), (v, got[v], (h8, h15, salted))
+
+
+def test_salted_skew_join_matches_plain_join(spark):
+    """Salt-and-replicate join must be row-for-row identical to the plain
+    equi-join (inner and left), including duplicate fact rows on the hot
+    key; every fact row carries exactly one salt, every dim row exists in
+    every bucket, so each matched pair appears exactly once."""
+    from kafkasparkstream_spark.operators.aggregates import salted_skew_join
+
+    fact = spark.createDataFrame(
+        [(i, 0 if i % 2 == 0 else i % 5, float(i)) for i in range(200)]
+        + [(1000, 99, 1.0)],  # key with no dim match (left-join case)
+        ["row_id", "k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [(0, "hot"), (1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "name"]
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, fact.join(dim, "k", how).select("row_id", "k", "v", "name").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_skew_join(fact, dim, "k", salt_col="row_id", how=how)
+                .select("row_id", "k", "v", "name")
+                .collect(),
+            )
+        )
+        assert salted == plain, how
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_skew_join(fact, dim, "k", salt_col="row_id", buckets=1)
