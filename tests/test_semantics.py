@@ -408,3 +408,33 @@ def test_salted_skew_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_skew_join(fact, dim, "k", salt_col="row_id", buckets=1)
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """The distributed exact-ntile path (forced via distributed_threshold=0)
+    must reproduce the single-partition F.ntile plan row-for-row, including
+    uneven buckets (N % n != 0), duplicate values (tiebreak order), and
+    fewer-rows-than-tiles inputs."""
+    import kafkasparkstream_spark.operators.windows as win_ops
+
+    for n_rows in (3, 7, 95, 1000):
+        df = spark.range(n_rows).select(
+            F.col("id").alias("event_id"),
+            # duplicate-heavy values exercise the tiebreak
+            ((F.col("id") * 37) % 11).cast("double").alias("value"),
+        )
+        dist = sorted(
+            map(
+                tuple,
+                win_ops.ntile_decile_stats(df, distributed_threshold=0).collect(),
+            )
+        )
+        plain = sorted(
+            map(
+                tuple,
+                win_ops.ntile_decile_stats(
+                    df, distributed_threshold=10**9
+                ).collect(),
+            )
+        )
+        assert dist == plain, n_rows
