@@ -114,8 +114,14 @@ def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[st
     names = sorted(timings)
     mapping = _disambiguate(names)
 
+    def _num(t: float, dp: int):
+        """Minimal JSON number at dp decimals: 2.0 -> 2 (same parsed value,
+        2 fewer bytes — ~10% of rounded timings land on a whole second)."""
+        v = round(t, dp)
+        return int(v) if v == int(v) else v
+
     def build(keymap: dict[str, str], dp: int) -> str:
-        q = {keymap[n]: round(timings[n], dp) for n in names}
+        q = {keymap[n]: _num(timings[n], dp) for n in names}
         return json.dumps(
             {"metric": "total_query_sec", "value": round(total, 3),
              "unit": "sec", "sf": sf, "queries": q},
@@ -161,7 +167,7 @@ def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[st
         return out
 
     for dp in (2, 1, 0):
-        for width in (10, 8, 6, 5, 4, 3, 2):
+        for width in (10, 8, 6, 5, 4, 3, 2, 1):
             trunc = _unique_trunc(width)
             line = build(trunc, dp)
             if len(line) <= STDOUT_BUDGET:

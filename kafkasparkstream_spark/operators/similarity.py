@@ -449,7 +449,7 @@ def _cosine_neardup_broadcast(
     return dist.mapInPandas(kernel, out_schema).orderBy("id_a", "id_b")
 
 
-def kmeans_cluster_stats(
+def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 2,
@@ -457,20 +457,10 @@ def kmeans_cluster_stats(
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
-    """Lloyd's k-means over the embedding column, fully deterministic:
-    centroids initialize to the first ``k`` vectors by id, each iteration
-    assigns every vector to its nearest (squared-L2) centroid — ties to the
-    lowest centroid id — then recomputes centroids as element-wise means.
-    Returns per-cluster stats after the final assignment.
-
-    Scale shape (the IVF training step at 100 TB): the centroid matrix is
-    O(k·d) — broadcast; assignment is one vectorized distance kernel per
-    Arrow batch (`mapInPandas`, no shuffle); the centroid update is a
-    posexplode → (cluster, dim) grouped mean — map-side combined, exchange
-    carries k·d rows — collected back only as the k·d aggregate. Driver
-    traffic per iteration is exactly the centroid matrix, never the data.
-    Empty clusters drop out (their centroid has no members to average),
-    matching the declarative oracle.
+    """Final-iteration assignment of deterministic Lloyd's k-means (see
+    :func:`kmeans_cluster_stats` for the algorithm and scale shape).
+    Returns ``(id, cluster_id, vec, label)`` — the shared front half of
+    cluster-stats and SemDeDup-style within-cluster operators.
     """
     from collections.abc import Iterator
 
@@ -551,6 +541,35 @@ def kmeans_cluster_stats(
                     for c in c_ids
                 ]
             )
+    return assigned
+
+
+def kmeans_cluster_stats(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, fully deterministic:
+    centroids initialize to the first ``k`` vectors by id, each iteration
+    assigns every vector to its nearest (squared-L2) centroid — ties to the
+    lowest centroid id — then recomputes centroids as element-wise means.
+    Returns per-cluster stats after the final assignment.
+
+    Scale shape (the IVF training step at 100 TB): the centroid matrix is
+    O(k·d) — broadcast; assignment is one vectorized distance kernel per
+    Arrow batch (`mapInPandas`, no shuffle); the centroid update is a
+    posexplode → (cluster, dim) grouped mean — map-side combined, exchange
+    carries k·d rows — collected back only as the k·d aggregate. Driver
+    traffic per iteration is exactly the centroid matrix, never the data.
+    Empty clusters drop out (their centroid has no members to average),
+    matching the declarative oracle.
+    """
+    assigned = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, label_col=label_col
+    )
     return (
         assigned.groupBy("cluster_id")
         .agg(
@@ -559,6 +578,90 @@ def kmeans_cluster_stats(
         )
         .orderBy("cluster_id")
     )
+
+
+def semdedup_stats(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    semantic deduplication that confines the quadratic cosine comparison to
+    k-means clusters. A row is a semantic duplicate iff some *lower-id* row
+    in the SAME cluster has cosine ≥ ``tau`` (deterministic keep-lowest-id
+    rule, the same convention as the MinHash/SimHash dedup family). Returns
+    per-cluster ``(n_members, n_dups, n_kept, dup_rate)``.
+
+    100 TB shape: the only all-pairs work is *within* a cluster — pick k so
+    clusters hold ~1-10k rows (k ≈ n/5000) and per-cluster cost is bounded
+    while total work is n·(n/k), linear in n for k ∝ n. One shuffle keyed on
+    cluster_id (`applyInPandas`), then a single BLAS GEMM per cluster in
+    row-blocks (tile memory bounded at BLOCK × c regardless of cluster
+    size) — no per-pair join rows ever materialize, no broadcast of the
+    corpus, no global cartesian. Contrast with `cosine_neardup_pairs`
+    (exact all-pairs, tiled): SemDeDup trades recall across cluster
+    boundaries for an n²/k cost cut — the standard embedding-space analog
+    of banded MinHash.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    assigned = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, label_col=label_col
+    ).select(id_col, "cluster_id", vec_col)
+
+    out_schema = StructType(
+        [
+            StructField("cluster_id", LongType(), False),
+            StructField("n_members", LongType(), False),
+            StructField("n_dups", LongType(), False),
+        ]
+    )
+    t = float(tau)
+
+    def kernel(key, pdf):
+        # One GEMM per cluster instead of a per-pair interpreted HOF
+        # expression (measured 4.7 s -> ~1 s at sf0.1). Row blocks bound the
+        # similarity-tile memory to BLOCK × c doubles regardless of cluster
+        # size; keep-lowest-id rule = "any strictly-earlier row ≥ tau" after
+        # an id sort.
+        pdf = pdf.sort_values(id_col)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        xn = x / norms[:, None]
+        c = len(xn)
+        dup = np.zeros(c, dtype=bool)
+        block = 1024
+        for lo in range(0, c, block):
+            hi = min(lo + block, c)
+            s = xn[lo:hi] @ xn.T  # (hi-lo, c)
+            mask = s >= t
+            # only strictly-earlier columns count
+            cols = np.arange(c)[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            dup[lo:hi] = (mask & (cols < rows)).any(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": [int(key[0])],
+                "n_members": [c],
+                "n_dups": [int(dup.sum())],
+            }
+        )
+
+    per_cluster = assigned.groupBy("cluster_id").applyInPandas(kernel, out_schema)
+    return per_cluster.select(
+        "cluster_id",
+        "n_members",
+        "n_dups",
+        (F.col("n_members") - F.col("n_dups")).alias("n_kept"),
+        F.round(F.col("n_dups") / F.col("n_members"), 4).alias("dup_rate"),
+    ).orderBy("cluster_id")
 
 
 def knn_graph(

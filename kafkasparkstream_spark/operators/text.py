@@ -361,6 +361,115 @@ def decontamination_overlap(
     )
 
 
+def gopher_rule_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    ntok_lo: int = 30,
+    ntok_hi: int = 90,
+    mwl_lo: float = 4.0,
+    mwl_hi: float = 5.0,
+    min_stopwords: int = 2,
+    min_uniq_ratio: float = 0.4,
+) -> DataFrame:
+    """Gopher-style quality rule matrix (Rae et al. 2021, arXiv:2112.11446
+    §A1.1 — public recipe): INDEPENDENT pass counts per rule per group, the
+    diagnostic complement to `quality_filter_funnel`'s cumulative cascade.
+    The funnel tells you what the pipeline keeps; the matrix tells you which
+    rule is doing the cutting, per source — the report you read before
+    re-weighting a 100 TB crawl mix.
+
+    Rules (thresholds adapted to the corpus token scale, same measurement
+    conventions as the funnel): word-count band, mean-word-length band,
+    minimum stopword occurrences, minimum distinct-token ratio.
+
+    One scan, pure column expressions, one |groups|-row exchange with
+    map-side partials — per-rule counts are conditional sums, not one job
+    per rule.
+    """
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    mean_len = (F.length(F.trim(F.col("text"))) - (n_tok - 1)) / n_tok
+    sw = F.array(F.lit("the"), F.lit("a"))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    r_wordcount = n_tok.between(ntok_lo, ntok_hi)
+    r_meanlen = mean_len.between(mwl_lo, mwl_hi)
+    r_stopwords = n_stop >= min_stopwords
+    r_uniq = uniq_ratio >= min_uniq_ratio
+    r_all = r_wordcount & r_meanlen & r_stopwords & r_uniq
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(r_wordcount).alias("pass_wordcount"),
+            cnt(r_meanlen).alias("pass_mean_word_len"),
+            cnt(r_stopwords).alias("pass_stopwords"),
+            cnt(r_uniq).alias("pass_uniq_ratio"),
+            cnt(r_all).alias("pass_all"),
+        )
+        .withColumn("pass_rate", F.round(F.col("pass_all") / F.col("n_docs"), 4))
+        .orderBy(group_col)
+    )
+
+
+def split_leakage_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    train_pct: int = 90,
+    salt: str = "split0",
+) -> DataFrame:
+    """Train/test contamination audit for a hash-keyed split: for every TEST
+    document, the fraction of its distinct word ``n``-grams that appear in
+    ANY train document. The split itself is the engine-portable md5 bucket
+    (same rule as ``sampling.dataset_split``), so the audit is reproducible
+    under reprocessing and appends — the check you run before trusting held-out
+    eval numbers on a deduplicated-but-not-decontaminated corpus.
+
+    Plan (the only shape that works when train is ~100 TB and test is a
+    fixed slice): the TEST shingle set is the small side — broadcast its
+    distinct hashes, LEFT SEMI the train shingles against it so only
+    train-shingles-also-in-test survive (bounded by the test set size),
+    take DISTINCT on that small survivor set, broadcast it back, and
+    aggregate per test doc. The full train side is never shuffled and never
+    collapsed to a global distinct.
+    """
+    from kafkasparkstream_spark.functions.hashing import hash_bucket
+    from kafkasparkstream_spark.util import fanout
+
+    is_train = hash_bucket(F.col(id_col), 100, salt) < train_pct
+    hashed = fanout(df.select(id_col, text_col)).withColumn(
+        "_th", token_hashes_col(text_col)
+    )
+    sh = F.explode(F.array_distinct(shingle_hashes_col(F.col("_th"), n))).alias("sh")
+    test_sh = hashed.filter(~is_train).select(F.col(id_col), sh)
+    train_sh = hashed.filter(is_train).select(sh)
+    leaked = (
+        train_sh.join(
+            F.broadcast(test_sh.select("sh").distinct()), "sh", "left_semi"
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        test_sh.join(F.broadcast(leaked), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_leaked"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_leaked",
+            F.round(F.col("n_leaked") / F.col("n_shingles"), 4).alias("leak_ratio"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def quality_filter_funnel(
     df: DataFrame,
     min_chars: int = 150,

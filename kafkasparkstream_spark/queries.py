@@ -180,6 +180,55 @@ def time_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extreme_events_by_type",
+    oracle="""
+    WITH o AS (
+        SELECT *, CAST(round(value * 100, 0) AS BIGINT) * 10000000000000 + event_id AS ord
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*)                  AS cnt,
+           MAX(value)                AS max_value,
+           arg_max(event_id, ord)    AS peak_event_id,
+           arg_max(user_id, ord)     AS peak_user_id,
+           MIN(value)                AS min_value,
+           arg_min(event_id, ord)    AS trough_event_id
+    FROM o GROUP BY event_type ORDER BY event_type
+    """,
+)
+def extreme_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which exact row carries the extreme? `max_by`/`min_by` pull the
+    peak/trough event row per type in ONE hash aggregate — no row_number
+    window, no second scan, no join back. The double `value` sits on an
+    exact 0.01 grid, so the composite BIGINT ordinal (value-cents scaled
+    past the id range, id as tie-break) makes the argmax deterministic and
+    engine-portable: ties resolve to the highest event_id on peaks, lowest
+    on troughs, identically in Spark and the oracle.
+
+    100 TB: partial map-side combine keeps executor traffic at |types|
+    rows; the window-function formulation would shuffle the whole fact
+    table instead."""
+    events = load_table(spark, "events", sf_dir)
+    ord_ = (
+        F.round(F.col("value") * 100, 0).cast("long") * F.lit(10_000_000_000_000)
+        + F.col("event_id")
+    )
+    o = events.withColumn("_ord", ord_)
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("value").alias("max_value"),
+            F.max_by("event_id", F.col("_ord")).alias("peak_event_id"),
+            F.max_by("user_id", F.col("_ord")).alias("peak_user_id"),
+            F.min("value").alias("min_value"),
+            F.min_by("event_id", F.col("_ord")).alias("trough_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "recent_aggregates_24h",
     oracle="""
     WITH anchor AS (SELECT MAX(ts) AS _anchor FROM events)
@@ -1363,6 +1412,47 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding-cosine near-duplicates at threshold 0.35."""
     return similarity.cosine_neardup_pairs(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "semdedup_clusters",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb FROM e WHERE vec_id < 8),
+    d1 AS (SELECT e.vec_id, c0.cid, list_distance(e.emb, c0.emb) AS d FROM e CROSS JOIN c0),
+    a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+           WHERE rn = 1),
+    x1 AS (SELECT a1.cid, unnest(e.emb) AS val, unnest(range(len(e.emb))) AS pos
+           FROM e JOIN a1 USING (vec_id)),
+    m1 AS (SELECT cid, pos, AVG(val) AS val FROM x1 GROUP BY 1, 2),
+    c1 AS (SELECT cid, list(val ORDER BY pos) AS emb FROM m1 GROUP BY cid),
+    d2 AS (SELECT e.vec_id, c1.cid, list_distance(e.emb, c1.emb) AS d FROM e CROSS JOIN c1),
+    a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+           WHERE rn = 1),
+    av AS (SELECT a2.vec_id, a2.cid, e.emb FROM a2 JOIN e USING (vec_id)),
+    dup AS (SELECT b.cid, b.vec_id
+            FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+            GROUP BY 1, 2),
+    m AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY 1),
+    d AS (SELECT cid, COUNT(*) AS n_dups FROM dup GROUP BY 1)
+    SELECT m.cid AS cluster_id,
+           n_members,
+           COALESCE(n_dups, 0) AS n_dups,
+           n_members - COALESCE(n_dups, 0) AS n_kept,
+           ROUND(CAST(COALESCE(n_dups, 0) AS DOUBLE) / n_members, 4) AS dup_rate
+    FROM m LEFT JOIN d USING (cid)
+    ORDER BY 1
+    """,
+)
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-bucketed semantic dedup (cosine ≥ 0.4 to a lower-id
+    row in the same cluster ⇒ duplicate). The oracle unrolls the same two
+    deterministic Lloyd iterations as `kmeans_embeddings`, then applies the
+    within-cluster pair rule declaratively."""
+    return similarity.semdedup_stats(load_table(spark, "embeddings", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -2631,6 +2721,75 @@ def decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-grams that appear in the benchmark set (source src0); the benchmark
     shingle set is tiny → broadcast, so the training side never shuffles."""
     return text_ops.decontamination_overlap(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "split_leakage_check",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 7, 0) + 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                           || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+                           || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS sh
+           FROM t),
+    lab AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 < 90 AS is_train
+            FROM documents),
+    train AS (SELECT DISTINCT sh.sh FROM sh JOIN lab USING (doc_id) WHERE is_train),
+    test AS (SELECT sh.doc_id, sh.sh FROM sh JOIN lab USING (doc_id) WHERE NOT is_train)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(train.sh) AS n_leaked,
+           ROUND(COUNT(train.sh) * 1.0 / COUNT(*), 4) AS leak_ratio
+    FROM test LEFT JOIN train ON test.sh = train.sh
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test 8-gram contamination audit over the md5-hash 90/10 split:
+    per test doc, how much of it leaks from the train side. Train shingles
+    are never globally distinct'd — they semi-join against the broadcast
+    test shingle set first."""
+    return text_ops.split_leakage_overlap(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "gopher_rule_matrix",
+    oracle="""
+    WITH f AS (
+        SELECT source,
+               len(string_split_regex(trim(text), ' +')) AS ntok,
+               (length(trim(text)) - (len(string_split_regex(trim(text), ' +')) - 1)) * 1.0
+                   / len(string_split_regex(trim(text), ' +')) AS mwl,
+               len(list_filter(string_split_regex(trim(text), ' +'),
+                               x -> x IN ('the', 'a'))) AS nstop,
+               len(list_distinct(string_split_regex(trim(text), ' +'))) * 1.0
+                   / len(string_split_regex(trim(text), ' +')) AS uniq
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ntok BETWEEN 30 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordcount,
+           CAST(SUM(CASE WHEN mwl BETWEEN 4.0 AND 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(CASE WHEN uniq >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_uniq_ratio,
+           CAST(SUM(CASE WHEN ntok BETWEEN 30 AND 90 AND mwl BETWEEN 4.0 AND 5.0
+                         AND nstop >= 2 AND uniq >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+           ROUND(SUM(CASE WHEN ntok BETWEEN 30 AND 90 AND mwl BETWEEN 4.0 AND 5.0
+                          AND nstop >= 2 AND uniq >= 0.4 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS pass_rate
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def gopher_rule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source independent Gopher-rule pass matrix — which quality rule
+    cuts which source (vs the funnel's cumulative survivors)."""
+    return text_ops.gopher_rule_matrix(load_table(spark, "documents", sf_dir))
 
 
 @register(

@@ -490,3 +490,39 @@ def test_plan_report_detects_degenerate_joins(spark):
 
     clean = a.join(b, F.col("id") == F.col("id2"))
     assert not plan_report(clean).degenerate
+
+
+def test_semdedup_pairs_keyed_on_cluster(spark):
+    """SemDeDup's whole point is that the quadratic cosine work is keyed by
+    cluster_id — an equi-join per cluster, never a global cartesian or a
+    nested-loop over the corpus."""
+    plan = _plan(spark, "semdedup_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cluster_id" in plan
+
+
+def test_split_leakage_train_side_semi_joins_broadcast(spark):
+    """The train shingle set must reduce via LEFT SEMI against the broadcast
+    test set (bounded survivor set), not a global distinct of the train
+    side."""
+    plan = _plan(spark, "split_leakage_check")
+    assert "LeftSemi" in plan, "train shingles must semi-join the test set"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_extreme_events_single_pass_no_window(spark):
+    """max_by/min_by pulls the extreme rows in one partial-aggregated pass —
+    a Window or a self-join in this plan means the cheap formulation
+    regressed to shuffle-the-fact-table."""
+    plan = _plan(spark, "extreme_events_by_type")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2, "missing map-side partial aggregate"
+    assert "Join" not in plan
+
+
+def test_gopher_matrix_single_scan(spark):
+    """All rule counts are conditional sums in ONE aggregate over one scan."""
+    plan = _plan(spark, "gopher_rule_matrix")
+    assert plan.count("InMemoryFileIndex") == 1, "expected exactly one scan"
+    assert plan.count("HashAggregate") >= 2
