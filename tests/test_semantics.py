@@ -438,3 +438,27 @@ def test_distributed_ntile_matches_window_ntile(spark):
             )
         )
         assert dist == plain, n_rows
+
+
+def test_semdedup_keeps_lowest_id_and_counts_copies(spark):
+    """SemDeDup on a corpus of two well-separated clusters of IDENTICAL
+    vectors: every copy after the lowest-id row in a cluster is a
+    duplicate, the lowest-id row never is, and raising tau above 1.0
+    (cosine's max) turns off dedup entirely."""
+    from kafkasparkstream_spark.operators.similarity import semdedup_stats
+
+    # Alternating so the k=2 init (vec_ids 0 and 1) seeds one centroid per
+    # group: evens are [1,0], odds are [0,1].
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0], i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    stats = {
+        r["cluster_id"]: r
+        for r in semdedup_stats(df, k=2, iters=1, tau=0.99).collect()
+    }
+    assert stats[0]["n_members"] == 5 and stats[0]["n_dups"] == 4
+    assert stats[0]["n_kept"] == 1 and stats[0]["dup_rate"] == 0.8
+    assert stats[1]["n_members"] == 5 and stats[1]["n_dups"] == 4
+
+    off = semdedup_stats(df, k=2, iters=1, tau=1.01).collect()
+    assert all(r["n_dups"] == 0 and r["n_kept"] == r["n_members"] for r in off)
