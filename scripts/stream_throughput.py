@@ -1,0 +1,201 @@
+"""Measured streaming throughput vs the reference's designed ingest rate.
+
+The reference (ashrafkvt/KafkaSparkStream) is DESIGNED around 10 msg/s
+(`data-generator/generator.py:13`, `MESSAGES_PER_SECOND` default) into a
+1-core/1 GB Spark worker — it publishes no measured throughput. This harness
+measures what THIS engine sustains through the same topology (JSON wire →
+micro-batch parse → watermark → 1-min tumbling window × type → update-mode
+foreachBatch parquet sink) on local[32], in two regimes:
+
+- ``bulk``: one availableNow batch over the whole corpus — the
+  backlog-catch-up / replay ceiling.
+- ``microbatch``: maxFilesPerTrigger=1 over N wire files — N real
+  state-carrying micro-batches, the sustained continuous-operation figure
+  (includes per-batch planning, state-store commit, and sink transaction
+  overhead every batch).
+
+Both runs assert the drained sink's latest state equals the batch shadow
+aggregate before a number is recorded — a throughput figure for a wrong
+answer is worthless.
+
+Output: STREAM_THROUGHPUT.json at the repo root + one human line per mode.
+
+Usage::
+
+    python scripts/stream_throughput.py            # sf0.1, 16 micro-batches
+    SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_STREAM_FILES=32 python scripts/stream_throughput.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def run_mode(spark, events, mode: str, n_files: int) -> dict:
+    from kafkasparkstream_spark.queries import (
+        EVENT_WIRE_SCHEMA,
+        _clamped_shuffle_partitions,
+        _events_to_wire,
+    )
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.pipeline import (
+        PipelineConfig,
+        parse_stage,
+        windowed_aggregate_stage,
+    )
+    from kafkasparkstream_spark.streaming.sinks import (
+        foreach_batch_parquet_sink,
+        latest_state,
+    )
+
+    workdir = tempfile.mkdtemp(prefix=f"kss_tput_{mode}_")
+    src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
+    if mode == "bulk":
+        _events_to_wire(events, src, n_files=n_files)
+    else:
+        # A continuous producer emits in event-time order; random file splits
+        # would instead make every later file "late" past the watermark and
+        # the replay would (correctly!) drop rows. Emulate the producer:
+        # time-ordered buckets appended one file at a time, ascending mtimes
+        # so the file source triggers them in order.
+        from pyspark.sql import Window
+
+        b = (F.ntile(n_files).over(Window.orderBy("ts", "event_id")) - 1).alias("_b")
+        bucketed = events.select("*", b).localCheckpoint()
+        for i in range(n_files):
+            wire = bucketed.filter(F.col("_b") == i).select(
+                F.to_json(
+                    F.struct(
+                        "event_id",
+                        "user_id",
+                        "event_type",
+                        "value",
+                        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                    )
+                ).alias("value")
+            )
+            wire.coalesce(1).write.mode("append").text(src)
+            time.sleep(0.05)  # distinct mtimes -> deterministic trigger order
+    n_events = events.count()
+
+    cfg = PipelineConfig(
+        dims=("event_type",),
+        ts_col="ts",
+        value_col="value",
+        battery_col=None,
+        schema=EVENT_WIRE_SCHEMA,
+    )
+    per_trigger = None if mode == "bulk" else 1
+    raw = file_json_stream(spark, src, max_files_per_trigger=per_trigger)
+    agg = windowed_aggregate_stage(parse_stage(raw, cfg), cfg)
+
+    # Timing starts at query start: wire-file generation is the producer's
+    # cost, not the engine's.  availableNow drains the full backlog and
+    # terminates; with maxFilesPerTrigger=1 it still honors the file cap per
+    # micro-batch, giving n_files genuine state-carrying batches.
+    with _clamped_shuffle_partitions(spark):
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"tput_{mode}")
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        n_batches = len(q.recentProgress)
+
+    # Correctness gate: final sink state must equal the batch shadow.
+    final = (
+        latest_state(
+            spark.read.parquet(sink), ("window_start", "window_end", "event_type")
+        )
+        .select(
+            "window_start",
+            "window_end",
+            "event_type",
+            F.round("avg_value", 4).alias("avg_value"),
+            "min_value",
+            "max_value",
+            "reading_count",
+        )
+    )
+    shadow = (
+        events.groupBy(
+            F.window("ts", "1 minute").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("reading_count"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "reading_count",
+        )
+    )
+    diff = final.exceptAll(shadow).count() + shadow.exceptAll(final).count()
+    if diff != 0:
+        raise AssertionError(f"{mode}: final state != batch shadow ({diff} rows differ)")
+
+    return {
+        "events": n_events,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall),
+        "micro_batches": n_batches,
+        "files": n_files,
+        "verified_vs_batch_shadow": True,
+    }
+
+
+def main() -> None:
+    from kafkasparkstream_spark.session import get_spark
+    from kafkasparkstream_spark.tables import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "16"))
+
+    spark = get_spark(app_name="kss-stream-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+    events = load_table(spark, "events", sf_dir)
+    events.count()  # warm
+
+    out = {
+        "sf_dir": sf_dir,
+        "reference_designed_rate_msgs_per_sec": 10,
+        "reference_rate_source": "data-generator/generator.py:13 (MESSAGES_PER_SECOND default)",
+        "modes": {},
+    }
+    for mode in ("bulk", "microbatch"):
+        r = run_mode(spark, events, mode, n_files)
+        out["modes"][mode] = r
+        print(
+            f"# {mode}: {r['events']} events in {r['wall_sec']}s over "
+            f"{r['micro_batches']} micro-batches -> {r['events_per_sec']} events/s",
+            file=sys.stderr,
+        )
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "STREAM_THROUGHPUT.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out["modes"], sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
