@@ -420,6 +420,7 @@ def split_leakage_overlap(
     n: int = 8,
     train_pct: int = 90,
     salt: str = "split0",
+    broadcast_test: bool = True,
 ) -> DataFrame:
     """Train/test contamination audit for a hash-keyed split: for every TEST
     document, the fraction of its distinct word ``n``-grams that appear in
@@ -428,13 +429,16 @@ def split_leakage_overlap(
     under reprocessing and appends — the check you run before trusting held-out
     eval numbers on a deduplicated-but-not-decontaminated corpus.
 
-    Plan (the only shape that works when train is ~100 TB and test is a
-    fixed slice): the TEST shingle set is the small side — broadcast its
-    distinct hashes, LEFT SEMI the train shingles against it so only
-    train-shingles-also-in-test survive (bounded by the test set size),
-    take DISTINCT on that small survivor set, broadcast it back, and
-    aggregate per test doc. The full train side is never shuffled and never
-    collapsed to a global distinct.
+    Plan: the train shingles LEFT SEMI against the test shingle set, so only
+    train-shingles-also-in-test survive (bounded by the test set) and the
+    train side is never collapsed to a global distinct. With
+    ``broadcast_test=True`` (default) the test set and the survivor set are
+    broadcast and the 100 TB train side never shuffles — RIGHT ONLY when the
+    held-out side is a genuinely small eval slice. For a PROPORTIONAL split
+    like this 90/10 (test = 10% of the corpus, which at 100 TB is 10 TB and
+    must never broadcast), pass ``broadcast_test=False``: the semi join and
+    the per-doc rejoin become ordinary shuffle hash joins partitioned on the
+    shingle key — one extra exchange of the test side, same output.
     """
     from kafkasparkstream_spark.functions.hashing import hash_bucket
     from kafkasparkstream_spark.util import fanout
@@ -446,15 +450,16 @@ def split_leakage_overlap(
     sh = F.explode(F.array_distinct(shingle_hashes_col(F.col("_th"), n))).alias("sh")
     test_sh = hashed.filter(~is_train).select(F.col(id_col), sh)
     train_sh = hashed.filter(is_train).select(sh)
+    maybe_bc = F.broadcast if broadcast_test else (lambda d: d)
     leaked = (
         train_sh.join(
-            F.broadcast(test_sh.select("sh").distinct()), "sh", "left_semi"
+            maybe_bc(test_sh.select("sh").distinct()), "sh", "left_semi"
         )
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     return (
-        test_sh.join(F.broadcast(leaked), "sh", "left")
+        test_sh.join(maybe_bc(leaked), "sh", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -462,3 +462,16 @@ def test_semdedup_keeps_lowest_id_and_counts_copies(spark):
 
     off = semdedup_stats(df, k=2, iters=1, tau=1.01).collect()
     assert all(r["n_dups"] == 0 and r["n_kept"] == r["n_members"] for r in off)
+
+
+def test_split_leakage_shuffle_mode_matches_broadcast_mode(spark):
+    """broadcast_test=False (the proportional-split scale path: shuffle
+    joins on the shingle key) must produce exactly the broadcast plan's
+    rows."""
+    from kafkasparkstream_spark.operators.text import split_leakage_overlap
+    from kafkasparkstream_spark.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    bc = sorted(map(tuple, split_leakage_overlap(docs, broadcast_test=True).collect()))
+    sh = sorted(map(tuple, split_leakage_overlap(docs, broadcast_test=False).collect()))
+    assert bc == sh and len(bc) > 0
