@@ -526,3 +526,38 @@ def test_gopher_matrix_single_scan(spark):
     plan = _plan(spark, "gopher_rule_matrix")
     assert plan.count("InMemoryFileIndex") == 1, "expected exactly one scan"
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Runtime pruning, the 100 TB complement of static PartitionFilters:
+    when the partition key is only constrained THROUGH a join (filter on a
+    dimension attribute, not on the key), Spark must inject a dynamicpruning
+    subquery into the fact scan so only the qualifying date directories are
+    read — the star-schema pattern every date-partitioned warehouse query
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark.tables import load_table, write_partitioned
+
+    events = load_table(spark, "events", SF_DIR).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date_dpp")
+    write_partitioned(events, path)
+    fact = spark.read.parquet(path)
+
+    dim = (
+        events.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .withColumn("is_weekend", F.dayofweek("d").isin(1, 7))
+    )
+    q = fact.join(dim, fact.event_date == dim.d).filter(F.col("is_weekend"))
+
+    plan = explain_str(q)
+    assert "dynamicpruning" in plan.lower(), (
+        "fact scan should carry a runtime dynamicpruning filter on event_date"
+    )
+    expected = events.join(dim, events.event_date == dim.d).filter(
+        F.col("is_weekend")
+    ).count()
+    assert q.count() == expected > 0
