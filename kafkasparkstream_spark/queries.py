@@ -2694,6 +2694,78 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_series_knn",
+    oracle="""
+    WITH cents AS (
+        SELECT user_id, CAST(day(ts) AS INT) AS d,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT unnest(range(1, 31)) AS d),
+    grid AS (
+        SELECT u.user_id, days.d, COALESCE(c.s, 0) AS s
+        FROM (SELECT DISTINCT user_id FROM cents) u
+        CROSS JOIN days
+        LEFT JOIN cents c ON c.user_id = u.user_id AND c.d = days.d
+    ),
+    vec AS (SELECT user_id, list(CAST(s AS DOUBLE) ORDER BY d) AS v
+            FROM grid GROUP BY user_id),
+    scored AS (
+        SELECT a.user_id, b.user_id AS neighbor_user_id,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM vec a JOIN vec b ON a.user_id <> b.user_id
+    ),
+    ranked AS (
+        SELECT user_id, neighbor_user_id, cos,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ROUND(cos * 10000, 0) DESC, neighbor_user_id) AS rnk
+        FROM scored
+    )
+    SELECT user_id, neighbor_user_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY user_id, rnk
+    """,
+)
+def user_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the distributed-top-k-similarity
+    problem of e.g. EDBT'19's streaming-series search, batch form): each
+    user's 30-day daily-spend series becomes a dense vector, then the exact
+    block-tiled kNN machinery finds the 3 most-cosine-similar users — the
+    behavioral-cohort / anomaly-peer query.
+
+    Portability: per-day sums accumulate on the exact cents grid (int64),
+    so both engines build bit-identical vectors before any float math; the
+    day index is day-of-month over the generator's fixed Jan window, no
+    anchor job needed. Ranking rides the knn family's 4dp-grid + id
+    tie-break total order. Scale shape: the series build is one fact-sized
+    map-side-combined aggregate to |users|×30 cells, then |users| fixed-dim
+    vectors enter the same tiled GEMM as embeddings — at 100 TB the fact
+    scan dominates and the kNN cost depends only on |users|."""
+    events = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = (
+        events.groupBy("user_id", F.dayofmonth("ts").alias("d"))
+        .agg(F.sum(cents).alias("s"))
+    )
+    vec = (
+        daily.groupBy("user_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("d", "s"))).alias("m"))
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda d: F.coalesce(F.element_at(F.col("m"), d), F.lit(0)).cast("double"),
+            ).alias("series"),
+        )
+    )
+    return (
+        similarity.knn_graph(vec, k=3, id_col="user_id", vec_col="series")
+        .withColumnRenamed("vec_id", "user_id")
+        .withColumnRenamed("neighbor_id", "neighbor_user_id")
+    )
+
+
+@register(
     "decontamination_8gram",
     oracle="""
     WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), ' +') AS toks
