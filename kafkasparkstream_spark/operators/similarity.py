@@ -462,6 +462,8 @@ def kmeans_assign(
     Returns ``(id, cluster_id, vec, label)`` — the shared front half of
     cluster-stats and SemDeDup-style within-cluster operators.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     from collections.abc import Iterator
 
     import numpy as np

@@ -2416,10 +2416,11 @@ def _wire_with_flush_sentinel(
     _events_to_wire(events.select(*cols).unionByName(flush.select(*cols)), path)
 
 
-def _events_to_wire(events: DataFrame, path: str, n_files: int | None = None) -> None:
-    """G1 analog: serialize events to the JSON wire format the Kafka producer
-    would send (ISO-8601 µs timestamps, one JSON object per line)."""
-    wire = events.select(
+def _wire_projection(events: DataFrame) -> DataFrame:
+    """The JSON wire format the Kafka producer would send (ISO-8601 µs
+    timestamps, one JSON object per line) — the single definition of the
+    parse contract shared by every replay/throughput writer."""
+    return events.select(
         F.to_json(
             F.struct(
                 "event_id",
@@ -2430,6 +2431,11 @@ def _events_to_wire(events: DataFrame, path: str, n_files: int | None = None) ->
             )
         ).alias("value")
     )
+
+
+def _events_to_wire(events: DataFrame, path: str, n_files: int | None = None) -> None:
+    """G1 analog: serialize events to the JSON wire format."""
+    wire = _wire_projection(events)
     if n_files is not None:
         wire = wire.repartition(n_files)
     wire.write.mode("overwrite").text(path)
@@ -2701,7 +2707,7 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(round(value * 100, 0) AS BIGINT)) AS s
         FROM events GROUP BY 1, 2
     ),
-    days AS (SELECT unnest(range(1, 31)) AS d),
+    days AS (SELECT unnest(range(1, 32)) AS d),
     grid AS (
         SELECT u.user_id, days.d, COALESCE(c.s, 0) AS s
         FROM (SELECT DISTINCT user_id FROM cents) u
@@ -2729,18 +2735,21 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search (the distributed-top-k-similarity
     problem of e.g. EDBT'19's streaming-series search, batch form): each
-    user's 30-day daily-spend series becomes a dense vector, then the exact
+    user's daily-spend series becomes a dense vector, then the exact
     block-tiled kNN machinery finds the 3 most-cosine-similar users — the
     behavioral-cohort / anomaly-peer query.
 
     Portability: per-day sums accumulate on the exact cents grid (int64),
     so both engines build bit-identical vectors before any float math; the
-    day index is day-of-month over the generator's fixed Jan window, no
+    day index is day-of-month (31 slots, so month-boundary spillover like
+    the sf1.0 replica's Jan-31 jitter is kept, not silently dropped), no
     anchor job needed. Ranking rides the knn family's 4dp-grid + id
     tie-break total order. Scale shape: the series build is one fact-sized
-    map-side-combined aggregate to |users|×30 cells, then |users| fixed-dim
-    vectors enter the same tiled GEMM as embeddings — at 100 TB the fact
-    scan dominates and the kNN cost depends only on |users|."""
+    map-side-combined aggregate to |users|×31 cells, pinned with
+    localCheckpoint so knn_graph's block-count probe reads the small
+    materialized vector table instead of re-running the fact aggregate —
+    at 100 TB the fact scan runs once and the kNN cost depends only on
+    |users|."""
     events = load_table(spark, "events", sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     daily = (
@@ -2753,10 +2762,11 @@ def user_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.transform(
-                F.sequence(F.lit(1), F.lit(30)),
+                F.sequence(F.lit(1), F.lit(31)),
                 lambda d: F.coalesce(F.element_at(F.col("m"), d), F.lit(0)).cast("double"),
             ).alias("series"),
         )
+        .localCheckpoint()
     )
     return (
         similarity.knn_graph(vec, k=3, id_col="user_id", vec_col="series")

@@ -44,6 +44,7 @@ def run_mode(spark, events, mode: str, n_files: int) -> dict:
         EVENT_WIRE_SCHEMA,
         _clamped_shuffle_partitions,
         _events_to_wire,
+        _wire_projection,
     )
     from kafkasparkstream_spark.sources.streams import file_json_stream
     from kafkasparkstream_spark.streaming.pipeline import (
@@ -64,26 +65,29 @@ def run_mode(spark, events, mode: str, n_files: int) -> dict:
         # A continuous producer emits in event-time order; random file splits
         # would instead make every later file "late" past the watermark and
         # the replay would (correctly!) drop rows. Emulate the producer:
-        # time-ordered buckets appended one file at a time, ascending mtimes
-        # so the file source triggers them in order.
+        # time-ordered buckets appended one file at a time, then mtimes set
+        # EXPLICITLY ascending (os.utime) — FileStreamSource triggers in
+        # mtime order, and relying on write-time alone breaks on
+        # coarse-granularity (1 s) filesystems.
         from pyspark.sql import Window
 
         b = (F.ntile(n_files).over(Window.orderBy("ts", "event_id")) - 1).alias("_b")
         bucketed = events.select("*", b).localCheckpoint()
+        seen: set[str] = set()
+        ordered_files: list[str] = []
         for i in range(n_files):
-            wire = bucketed.filter(F.col("_b") == i).select(
-                F.to_json(
-                    F.struct(
-                        "event_id",
-                        "user_id",
-                        "event_type",
-                        "value",
-                        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-                    )
-                ).alias("value")
-            )
+            wire = _wire_projection(bucketed.filter(F.col("_b") == i))
             wire.coalesce(1).write.mode("append").text(src)
-            time.sleep(0.05)  # distinct mtimes -> deterministic trigger order
+            new = [
+                f for f in os.listdir(src)
+                if f.endswith(".txt") and f not in seen
+            ]
+            assert len(new) == 1, f"expected one new wire file, got {new}"
+            seen.update(new)
+            ordered_files.append(os.path.join(src, new[0]))
+        base = time.time()
+        for i, f in enumerate(ordered_files):
+            os.utime(f, (base + i, base + i))
     n_events = events.count()
 
     cfg = PipelineConfig(
@@ -113,7 +117,10 @@ def run_mode(spark, events, mode: str, n_files: int) -> dict:
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
-        n_batches = len(q.recentProgress)
+        # NOT len(recentProgress): Spark caps that buffer at 100 entries,
+        # under-counting any run with more triggers.
+        last = q.lastProgress
+        n_batches = (last["batchId"] + 1) if last else 0
 
     # Correctness gate: final sink state must equal the batch shadow.
     final = (
