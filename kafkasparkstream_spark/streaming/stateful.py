@@ -99,3 +99,49 @@ def running_user_totals(
             GroupStateTimeout.ProcessingTimeTimeout if evict else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def running_user_totals_tws(
+    parsed: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """The same cross-batch (count, sum) accumulator on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState, with composable named state variables
+    (ValueState here; ListState/MapState/timers/TTL are the growth path a
+    GroupState tuple can't offer). Requires the RocksDB state store
+    provider (``session.use_rocksdb_state``); semantics are pinned
+    identical to :func:`running_user_totals` by test.
+
+    Scale shape is unchanged: state partitioned by key across the
+    state-store count fixed at checkpoint creation, two scalars per key,
+    Arrow-batched Python execution."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._totals.get() if self._totals.exists() else None
+            n, s = prior if prior is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return parsed.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
