@@ -700,12 +700,27 @@ def edit_distance_pairs(
     trim) are compared; the banded-threshold Levenshtein verifies within
     the block. Result-preserving prunes before the kernel: distance ≥ the
     length difference, and the threshold form runs O(len·k) instead of
-    the full O(len²) table. The localCheckpoint is a deliberate
-    optimization BARRIER — without it Catalyst pushes the distance filter
-    into the join condition AHEAD of the cheap conjuncts, running the
-    kernel ~3× per candidate (measured 13.5 s → 2.5 s at sf0.1); fanout
-    then spreads the kernel across cores (the checkpoint inherits the
-    scan's few splits)."""
+    the full O(len²) table.
+
+    The three localCheckpoints are deliberate optimization BARRIERS, each
+    stopping a Catalyst rewrite that serializes or repeats the ~1 ms/pair
+    kernel (what they materialize is the bounded candidate/scored pair
+    list, tiny next to the corpus):
+
+    - after the join: without it the distance filter is pushed into the
+      join condition ahead of the cheap conjuncts, running the kernel ~3×
+      per candidate (13.5 s → 2.5 s at sf0.1);
+    - after the fanout exchange: without it the kernel PROJECTION is
+      pushed below the repartition, so every pair is scored on the join's
+      few output partitions and the fan-out shuffles already-scored rows
+      — the kernel ran 2-wide regardless of cluster size (the sf1.0
+      scaling outlier: 312 s, of which ~310 was two cores churning
+      Levenshtein);
+    - after the kernel projection: without it the pushed-down filter
+      conjuncts re-evaluate the Levenshtein per conjunct (expression
+      duplication through PushDownPredicates), ~2-3 evals per pair.
+
+    Combined at sf1.0: 312 s → ~6 s for identical output."""
     from kafkasparkstream_spark.util import fanout
 
     b = docs.select(
@@ -730,12 +745,14 @@ def edit_distance_pairs(
         )
         .localCheckpoint()
     )
-    return (
-        fanout(pairs)
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein("_ta", "_tb", max_dist).cast("long").alias("edit_dist"),
-        )
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    work = fanout(pairs)
+    if work is not pairs:
+        work = work.localCheckpoint()
+    scored = work.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("_ta", "_tb", max_dist).cast("long").alias("edit_dist"),
+    ).localCheckpoint()
+    return scored.filter(
+        (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist)
     )
