@@ -710,15 +710,16 @@ def edit_distance_pairs(
     - after the join: without it the distance filter is pushed into the
       join condition ahead of the cheap conjuncts, running the kernel ~3×
       per candidate (13.5 s → 2.5 s at sf0.1);
-    - after the fanout exchange: without it the kernel PROJECTION is
-      pushed below the repartition, so every pair is scored on the join's
-      few output partitions and the fan-out shuffles already-scored rows
-      — the kernel ran 2-wide regardless of cluster size (the sf1.0
-      scaling outlier: 312 s, of which ~310 was two cores churning
-      Levenshtein);
-    - after the kernel projection: without it the pushed-down filter
-      conjuncts re-evaluate the Levenshtein per conjunct (expression
-      duplication through PushDownPredicates), ~2-3 evals per pair.
+    - after the fanout exchange + after the kernel projection: without
+      these, PushDownPredicates pushes the distance FILTER (substituting
+      the Levenshtein expression for its alias, once per conjunct)
+      through the repartition — projections stay above a repartition, but
+      filters do not — so every pair is scored 2-3× on the join's few
+      output partitions and the fan-out spreads only the survivors; the
+      kernel ran 2-wide regardless of cluster size (the sf1.0 scaling
+      outlier: 312 s, of which ~310 was two cores churning Levenshtein).
+      The post-projection barrier also guarantees exactly one evaluation
+      per pair.
 
     Combined at sf1.0: 312 s → ~6 s for identical output."""
     from kafkasparkstream_spark.util import fanout
