@@ -561,3 +561,15 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
         F.col("is_weekend")
     ).count()
     assert q.count() == expected > 0
+
+
+def test_edit_distance_kernel_stays_behind_barriers(spark):
+    """The Levenshtein kernel must be fully materialized behind the
+    checkpoint barriers: the final plan filters a precomputed edit_dist
+    column over an ExistingRDD scan. A `levenshtein(` anywhere in this
+    plan means a barrier was dropped and PushDownPredicates is free to pull
+    the kernel below the fan-out exchange again (the 312 s -> 11 s sf1.0
+    fix in SCALING.md)."""
+    plan = _plan(spark, "dedup_edit_distance_blocked")
+    assert "levenshtein" not in plan.lower(), "kernel leaked into the lazy plan"
+    assert "ExistingRDD" in plan and "edit_dist" in plan
