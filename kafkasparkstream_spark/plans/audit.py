@@ -62,3 +62,40 @@ def plan_report(df: DataFrame) -> PlanReport:
         elif stripped.startswith("ReadSchema"):
             r.read_schemas.append(stripped)
     return r
+
+
+def stage_task_widths(spark, run) -> dict[int, int]:
+    """Execute ``run()`` under a throwaway job group and return
+    ``{stage_id: task_count}`` for every stage it ran — the RUNTIME
+    parallelism audit that plan text cannot give.
+
+    Motivation: the edit-distance regression (SCALING.md) planned
+    innocuously but executed its ~1 ms/pair kernel on the 2 pre-shuffle
+    partitions — `df.rdd.getNumPartitions()` reported 32 while the SQL
+    stage ran 2 tasks. Only the status tracker tells the truth about where
+    the wall-clock went: a long stage whose width is far below
+    ``defaultParallelism`` is a serialization bug no matter what the plan
+    or the RDD view says. Wrap the WHOLE operator call in ``run`` (not
+    just the final action) so eagerly-materialized stages
+    (localCheckpoint barriers) are captured too.
+    """
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"width-audit-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "stage width audit", interruptOnCancel=False)
+    try:
+        run()
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    widths: dict[int, int] = {}
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None:
+                widths[sid] = sinfo.numTasks
+    return widths

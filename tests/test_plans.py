@@ -573,3 +573,28 @@ def test_edit_distance_kernel_stays_behind_barriers(spark):
     plan = _plan(spark, "dedup_edit_distance_blocked")
     assert "levenshtein" not in plan.lower(), "kernel leaked into the lazy plan"
     assert "ExistingRDD" in plan and "edit_dist" in plan
+
+
+def test_edit_distance_kernel_executes_wide(spark):
+    """Runtime complement of the barrier plan pin: a full-cluster-width
+    stage must actually execute in the edit-distance job (the fan-out
+    exchange ran). This alone would NOT have caught the original
+    regression — its exchange also ran a wide pass-through stage while the
+    kernel hid in the narrow map side — which is why the plan pin above
+    (no `levenshtein` in the lazy plan) carries the single-eval/placement
+    guarantee; together they cover the shape. The stage_task_widths tool
+    itself is the interactive instrument: read WHICH stage is wide, not
+    just that one is."""
+    from kafkasparkstream_spark.operators.dedup import edit_distance_pairs
+    from kafkasparkstream_spark.plans.audit import stage_task_widths
+    from kafkasparkstream_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    widths = stage_task_widths(
+        spark, lambda: edit_distance_pairs(docs).count()
+    )
+    assert widths, "no stages captured"
+    want = spark.sparkContext.defaultParallelism
+    assert max(widths.values()) >= want, (
+        f"kernel never fanned out: stage widths {widths}, expected >= {want}"
+    )
