@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafkasparkstream_spark.operators.text import shingles_col
-from kafkasparkstream_spark.util import fanout
+from kafkasparkstream_spark.util import checkpoint_tracked, fanout, free_rdd_ids
 
 #: Persisted intermediates (shingle arrays, simhash signatures) live past the
 #: operator call because the returned DataFrame is lazy — the cache must be
@@ -37,6 +37,10 @@ from kafkasparkstream_spark.util import fanout
 #: dedup queries should call :func:`release_caches` between runs; bench.py
 #: does this after every timed query.
 _LIVE_CACHES: list[DataFrame] = []
+#: localCheckpoint block-id sets (with their SparkContext) still live from
+#: dedup operators — Dataset.unpersist is a no-op for checkpoint blocks, so
+#: these are freed via free_rdd_ids instead.
+_LIVE_CHECKPOINT_IDS: list[tuple] = []
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
@@ -44,11 +48,20 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_caches() -> int:
-    """Unpersist every cache created by dedup operators; returns the count.
+def _tracked_checkpoint(df: DataFrame) -> DataFrame:
+    out, ids = checkpoint_tracked(df)
+    _LIVE_CHECKPOINT_IDS.append((df.sparkSession.sparkContext, ids))
+    return out
 
-    Safe to call at any time — an unpersisted DataFrame silently recomputes
-    if its plan is re-executed later."""
+
+def release_caches() -> int:
+    """Unpersist every cache and free every checkpoint block set created by
+    dedup operators; returns the count released.
+
+    Safe to call at any time ONLY between materializations — an unpersisted
+    cache silently recomputes, but a freed checkpoint block set makes the
+    DataFrames built on it unusable, so call this (as bench.py does) after
+    fully consuming an operator's output."""
     n = 0
     while _LIVE_CACHES:
         df = _LIVE_CACHES.pop()
@@ -57,6 +70,13 @@ def release_caches() -> int:
             n += 1
         except Exception:
             pass  # session already stopped
+    while _LIVE_CHECKPOINT_IDS:
+        sc, ids = _LIVE_CHECKPOINT_IDS.pop()
+        try:
+            free_rdd_ids(sc, ids)
+            n += 1
+        except Exception:
+            pass
     return n
 
 
@@ -721,7 +741,7 @@ def edit_distance_pairs(
       The post-projection barrier also guarantees exactly one evaluation
       per pair.
 
-    Combined at sf1.0: 312 s → ~6 s for identical output."""
+    Combined at sf1.0 (in-bench): 312.5 s → 8.7 s for identical output."""
     from kafkasparkstream_spark.util import fanout
 
     b = docs.select(
@@ -744,16 +764,25 @@ def edit_distance_pairs(
             F.col("a._t").alias("_ta"),
             F.col("b._t").alias("_tb"),
         )
-        .localCheckpoint()
     )
+    pairs, pairs_ids = checkpoint_tracked(pairs)
+    sc = docs.sparkSession.sparkContext
     work = fanout(pairs)
+    work_ids: set = set()
     if work is not pairs:
-        work = work.localCheckpoint()
-    scored = work.select(
-        "id_a",
-        "id_b",
-        F.levenshtein("_ta", "_tb", max_dist).cast("long").alias("edit_dist"),
-    ).localCheckpoint()
+        work, work_ids = checkpoint_tracked(work)
+    scored = _tracked_checkpoint(
+        work.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb", max_dist).cast("long").alias("edit_dist"),
+        )
+    )
+    # The full-text pair lists behind the first two barriers are superseded
+    # the moment `scored` materializes — free them now instead of waiting
+    # for driver GC (each holds every candidate's _ta/_tb text); `scored`
+    # itself (three narrow columns) is released by release_caches().
+    free_rdd_ids(sc, pairs_ids | work_ids)
     return scored.filter(
         (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist)
     )

@@ -80,22 +80,43 @@ def stage_task_widths(spark, run) -> dict[int, int]:
     (localCheckpoint barriers) are captured too.
     """
     import uuid
+    import warnings
 
     sc = spark.sparkContext
     group = f"width-audit-{uuid.uuid4().hex[:8]}"
+    # Save/restore the caller's job group via the local properties that
+    # back it — clobbering it would break the caller's cancelJobGroup and
+    # UI grouping after this audit returns.
+    prior_group = sc.getLocalProperty("spark.jobGroup.id")
+    prior_desc = sc.getLocalProperty("spark.job.description")
     sc.setJobGroup(group, "stage width audit", interruptOnCancel=False)
     try:
         run()
     finally:
-        sc.setJobGroup(None, None)
+        sc.setLocalProperty("spark.jobGroup.id", prior_group)
+        sc.setLocalProperty("spark.job.description", prior_desc)
     tracker = sc.statusTracker()
     widths: dict[int, int] = {}
+    evicted = 0
     for jid in tracker.getJobIdsForGroup(group):
         info = tracker.getJobInfo(jid)
         if info is None:
+            evicted += 1
             continue
         for sid in info.stageIds:
             sinfo = tracker.getStageInfo(sid)
-            if sinfo is not None:
+            if sinfo is None:
+                evicted += 1
+            else:
                 widths[sid] = sinfo.numTasks
+    if evicted:
+        # A dropped stage could BE the narrow one — make truncation loud so
+        # a "nothing serialized" conclusion is never built on missing data.
+        warnings.warn(
+            f"stage_task_widths: {evicted} job/stage record(s) already "
+            "evicted from the status tracker (spark.ui.retained*); widths "
+            "are incomplete",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return widths

@@ -54,6 +54,25 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _fold_totals(prior: tuple | None, pdfs) -> tuple:
+    """Shared accumulate-and-emit body for BOTH stateful APIs: fold the
+    micro-batch frames into (n, s) on top of prior state and build the
+    one-row emission. One definition so the GroupState and
+    transformWithState twins cannot drift semantically (the tws parity
+    test cannot run where protobuf is absent)."""
+    n, s = prior if prior is not None else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].fillna(0.0).sum())
+    return n, s
+
+
+def _totals_row(key: tuple, n: int, s: float) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+    )
+
+
 def running_user_totals(
     parsed: DataFrame,
     key_col: str = "user_id",
@@ -81,14 +100,11 @@ def running_user_totals(
         if evict and state.hasTimedOut:
             state.remove()  # idle key: drop state, emit nothing
             return
-        n, s = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            n += len(pdf)
-            s += float(pdf["value"].fillna(0.0).sum())
+        n, s = _fold_totals(state.get if state.exists else None, pdfs)
         state.update((n, s))
         if evict:
             state.setTimeoutDuration(idle_timeout_ms)
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]})
+        yield _totals_row(key, n, s)
 
     return parsed.groupBy(key_col).applyInPandasWithState(
         fn,
@@ -127,14 +143,9 @@ def running_user_totals_tws(
 
         def handleInputRows(self, key, rows, timerValues):
             prior = self._totals.get() if self._totals.exists() else None
-            n, s = prior if prior is not None else (0, 0.0)
-            for pdf in rows:
-                n += len(pdf)
-                s += float(pdf["value"].fillna(0.0).sum())
+            n, s = _fold_totals(prior, rows)
             self._totals.update((n, s))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
-            )
+            yield _totals_row(key, n, s)
 
         def close(self) -> None:
             pass

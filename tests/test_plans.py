@@ -568,7 +568,7 @@ def test_edit_distance_kernel_stays_behind_barriers(spark):
     checkpoint barriers: the final plan filters a precomputed edit_dist
     column over an ExistingRDD scan. A `levenshtein(` anywhere in this
     plan means a barrier was dropped and PushDownPredicates is free to pull
-    the kernel below the fan-out exchange again (the 312 s -> 11 s sf1.0
+    the kernel below the fan-out exchange again (the 312.5 s -> 8.7 s sf1.0
     fix in SCALING.md)."""
     plan = _plan(spark, "dedup_edit_distance_blocked")
     assert "levenshtein" not in plan.lower(), "kernel leaked into the lazy plan"
