@@ -232,29 +232,53 @@ def bm25_scores(
     """BM25 keyword retrieval over the corpus: score =
     Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)), idf = ln((N-df+0.5)/(df+0.5)+1).
 
-    Plan: one explode → (doc, term) counts for the query terms only
-    (filter pushed before the aggregate), document lengths as a narrow
-    projection, corpus stats (N, avgdl) as a 1-row broadcast, per-term df
-    as a tiny broadcast join — the fact-table scan happens exactly once.
-    Scores are deterministic closed-form arithmetic, so the DuckDB oracle
-    reproduces them bit-for-bit at the 4dp grid.
+    Plan: ONE tokenize pass — a narrow per-document projection computes
+    the length and each query term's in-array count (higher-order
+    ``filter``, no explode, no fact shuffle at all), materialized once so
+    its three consumers (corpus stats, per-term df, scoring) never re-run
+    the tokenizer. The checkpoint doubles as the pushdown barrier: the
+    ``tf > 0`` filter on the melted rows cannot be substituted below the
+    fan-out exchange. Downstream is doc-count-sized: a |terms|-row df
+    broadcast and a 1-row (N, avgdl) broadcast. Scores are deterministic
+    closed-form arithmetic, so the DuckDB oracle reproduces them
+    bit-for-bit at the 4dp grid.
     """
     from kafkasparkstream_spark.util import fanout
 
-    toks = fanout(df.select(F.col(id_col), tokens_col(text_col).alias("_toks")))
-    lengths = toks.select(F.col(id_col), F.size("_toks").alias("dl"))
-    exploded = toks.select(F.col(id_col), F.explode("_toks").alias("term")).filter(
-        F.col("term").isin(*query_terms)
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    def _eq(term: str):
+        # NB: a 2-arg lambda would make F.filter pass the array INDEX as
+        # the second argument — close over the term instead.
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("_toks", _eq(t))).alias(f"_tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = (
+        fanout(df.select(F.col(id_col), tokens_col(text_col).alias("_toks")))
+        .select(F.col(id_col), F.size("_toks").alias("dl"), *tf_cols)
+        .localCheckpoint()
     )
-    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    stats = lengths.agg(
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    melted = F.array(
+        *[
+            F.struct(F.lit(t).alias("term"), F.col(f"_tf_{i}").alias("tf"))
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    tf = (
+        per_doc.select(F.col(id_col), F.col("dl"), F.explode(melted).alias("_p"))
+        .select(id_col, "dl", F.col("_p.term").alias("term"), F.col("_p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(lengths, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_s",
