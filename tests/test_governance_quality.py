@@ -105,3 +105,7 @@ def test_operator_parameter_guards():
         bounded_ewma(None, key="k", value="v", taps=0)
     with _pytest.raises(ValueError, match="hex_chars"):
         md5_int(None, hex_chars=16)
+    from kafkasparkstream_spark.operators.text import bm25_scores
+
+    with _pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(None, query_terms=())
