@@ -1,0 +1,115 @@
+"""Full-registry oracle sweep at an arbitrary scale factor.
+
+The driver's CORRECTNESS gate runs at sf0.01; this script runs the SAME
+compare (tests/oracle.py) at any other SF so scale-dependent fragility
+(round-boundary flips, threshold assumptions, sampling constants) surfaces
+before a user hits it. Quadratic ORACLES (the DuckDB side enumerates
+all candidate pairs that the Spark side prunes with LSH/banding/tiling)
+are skipped above their feasibility scale — the Spark plans themselves are
+still exercised by bench.py at those scales; it is only the oracle's
+all-pairs SQL that stops being runnable.
+
+Usage:
+    python scripts/oracle_sweep.py /root/testdata/sf0.1
+    python scripts/oracle_sweep.py .scratch/sf1.0
+    python scripts/oracle_sweep.py .scratch/sf1.0 --only dedup_minhash_lsh ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+# Oracles whose DuckDB side is all-pairs (or explode-heavy) in a table that
+# the replica corpus grows 10x: fine at sf0.1 (5k docs), infeasible at
+# sf1.0 (50k docs -> 2.5e9 candidate pairs on one DuckDB thread-pool).
+QUADRATIC_ORACLES_MIN_DOCS = 20_000
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--only", nargs="*", default=None, help="subset of query names")
+    ap.add_argument(
+        "--skip", nargs="*", default=None, help="extra query names to skip"
+    )
+    args = ap.parse_args()
+
+    import duckdb
+
+    n_docs = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{args.sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from oracle import assert_matches_oracle
+
+    from kafkasparkstream_spark.operators.dedup import release_caches
+
+    # All-pairs oracle SQL: every oracle that joins a shingle/embedding
+    # explosion against itself without an LSH-style prune on the DuckDB
+    # side. Identified from the oracle text (documents x documents or
+    # embeddings x embeddings candidate enumeration).
+    quadratic = {
+        "dedup_containment",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "dedup_incremental",
+        "dedup_clusters",
+        "dedup_keep_best",
+        "dedup_source_matrix",
+        "embedding_neardup",
+        "semdedup_clusters",
+        "dedup_edit_distance_blocked",
+    }
+
+    Q, O = E.queries(), E.oracle_sql()
+    names = sorted(args.only) if args.only else sorted(Q)
+    skip = set(args.skip or ())
+    fails, skipped, passed = [], [], 0
+    t_start = time.time()
+    for name in names:
+        if name in skip or (n_docs >= QUADRATIC_ORACLES_MIN_DOCS and name in quadratic):
+            skipped.append(name)
+            continue
+        t0 = time.time()
+        try:
+            df = Q[name](spark, args.sf_dir)
+            if name in O:
+                assert_matches_oracle(df, O[name], args.sf_dir, name=name)
+            else:
+                df.count()  # rows-only check, same as the driver
+            passed += 1
+            print(f"PASS {name} ({time.time() - t0:.1f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001 - sweep must not die mid-run
+            fails.append((name, repr(e)[:300]))
+            print(f"FAIL {name}: {repr(e)[:200]}", flush=True)
+        release_caches()
+    print(
+        f"\n=== {args.sf_dir}: {passed} passed, {len(fails)} failed, "
+        f"{len(skipped)} skipped (oracle-infeasible), {time.time() - t_start:.0f}s"
+    )
+    if skipped:
+        print("skipped:", " ".join(sorted(skipped)))
+    for name, err in fails:
+        print("FAIL", name, err)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
