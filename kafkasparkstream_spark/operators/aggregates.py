@@ -15,7 +15,7 @@ needed: the window key grows with time, so keys don't concentrate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Decimal places used when a query must emit float aggregates whose exact bit
@@ -24,23 +24,66 @@ from pyspark.sql import functions as F
 FLOAT_DP = 4
 
 
+def value_units(value_col: str | Column, scale: int = 2) -> Column:
+    """Exact integer representation of a fixed-point column: ``value·10^scale``
+    rounded at scale 0 and cast to long.
+
+    ``ROUND(v*100, 0)`` is portable across engines (scale-0 rounding of the
+    SAME IEEE product), and for data that is 2dp by construction (monetary
+    amounts, the synthetic ``events.value``) the result is the exact integer
+    the decimal denotes — so sums over it are order-independent, unlike sums
+    of the raw doubles. Oracle twin: ``CAST(ROUND(v*100, 0) AS BIGINT)``.
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.round(c * (10 ** scale), 0).cast("long")
+
+
+def grid_avg(sum_units: Column, n: Column, scale: int = 2, dp: int = FLOAT_DP) -> Column:
+    """Order-independent ``dp``-decimal average from an exact integer sum.
+
+    Both engines divide the SAME exact integers and round the SAME double at
+    scale 0 — the only ROUND that is portable (Spark's BigDecimal half-up and
+    DuckDB's round() agree away-from-zero at integer grain; at k>0 digits
+    they diverge on .5 boundaries, the bug class this helper exists to kill).
+    Oracle twin: ``ROUND(SUM(vq) * 10^(dp-scale) * 1.0 / COUNT(*), 0) / 10^dp``.
+    """
+    up = float(10 ** (dp - scale))
+    return F.round(sum_units * up / n, 0) / float(10 ** dp)
+
+
 def windowed_agg(
     df: DataFrame,
     ts_col: str = "ts",
     window_duration: str = "1 minute",
     dims: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    value_scale: int | None = 2,
 ) -> DataFrame:
     """Tumbling-window multi-aggregate (S10 batch shadow, processor.py:82-95).
 
     Returns one row per (window, *dims) with avg/min/max of ``value_col`` and
     the row count, window struct flattened to ``window_start``/``window_end``
     (mirroring what the reference's JDBC write does, api-service/app.py:93-94).
+
+    ``value_scale`` (default 2 — cents) computes the average on the exact
+    integer grid (:func:`value_units` / :func:`grid_avg`), which makes it
+    independent of partial-sum order: the 1-minute windows are small-n groups
+    whose float averages otherwise land on 4dp round boundaries and flip
+    between engines/runs (found by the sf1.0 replica-corpus sweep). Pass
+    ``None`` for data that is not fixed-point.
     """
+    if value_scale is None:
+        avg_c = F.round(F.avg(value_col), FLOAT_DP).alias("avg_value")
+        post_avg = F.col("avg_value")
+    else:
+        avg_c = F.sum(value_units(value_col, value_scale)).alias("_sum_units")
+        post_avg = grid_avg(
+            F.col("_sum_units"), F.col("reading_count"), value_scale
+        ).alias("avg_value")
     return (
         df.groupBy(F.window(F.col(ts_col), window_duration), *[F.col(d) for d in dims])
         .agg(
-            F.round(F.avg(value_col), FLOAT_DP).alias("avg_value"),
+            avg_c,
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
             F.count(F.lit(1)).alias("reading_count"),
@@ -49,7 +92,7 @@ def windowed_agg(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             *dims,
-            "avg_value",
+            post_avg,
             "min_value",
             "max_value",
             "reading_count",
@@ -310,11 +353,15 @@ def window_partials(
     ingest batches combine into the exact full answer (avg is derived at
     read time as sum/count). This is the batch form of incremental view
     maintenance: a new day's partition appends its partials; nothing old
-    is ever recomputed."""
+    is ever recomputed.
+
+    The value sum is carried as exact integer cents (:func:`value_units`) —
+    a float partial sum would make the merged average depend on which batch
+    each row arrived in (and on partial-sum order inside each batch)."""
     return (
         df.groupBy(F.window(F.col(ts_col), window_duration), *[F.col(d) for d in dims])
         .agg(
-            F.sum(value_col).alias("sum_value"),
+            F.sum(value_units(value_col)).alias("sum_cents"),
             F.count(F.lit(1)).alias("cnt"),
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
@@ -323,7 +370,7 @@ def window_partials(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             *dims,
-            "sum_value",
+            "sum_cents",
             "cnt",
             "min_value",
             "max_value",
@@ -345,10 +392,17 @@ def merge_window_partials(
     return (
         merged.groupBy(*keys)
         .agg(
-            F.round(F.sum("sum_value") / F.sum("cnt"), FLOAT_DP).alias("avg_value"),
+            F.sum("sum_cents").alias("_sum_cents"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
             F.sum("cnt").alias("reading_count"),
+        )
+        .select(
+            *keys,
+            grid_avg(F.col("_sum_cents"), F.col("reading_count")).alias("avg_value"),
+            "min_value",
+            "max_value",
+            "reading_count",
         )
         .orderBy(*keys)
     )

@@ -30,27 +30,43 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-01") -> Dat
     The filter pushes down to the parquet scan; the groupBy keys
     (returnflag, linestatus) have ~6 combinations → the exchange after
     map-side partial agg carries a handful of rows per input partition.
+
+    All money arithmetic runs on exact integer units (cents; discount and
+    tax factors as integer percents, so disc_price is exact in 10^-4
+    dollars and charge in 10^-6 dollars), summed as DECIMAL(38,0): float
+    sums of 1e10-magnitude dollars differ across partial-sum orders by more
+    than any sane rounding grid (sf1.0 sweep finding), while exact integer
+    sums are order-independent and convert to the identical double in any
+    engine. Averages use the scale-0 ROUND grid (the portable one).
     """
+    qty = F.round(F.col("l_quantity"), 0).cast("long")  # integral by spec
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")  # cents
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")  # percent
+    tc = F.round(F.col("l_tax") * 100, 0).cast("long")  # percent
+    dec = "decimal(38,0)"
+    n = F.count(F.lit(1))
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), FLOAT_DP).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), FLOAT_DP).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                FLOAT_DP,
+            F.sum(qty.cast(dec)).cast("double").alias("sum_qty"),
+            (F.sum(pc.cast(dec)).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum((pc * (100 - dc)).cast(dec)).cast("double") / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum((pc * (100 - dc) * (100 + tc)).cast(dec)).cast("double")
+                / 1000000.0
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), FLOAT_DP).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), FLOAT_DP).alias("avg_price"),
-            F.round(F.avg("l_discount"), FLOAT_DP).alias("avg_disc"),
+            (F.round(F.sum(qty).cast("double") * 10000.0 / n, 0) / 10000.0).alias(
+                "avg_qty"
+            ),
+            (F.round(F.sum(pc).cast("double") * 100.0 / n, 0) / 10000.0).alias(
+                "avg_price"
+            ),
+            (F.round(F.sum(dc).cast("double") * 100.0 / n, 0) / 10000.0).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -155,17 +155,19 @@ def sliding_window_agg(
     variant — the explode to multiple windows happens before the map-side
     combine, so the exchange still carries one row per (partition, window,
     dims)."""
+    from kafkasparkstream_spark.operators.aggregates import grid_avg, value_units
+
     return (
         df.groupBy(F.window(F.col(ts_col), duration, slide), *dims)
         .agg(
-            F.round(F.avg(value_col), 4).alias("avg_value"),
+            F.sum(value_units(value_col)).alias("_sum_cents"),
             F.count(F.lit(1)).alias("reading_count"),
         )
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             *dims,
-            "avg_value",
+            grid_avg(F.col("_sum_cents"), F.col("reading_count")).alias("avg_value"),
             "reading_count",
         )
     )

@@ -49,7 +49,8 @@ def register(name: str, oracle: str | None = None):
     SELECT time_bucket(INTERVAL '1 minute', ts)                      AS window_start,
            time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
            event_type,
-           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value,
            MIN(value)           AS min_value,
            MAX(value)           AS max_value,
            COUNT(*)             AS reading_count
@@ -69,7 +70,8 @@ def windowed_agg_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 minute', ts)                       AS window_start,
            time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
            event_type,
-           ROUND(SUM(value) / COUNT(*), 4) AS avg_value,
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value,
            MIN(value)                      AS min_value,
            MAX(value)                      AS max_value,
            COUNT(*)                        AS reading_count
@@ -235,7 +237,8 @@ def extreme_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 minute', ts)                       AS window_start,
            time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
            event_type,
-           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value,
            MIN(value)           AS min_value,
            MAX(value)           AS max_value,
            COUNT(*)             AS reading_count
@@ -286,17 +289,29 @@ from kafkasparkstream_spark.operators import analytics  # noqa: E402
 @register(
     "pricing_summary",
     oracle="""
+    WITH u AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(l_quantity, 0) AS BIGINT)            AS q,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT)      AS dc,
+               CAST(ROUND(l_tax * 100, 0) AS BIGINT)           AS tc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    )
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 4)                                           AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4)                                      AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                   AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)     AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                           AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                      AS avg_price,
-           ROUND(AVG(l_discount), 4)                                           AS avg_disc,
-           COUNT(*)                                                            AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+           CAST(SUM(q) AS DOUBLE)                                 AS sum_qty,
+           CAST(SUM(pc) AS DOUBLE) / 100.0                        AS sum_base_price,
+           CAST(SUM(pc * (100 - dc)) AS DOUBLE) / 10000.0         AS sum_disc_price,
+           CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0
+                                                                  AS sum_charge,
+           ROUND(CAST(SUM(q) AS DOUBLE) * 10000.0 / COUNT(*), 0) / 10000.0
+                                                                  AS avg_qty,
+           ROUND(CAST(SUM(pc) AS DOUBLE) * 100.0 / COUNT(*), 0) / 10000.0
+                                                                  AS avg_price,
+           ROUND(CAST(SUM(dc) AS DOUBLE) * 100.0 / COUNT(*), 0) / 10000.0
+                                                                  AS avg_disc,
+           COUNT(*)                                               AS count_order
+    FROM u
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -1634,7 +1649,10 @@ def distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events, (SELECT unnest([0, 1]) AS k) k
     )
     SELECT window_start, window_start + INTERVAL 2 MINUTES AS window_end,
-           event_type, ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS reading_count
+           event_type,
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value,
+           COUNT(*) AS reading_count
     FROM exploded
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
@@ -1763,7 +1781,8 @@ def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
         SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
-               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                     / COUNT(*), 0) / 10000.0 AS avg_value,
                MIN(value)           AS min_value,
                MAX(value)           AS max_value
         FROM events GROUP BY 1
@@ -1782,11 +1801,17 @@ def unpivot_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         events.groupBy(F.window("ts", "1 minute").alias("w"))
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(aggregates.value_units("value")).alias("_sc"),
+            F.count(F.lit(1)).alias("_n"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "avg_value", "min_value", "max_value")
+        .select(
+            F.col("w.start").alias("window_start"),
+            aggregates.grid_avg(F.col("_sc"), F.col("_n")).alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
     )
     return wide.unpivot(
         ["window_start"],
@@ -2447,7 +2472,8 @@ def _events_to_wire(events: DataFrame, path: str, n_files: int | None = None) ->
     SELECT time_bucket(INTERVAL '1 minute', ts)                      AS window_start,
            time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
            event_type,
-           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value,
            MIN(value)           AS min_value,
            MAX(value)           AS max_value,
            COUNT(*)             AS reading_count
@@ -2498,11 +2524,14 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sink}/sensor_aggregates"),
         ("window_start", "window_end", "event_type"),
     )
+    # avg_value is already on the portable 4dp grid (pipeline computes it
+    # from the exact integer-cents sum inside the streaming agg) — no
+    # read-side re-round, which would re-introduce the half-up boundary.
     return final.select(
         "window_start",
         "window_end",
         "event_type",
-        F.round("avg_value", 4).alias("avg_value"),
+        "avg_value",
         "min_value",
         "max_value",
         "reading_count",
@@ -6487,7 +6516,8 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_revenue_gini",
     oracle="""
     WITH rev AS (
-        SELECT c.c_nationkey, c.c_custkey, SUM(o.o_totalprice) AS r
+        SELECT c.c_nationkey, c.c_custkey,
+               SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS r
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
     ),
@@ -6501,9 +6531,11 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.n_name,
            CAST(MAX(rk.n) AS BIGINT) AS n_customers,
-           ROUND(MAX(rk.tot), 4) AS total_revenue,
-           ROUND(2.0 * SUM(rk.i * rk.r) / (MAX(rk.n) * MAX(rk.tot))
-                 - (MAX(rk.n) + 1.0) / MAX(rk.n), 6) AS gini
+           CAST(MAX(rk.tot) AS DOUBLE) / 100.0 AS total_revenue,
+           ROUND((2.0 * CAST(SUM(rk.i * rk.r) AS DOUBLE)
+                  / (CAST(MAX(rk.n) AS DOUBLE) * CAST(MAX(rk.tot) AS DOUBLE))
+                  - (CAST(MAX(rk.n) AS DOUBLE) + 1.0) / CAST(MAX(rk.n) AS DOUBLE))
+                 * 1000000.0, 0) / 1000000.0 AS gini
     FROM rk JOIN nation n ON n.n_nationkey = rk.c_nationkey
     GROUP BY n.n_name
     ORDER BY n.n_name
@@ -6535,13 +6567,24 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
         )
         .groupBy("c_nationkey", "c_custkey")
-        .agg(F.sum("o_totalprice").alias("r"))
+        # Exact integer cents: the per-customer revenue, the rank order and
+        # the nation totals are all order-independent integers; only the
+        # final ratio touches floats (identical IEEE ops on identical
+        # integers in both engines — the sf1.0 sweep caught the raw-double
+        # variant flipping at the 9dp compare grid).
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("r"))
     )
     wp = Window.partitionBy("c_nationkey")
     rk = (
         rev.withColumn("i", F.row_number().over(wp.orderBy("r", "c_custkey")))
         .withColumn("n", F.count(F.lit(1)).over(wp))
         .withColumn("tot", F.sum("r").over(wp))
+    )
+    n_d = F.max("n").cast("double")
+    tot_d = F.max("tot").cast("double")
+    gini_raw = (
+        2.0 * F.sum(F.col("i") * F.col("r")).cast("double") / (n_d * tot_d)
+        - (n_d + 1.0) / n_d
     )
     return (
         rk.join(
@@ -6553,12 +6596,8 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.max("n").cast("long").alias("n_customers"),
-            F.round(F.max("tot"), 4).alias("total_revenue"),
-            F.round(
-                2.0 * F.sum(F.col("i") * F.col("r")) / (F.max("n") * F.max("tot"))
-                - (F.max("n") + 1.0) / F.max("n"),
-                6,
-            ).alias("gini"),
+            (F.max("tot").cast("double") / 100.0).alias("total_revenue"),
+            (F.round(gini_raw * 1000000.0, 0) / 1000000.0).alias("gini"),
         )
         .orderBy("n_name")
     )
@@ -6834,42 +6873,81 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "trimmed_mean_by_type",
     oracle="""
-    WITH b AS (
-        SELECT event_type, value,
-               quantile_cont(value, 0.05) OVER (PARTITION BY event_type) AS lo,
-               quantile_cont(value, 0.95) OVER (PARTITION BY event_type) AS hi
-        FROM events
+    WITH u AS (
+        SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS vq FROM events
+    ),
+    h AS (SELECT event_type, vq, COUNT(*) AS c FROM u GROUP BY 1, 2),
+    hh AS (
+        SELECT event_type, vq, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY vq
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ),
+    cuts AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN vq END)  AS lo_q,
+               MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN vq END) AS hi_q
+        FROM hh GROUP BY event_type
     )
-    SELECT event_type,
-           CAST(COUNT(*) FILTER (WHERE value >= lo AND value <= hi) AS BIGINT)
-               AS n_kept,
-           ROUND(AVG(value), 4) AS raw_mean,
-           ROUND(AVG(value) FILTER (WHERE value >= lo AND value <= hi), 4)
-               AS trimmed_mean
-    FROM b GROUP BY event_type ORDER BY event_type
+    SELECT u.event_type,
+           CAST(SUM(CASE WHEN vq BETWEEN lo_q AND hi_q THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(SUM(vq) * 100.0 / COUNT(*), 0) / 10000.0 AS raw_mean,
+           ROUND(SUM(CASE WHEN vq BETWEEN lo_q AND hi_q THEN vq END) * 100.0
+                 / SUM(CASE WHEN vq BETWEEN lo_q AND hi_q THEN 1 ELSE 0 END), 0)
+               / 10000.0 AS trimmed_mean
+    FROM u JOIN cuts USING (event_type)
+    GROUP BY u.event_type ORDER BY u.event_type
     """,
 )
 def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5%-trimmed mean per event type next to the raw mean — the robust
     location estimate that survives the fat tails MAD flags
     (mad_outliers_per_type is the detection view; this is the corrected
-    statistic). Two passes over one shuffled partition set: exact p05/p95
-    per type (tiny |types|-row table, broadcast back), then a conditional
-    average. At 100 TB the documented swap is approx_percentile for the
-    cut points — same shape, sketch-sized state."""
+    statistic).
+
+    Cut points are DISCRETE order statistics on the exact cents grid (the
+    smallest value whose cumulative count reaches ⌈p·n⌉ — type-1 quantile),
+    not interpolated percentiles: interpolation arithmetic disagrees across
+    engines in the last ulp, and with heavy ties at the boundary (the sf1.0
+    replica corpus) an ulp decides whether 50 tied rows are in or out.
+    Integer ranks cannot disagree.
+
+    Scale shape: the cut computation runs on a per-(type, cents) HISTOGRAM
+    — ≤ |types|·|distinct cents| rows, map-side combined — with a window
+    scan over that tiny table, never a fact-sized sort; the fact table is
+    then re-aggregated once against the broadcast cuts."""
+    from pyspark.sql.window import Window
+
     events = load_table(spark, "events", sf_dir)
-    cuts = events.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+    vq = aggregates.value_units("value")
+    h = (
+        events.select("event_type", vq.alias("vq"))
+        .groupBy("event_type", "vq")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    kept = F.col("value").between(F.col("lo"), F.col("hi"))
+    wt = Window.partitionBy("event_type")
+    hh = h.withColumn(
+        "cum", F.sum("c").over(wt.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("n", F.sum("c").over(wt))
+    k_lo = F.expr("(n * 5 + 99) DIV 100")
+    k_hi = F.expr("(n * 95 + 99) DIV 100")
+    cuts = hh.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= k_lo, F.col("vq"))).alias("lo_q"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("vq"))).alias("hi_q"),
+    )
+    kept = F.col("vq").between(F.col("lo_q"), F.col("hi_q"))
     return (
-        events.join(F.broadcast(cuts), "event_type")
+        events.select("event_type", vq.alias("vq"))
+        .join(F.broadcast(cuts), "event_type")
         .groupBy("event_type")
         .agg(
             F.sum(kept.cast("long")).alias("n_kept"),
-            F.round(F.avg("value"), 4).alias("raw_mean"),
-            F.round(F.avg(F.when(kept, F.col("value"))), 4).alias("trimmed_mean"),
+            aggregates.grid_avg(F.sum("vq"), F.count(F.lit(1))).alias("raw_mean"),
+            aggregates.grid_avg(
+                F.sum(F.when(kept, F.col("vq"))), F.sum(kept.cast("long"))
+            ).alias("trimmed_mean"),
         )
         .orderBy("event_type")
     )
@@ -7915,17 +7993,20 @@ def streaming_batch_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window("ts", "1 minute").alias("w"), "event_type"
         )
         .agg(
-            F.avg("value").alias("b_avg"),
+            F.sum(aggregates.value_units("value")).alias("_sc"),
             F.count(F.lit(1)).alias("b_count"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "b_avg", "b_count")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            aggregates.grid_avg(F.col("_sc"), F.col("b_count")).alias("b_avg"),
+            "b_count",
+        )
     )
-    # Keyed full-outer reconciliation with a float tolerance, not exact
-    # equality of independently rounded averages: the two paths accumulate
-    # partial sums in different orders, so a window whose true average sits
-    # on a 4dp .5 boundary could round apart and report a spurious
-    # mismatch. Counts compare exactly; averages within 1e-9 (noise is
-    # ~1e-13 relative) agree, genuine divergence still fails the oracle.
+    # Keyed full-outer reconciliation. Both paths now derive the average
+    # from the exact integer-cents sum (identical IEEE ops on identical
+    # integers), so equality is exact; the 1e-9 tolerance is a belt for
+    # future non-grid aggregates, not a requirement of this pair.
     j = batch.join(streamed, ["window_start", "event_type"], "full_outer")
     mismatch = (
         F.col("b_count").isNull()

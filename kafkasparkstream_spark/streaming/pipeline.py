@@ -51,9 +51,19 @@ def parse_stage(raw: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def windowed_aggregate_stage(parsed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """ST1+ST2+S10: watermark → tumbling window → the reference's aggregate
     set (avg/min/max value, avg battery, count — processor.py:89-95),
-    window struct flattened to start/end columns."""
+    window struct flattened to start/end columns.
+
+    ``avg_value`` is derived from an exact integer-cents sum in the
+    aggregation state (a stateless projection after the stateful agg), so
+    the sink value is independent of micro-batch arrival order and bit-equal
+    to the batch shadow / any other engine computing the same grid — raw
+    float averages differ across accumulation orders at 4dp boundaries
+    (sf1.0 sweep finding). Battery stays a plain avg: it is reference
+    display surface, never cross-engine compared."""
+    from kafkasparkstream_spark.operators.aggregates import grid_avg, value_units
+
     aggs = [
-        F.avg(cfg.value_col).alias("avg_value"),
+        F.sum(value_units(cfg.value_col)).alias("_sum_cents"),
         F.min(cfg.value_col).alias("min_value"),
         F.max(cfg.value_col).alias("max_value"),
     ]
@@ -68,7 +78,7 @@ def windowed_aggregate_stage(parsed: DataFrame, cfg: PipelineConfig) -> DataFram
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             *cfg.dims,
-            "avg_value",
+            grid_avg(F.col("_sum_cents"), F.col("reading_count")).alias("avg_value"),
             "min_value",
             "max_value",
             *(["avg_battery"] if cfg.battery_col else []),

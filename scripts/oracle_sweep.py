@@ -29,6 +29,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 # the replica corpus grows 10x: fine at sf0.1 (5k docs), infeasible at
 # sf1.0 (50k docs -> 2.5e9 candidate pairs on one DuckDB thread-pool).
 QUADRATIC_ORACLES_MIN_DOCS = 20_000
+# Same idea for the embedding-pair family: n x n list_cosine rows in the
+# oracle (the Spark side prunes with tiling/LSH/IVF). 64M dim-64 cosines
+# took >5 min per query in DuckDB at 8k vectors — skip past 5k.
+QUADRATIC_ORACLES_MIN_VECS = 5_000
 
 
 def main() -> int:
@@ -42,9 +46,14 @@ def main() -> int:
 
     import duckdb
 
-    n_docs = duckdb.connect().execute(
+    con = duckdb.connect()
+    n_docs = con.execute(
         f"SELECT COUNT(*) FROM '{args.sf_dir}/documents.parquet'"
     ).fetchone()[0]
+    n_vecs = con.execute(
+        f"SELECT COUNT(*) FROM '{args.sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    con.close()
 
     from pyspark.sql import SparkSession
 
@@ -77,6 +86,15 @@ def main() -> int:
         "semdedup_clusters",
         "dedup_edit_distance_blocked",
     }
+    # n x n embedding-pair oracle SQL (Spark side is tiled / bucketed).
+    quadratic_vecs = {
+        "embedding_neardup",
+        "hard_negatives_topk",
+        "knn_graph",
+        "knn_jaccard_links",
+        "knn_triangle_stats",
+        "pagerank_knn_graph",
+    }
 
     Q, O = E.queries(), E.oracle_sql()
     names = sorted(args.only) if args.only else sorted(Q)
@@ -84,7 +102,11 @@ def main() -> int:
     fails, skipped, passed = [], [], 0
     t_start = time.time()
     for name in names:
-        if name in skip or (n_docs >= QUADRATIC_ORACLES_MIN_DOCS and name in quadratic):
+        if (
+            name in skip
+            or (n_docs >= QUADRATIC_ORACLES_MIN_DOCS and name in quadratic)
+            or (n_vecs >= QUADRATIC_ORACLES_MIN_VECS and name in quadratic_vecs)
+        ):
             skipped.append(name)
             continue
         t0 = time.time()
