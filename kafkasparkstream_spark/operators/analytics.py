@@ -33,38 +33,53 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-01") -> Dat
 
     All money arithmetic runs on exact integer units (cents; discount and
     tax factors as integer percents, so disc_price is exact in 10^-4
-    dollars and charge in 10^-6 dollars), summed as DECIMAL(38,0): float
-    sums of 1e10-magnitude dollars differ across partial-sum orders by more
-    than any sane rounding grid (sf1.0 sweep finding), while exact integer
-    sums are order-independent and convert to the identical double in any
-    engine. Averages use the scale-0 ROUND grid (the portable one).
+    dollars and charge in 10^-6 dollars): float sums of 1e10-magnitude
+    dollars differ across partial-sum orders by more than any sane rounding
+    grid (sf1.0 sweep finding), while exact integer sums are
+    order-independent and convert to the identical double in any engine.
+
+    Sums stay LONG (DECIMAL(38,0) falls off the vectorized hash-agg fast
+    path — measured 3×). The charge units (≤ ~1.1e11/row) are the only sum
+    that could overflow a long at scale, so they split into exact
+    quotient/remainder halves at 10^6 (each sums safely past 10^10 rows per
+    group) and recombine as ``Σhi + Σlo/1e6`` — identical double ops on
+    identical integers in both engines. Averages use the scale-0 ROUND grid
+    (the portable one).
     """
     qty = F.round(F.col("l_quantity"), 0).cast("long")  # integral by spec
     pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")  # cents
     dc = F.round(F.col("l_discount") * 100, 0).cast("long")  # percent
     tc = F.round(F.col("l_tax") * 100, 0).cast("long")  # percent
-    dec = "decimal(38,0)"
+    cu = pc * (100 - dc) * (100 + tc)  # charge in 1e-6 dollars, ≥ 0
+    base = lineitem.filter(
+        F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("_q"),
+        pc.alias("_pc"),
+        dc.alias("_dc"),
+        (pc * (100 - dc)).alias("_dp"),
+        cu.alias("_cu"),
+    )
     n = F.count(F.lit(1))
     return (
-        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        base.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty.cast(dec)).cast("double").alias("sum_qty"),
-            (F.sum(pc.cast(dec)).cast("double") / 100.0).alias("sum_base_price"),
-            (F.sum((pc * (100 - dc)).cast(dec)).cast("double") / 10000.0).alias(
-                "sum_disc_price"
-            ),
+            F.sum("_q").cast("double").alias("sum_qty"),
+            (F.sum("_pc").cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum("_dp").cast("double") / 10000.0).alias("sum_disc_price"),
             (
-                F.sum((pc * (100 - dc) * (100 + tc)).cast(dec)).cast("double")
-                / 1000000.0
+                F.sum(F.expr("_cu DIV 1000000")).cast("double")
+                + F.sum(F.expr("_cu % 1000000")).cast("double") / 1000000.0
             ).alias("sum_charge"),
-            (F.round(F.sum(qty).cast("double") * 10000.0 / n, 0) / 10000.0).alias(
+            (F.round(F.sum("_q").cast("double") * 10000.0 / n, 0) / 10000.0).alias(
                 "avg_qty"
             ),
-            (F.round(F.sum(pc).cast("double") * 100.0 / n, 0) / 10000.0).alias(
+            (F.round(F.sum("_pc").cast("double") * 100.0 / n, 0) / 10000.0).alias(
                 "avg_price"
             ),
-            (F.round(F.sum(dc).cast("double") * 100.0 / n, 0) / 10000.0).alias(
+            (F.round(F.sum("_dc").cast("double") * 100.0 / n, 0) / 10000.0).alias(
                 "avg_disc"
             ),
             F.count(F.lit(1)).alias("count_order"),

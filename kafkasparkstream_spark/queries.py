@@ -302,8 +302,9 @@ from kafkasparkstream_spark.operators import analytics  # noqa: E402
            CAST(SUM(q) AS DOUBLE)                                 AS sum_qty,
            CAST(SUM(pc) AS DOUBLE) / 100.0                        AS sum_base_price,
            CAST(SUM(pc * (100 - dc)) AS DOUBLE) / 10000.0         AS sum_disc_price,
-           CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0
-                                                                  AS sum_charge,
+           CAST(SUM((pc * (100 - dc) * (100 + tc)) // 1000000) AS DOUBLE)
+             + CAST(SUM((pc * (100 - dc) * (100 + tc)) % 1000000) AS DOUBLE)
+               / 1000000.0                                        AS sum_charge,
            ROUND(CAST(SUM(q) AS DOUBLE) * 10000.0 / COUNT(*), 0) / 10000.0
                                                                   AS avg_qty,
            ROUND(CAST(SUM(pc) AS DOUBLE) * 100.0 / COUNT(*), 0) / 10000.0
