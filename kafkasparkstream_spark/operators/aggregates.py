@@ -172,9 +172,11 @@ def salted_group_agg(
     reduce — salting caps any reducer's share at 1/buckets of the hot key.
     """
     salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_col)), F.lit(buckets)))
+    # Partials carry exact integer cents: a float partial sum would make the
+    # merged total depend on which salt bucket each row landed in.
     partial = salted.groupBy(key_col, "_salt").agg(
         F.count(F.lit(1)).alias("_cnt"),
-        F.sum(value_col).alias("_sum"),
+        F.sum(value_units(value_col)).alias("_sum_c"),
         F.min(value_col).alias("_min"),
         F.max(value_col).alias("_max"),
     )
@@ -182,7 +184,7 @@ def salted_group_agg(
         partial.groupBy(key_col)
         .agg(
             F.sum("_cnt").alias("cnt"),
-            F.round(F.sum("_sum"), FLOAT_DP).alias("sum_value"),
+            (F.sum("_sum_c").cast("double") / 100.0).alias("sum_value"),
             F.min("_min").alias("min_value"),
             F.max("_max").alias("max_value"),
         )
@@ -335,7 +337,14 @@ def value_histogram(df: DataFrame, value_col: str = "value", bucket_width: float
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.min(value_col), FLOAT_DP).alias("min_value"),
             F.round(F.max(value_col), FLOAT_DP).alias("max_value"),
-            F.round(F.avg(value_col), FLOAT_DP).alias("avg_value"),
+            F.sum(value_units(value_col)).alias("_sc"),
+        )
+        .select(
+            "bucket",
+            "cnt",
+            "min_value",
+            "max_value",
+            grid_avg(F.col("_sc"), F.col("cnt")).alias("avg_value"),
         )
         .orderBy("bucket")
     )

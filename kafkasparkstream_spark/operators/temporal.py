@@ -114,7 +114,10 @@ def session_stats(
     value_col: str = "value",
     gap_seconds: int = 1800,
 ) -> DataFrame:
-    """Per-session rollup: bounds, event count, value sum (4dp grid)."""
+    """Per-session rollup: bounds, event count, value sum (exact cents —
+    order-independent, identical in any engine)."""
+    from kafkasparkstream_spark.operators.aggregates import value_units
+
     s = sessionize(df, key_col, ts_col, order_col, gap_seconds)
     return (
         s.groupBy(key_col, "session_id")
@@ -122,7 +125,7 @@ def session_stats(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 4).alias("sum_value"),
+            (F.sum(value_units(value_col)).cast("double") / 100.0).alias("sum_value"),
         )
         .orderBy(key_col, "session_id")
     )

@@ -76,24 +76,30 @@ def rollup_counts(
     df: DataFrame, dims: tuple[str, ...] = ("event_type",), value_col: str = "value"
 ) -> DataFrame:
     """GROUP BY ROLLUP(dims): per-dim rows plus grand total (null dims)."""
+    from kafkasparkstream_spark.operators.aggregates import grid_avg, value_units
+
     return (
         df.rollup(*dims)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.avg(value_col), 4).alias("avg_value"),
+            F.sum(value_units(value_col)).alias("_sc"),
         )
+        .select(*dims, "cnt", grid_avg(F.col("_sc"), F.col("cnt")).alias("avg_value"))
         .orderBy(*[F.asc_nulls_first(d) for d in dims])
     )
 
 
 def cube_counts(df: DataFrame, dims: tuple[str, ...], value_col: str = "value") -> DataFrame:
     """GROUP BY CUBE(dims): all 2^|dims| grouping sets."""
+    from kafkasparkstream_spark.operators.aggregates import grid_avg, value_units
+
     return (
         df.cube(*dims)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.avg(value_col), 4).alias("avg_value"),
+            F.sum(value_units(value_col)).alias("_sc"),
         )
+        .select(*dims, "cnt", grid_avg(F.col("_sc"), F.col("cnt")).alias("avg_value"))
         .orderBy(*[F.asc_nulls_first(d) for d in dims])
     )
 
@@ -185,18 +191,20 @@ def session_window_agg(
     whose window is [first_ts, last_ts+gap). Usable identically in batch
     and streaming (where it is state-store-backed with watermark-driven
     close)."""
+    from kafkasparkstream_spark.operators.aggregates import value_units
+
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 4).alias("sum_value"),
+            F.sum(value_units(value_col)).alias("_sc"),
         )
         .select(
             F.col(key_col),
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            (F.col("_sc").cast("double") / 100.0).alias("sum_value"),
         )
         .orderBy(key_col, "session_start")
     )

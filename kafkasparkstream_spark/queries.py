@@ -1530,7 +1530,9 @@ def running_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_event_counts",
     oracle="""
-    SELECT event_type, COUNT(*) AS cnt, ROUND(AVG(value), 4) AS avg_value
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value
     FROM events
     GROUP BY ROLLUP (event_type)
     ORDER BY event_type NULLS FIRST
@@ -1545,7 +1547,8 @@ def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_type_user_bucket",
     oracle="""
     SELECT event_type, user_id % 4 AS user_bucket, COUNT(*) AS cnt,
-           ROUND(AVG(value), 4) AS avg_value
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value
     FROM events
     GROUP BY CUBE (event_type, user_id % 4)
     ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
@@ -1681,7 +1684,9 @@ def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ROWS UNBOUNDED PRECEDING) AS sid FROM s)
     SELECT user_id, MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTES AS session_end,
-           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM n GROUP BY user_id, sid
     ORDER BY user_id, session_start
     """,
@@ -1942,7 +1947,9 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_roundtrip_agg",
     oracle="""
-    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -1965,7 +1972,12 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_json_events(wire, wire_schema, ts_col=None)
     return (
         parsed.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(aggregates.value_units("value")).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
+        )
         .orderBy("event_type")
     )
 
@@ -2142,7 +2154,9 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM numbered
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id
@@ -2192,7 +2206,9 @@ def clicks_before_error_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "salted_value_stats_by_type",
     oracle="""
-    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value,
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value,
            MIN(value) AS min_value, MAX(value) AS max_value
     FROM events
     GROUP BY event_type
@@ -2233,7 +2249,8 @@ def value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)             AS cnt,
            ROUND(MIN(value), 4) AS min_value,
            ROUND(MAX(value), 4) AS max_value,
-           ROUND(AVG(value), 4) AS avg_value
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1
     ORDER BY 1
@@ -2303,7 +2320,9 @@ _BUCKET_SQL = "CAST(('0x' || substr(md5('{salt}' || CAST({id} AS VARCHAR)), 1, 8
                        ELSE 'test' END AS split
         FROM events
     )
-    SELECT split, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+    SELECT split, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM labeled GROUP BY split ORDER BY split
     """,
 )
@@ -2314,7 +2333,12 @@ def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = sampling.dataset_split(events, "event_id")
     return (
         labeled.groupBy("split")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(aggregates.value_units("value")).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
+        )
         .orderBy("split")
     )
 
@@ -3788,7 +3812,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events
     GROUP BY 1 ORDER BY 1
     """,
@@ -4413,7 +4438,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ROWS UNBOUNDED PRECEDING) AS sid FROM s)
     SELECT user_id, MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTES AS session_end,
-           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM n GROUP BY user_id, sid
     ORDER BY user_id, session_start
     """,
@@ -4457,14 +4484,14 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("_sum_value"),
+            F.sum(aggregates.value_units("value")).alias("_sum_cents"),
         )
         .select(
             "user_id",
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "n_events",
-            "_sum_value",
+            "_sum_cents",
         )
     )
 
@@ -4487,7 +4514,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start",
             "session_end",
             "n_events",
-            F.round("_sum_value", 4).alias("sum_value"),
+            (F.col("_sum_cents").cast("double") / 100.0).alias("sum_value"),
         )
         .orderBy("user_id", "session_start")
     )
@@ -4869,7 +4896,8 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT device_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value), 4) AS avg_value
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value
     FROM g GROUP BY device_type ORDER BY device_type
     """,
 )
@@ -4895,7 +4923,12 @@ def python_datasource_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("device_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(aggregates.value_units("value")).alias("_sc"),
+        )
+        .select(
+            "device_type",
+            "n",
+            aggregates.grid_avg(F.col("_sc"), F.col("n")).alias("avg_value"),
         )
         .orderBy("device_type")
     )
@@ -5024,7 +5057,8 @@ def hourly_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events
     GROUP BY 1
     ORDER BY 1
@@ -5059,15 +5093,20 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
     parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, payload_col="value", ts_col="ts")
+    # Both stateful levels carry exact integer cents — float partials would
+    # make the coarse total depend on which 1-min window absorbed each row.
     fine = (
         parsed.withWatermark("ts", "1 minute")
         .groupBy(F.window("ts", "1 minute").alias("w1"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(aggregates.value_units("value")).alias("s"),
+        )
     )
     coarse = (
         fine.groupBy(F.window(F.window_time("w1"), "5 minutes").alias("w5"))
-        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("_sum"))
-        .select(F.col("w5.start").alias("window_start"), "n_events", "_sum")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("_sum_c"))
+        .select(F.col("w5.start").alias("window_start"), "n_events", "_sum_c")
     )
 
     with _clamped_shuffle_partitions(spark):
@@ -5085,7 +5124,7 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "window_start",
             F.col("n_events").cast("long").alias("n_events"),
-            F.round("_sum", 4).alias("sum_value"),
+            (F.col("_sum_c").cast("double") / 100.0).alias("sum_value"),
         )
         .orderBy("window_start")
     )
@@ -6646,7 +6685,8 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT device_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value), 4) AS avg_value
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value
     FROM g GROUP BY device_type ORDER BY device_type
     """,
 )
@@ -6692,7 +6732,12 @@ def python_stream_source_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("device_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(aggregates.value_units("value")).alias("_sc"),
+        )
+        .select(
+            "device_type",
+            "n",
+            aggregates.grid_avg(F.col("_sc"), F.col("n")).alias("avg_value"),
         )
         .orderBy("device_type")
     )
@@ -7937,7 +7982,6 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
         SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
                event_type,
-               ROUND(AVG(value), 4) AS avg_value,
                COUNT(*) AS reading_count
         FROM events GROUP BY 1, 2
     )

@@ -49,7 +49,7 @@ RUNNING_TOTALS_SCHEMA = StructType(
 _STATE_SCHEMA = StructType(
     [
         StructField("n", LongType(), False),
-        StructField("s", DoubleType(), False),
+        StructField("s", LongType(), False),
     ]
 )
 
@@ -59,17 +59,24 @@ def _fold_totals(prior: tuple | None, pdfs) -> tuple:
     micro-batch frames into (n, s) on top of prior state and build the
     one-row emission. One definition so the GroupState and
     transformWithState twins cannot drift semantically (the tws parity
-    test cannot run where protobuf is absent)."""
-    n, s = prior if prior is not None else (0, 0.0)
+    test cannot run where protobuf is absent).
+
+    ``s`` is the exact integer-CENTS sum (np.rint is safe: a 2dp double
+    ×100 sits within an ulp of its integer, never on a .5), so the running
+    total is independent of micro-batch boundaries and row order — a float
+    accumulator would drift from the batch shadow by summation order."""
+    import numpy as np
+
+    n, s = prior if prior is not None else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].fillna(0.0).sum())
+        s += int(np.rint(pdf["value"].fillna(0.0).to_numpy() * 100).astype("int64").sum())
     return n, s
 
 
-def _totals_row(key: tuple, n: int, s: float) -> pd.DataFrame:
+def _totals_row(key: tuple, n: int, s: int) -> pd.DataFrame:
     return pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 100.0]}
     )
 
 
