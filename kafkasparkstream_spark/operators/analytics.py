@@ -24,6 +24,24 @@ from pyspark.sql import functions as F
 from kafkasparkstream_spark.operators.aggregates import FLOAT_DP
 
 
+def _revenue_units():
+    """Exact revenue units: cents × integer (100 − discount%), i.e.
+    ``l_extendedprice·(1−l_discount)`` in 10^-4 dollars as an exact long —
+    sums of these are order-independent where float revenue sums drift at
+    1e10 magnitude (sf1.0 sweep finding). Oracle twin:
+    ``CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))``."""
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return pc * (100 - dc)
+
+
+def revenue_sum():
+    """Portable revenue aggregate in dollars: exact long-unit sum, one
+    double conversion (identical in any engine)."""
+    return F.sum(_revenue_units()).cast("double") / 10000.0
+
+
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-01") -> DataFrame:
     """TPC-H Q1 shape: one scan, one grouped multi-aggregate.
 
@@ -112,9 +130,7 @@ def top_orders_by_revenue(
         .join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
-            ).alias("revenue")
+            revenue_sum().alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(k)
@@ -155,9 +171,7 @@ def region_revenue(
         .join(dim, supp.s_nationkey == dim.n_nationkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
-            ).alias("revenue")
+            revenue_sum().alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -171,9 +185,7 @@ def brand_revenue_topk(part: DataFrame, lineitem: DataFrame, k: int = 10) -> Dat
         li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
-            ).alias("revenue"),
+            revenue_sum().alias("revenue"),
             F.round(F.sum("l_quantity"), FLOAT_DP).alias("total_qty"),
             F.count(F.lit(1)).alias("line_count"),
         )
@@ -206,14 +218,21 @@ def customer_nation_rollup(
     c = customer.select("c_custkey", "c_nationkey")
     n = nation.select("n_nationkey", "n_name")
     o = orders.select("o_custkey", "o_totalprice")
+    from kafkasparkstream_spark.operators.aggregates import grid_avg, value_units
+
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), FLOAT_DP).alias("total_spend"),
-            F.round(F.avg("o_totalprice"), FLOAT_DP).alias("avg_spend"),
+            F.sum(value_units("o_totalprice")).alias("_sc"),
+        )
+        .select(
+            "n_name",
+            "order_count",
+            (F.col("_sc").cast("double") / 100.0).alias("total_spend"),
+            grid_avg(F.col("_sc"), F.col("order_count")).alias("avg_spend"),
         )
         .orderBy(F.desc("total_spend"), F.asc("n_name"))
     )
@@ -248,11 +267,7 @@ def bi_nation_volume(
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP).alias(
-                "revenue"
-            )
-        )
+        .agg(revenue_sum().alias("revenue"))
         .orderBy("supp_nation", "cust_nation")
     )
 
@@ -267,12 +282,17 @@ def small_quantity_revenue(
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     return (
-        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        lineitem.select("l_partkey", "l_quantity", pc.alias("_pc"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, FLOAT_DP).alias("avg_yearly"))
+        .agg(
+            (
+                F.round(F.sum("_pc").cast("double") * 100.0 / 7.0, 0) / 10000.0
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -332,13 +352,19 @@ def promo_revenue_share(
         & (F.col("l_shipdate") < F.lit(month_end).cast("timestamp"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
     p = part.select("p_partkey", "p_type")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ru = _revenue_units()
     return li.join(p, li.l_partkey == p.p_partkey).agg(
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
-            / F.sum(disc),
-            FLOAT_DP,
+        (
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", ru).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(ru).cast("double")
+                * 10000.0,
+                0,
+            )
+            / 10000.0
         ).alias("promo_revenue_pct")
     )
 
@@ -363,9 +389,7 @@ def top_supplier_revenue(
         & (F.col("l_shipdate") < F.lit(period_end).cast("timestamp"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
-        ).alias("total_revenue")
+        revenue_sum().alias("total_revenue")
     )
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = supplier.select("s_suppkey", "s_name")
@@ -425,22 +449,28 @@ def wealthy_inactive_customers(
     The global average reduces to one row before touching the big side, so
     the filter is a codegen'd comparison, not a join; the anti join's build
     side is the date-pruned orders key list.
+
+    The above-average test cross-multiplies in exact integer cents
+    (``bal_cents · n > Σcents`` ⟺ ``bal > avg``) — a float average differs
+    across engines in the last ulp, and a customer sitting exactly on the
+    threshold would flip in or out of the result set.
     """
-    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    bc = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    bal_stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bc).alias("_sum_bc"), F.count(F.lit(1)).alias("_n_pos")
     )
     recent = orders.filter(
         F.col("o_orderdate") >= F.lit(recent_cutoff).cast("timestamp")
     ).select("o_custkey")
     return (
-        customer.select("c_custkey", "c_nationkey", "c_acctbal")
-        .join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        customer.select("c_custkey", "c_nationkey", bc.alias("_bc"))
+        .join(F.broadcast(bal_stats))
+        .filter(F.col("_bc") * F.col("_n_pos") > F.col("_sum_bc"))
         .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), FLOAT_DP).alias("totacctbal"),
+            (F.sum("_bc").cast("double") / 100.0).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -466,9 +496,13 @@ def revenue_change_forecast(
         & (F.col("l_discount") <= discount_center + 0.01001)
         & (F.col("l_quantity") < qty_cap)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), FLOAT_DP).alias(
-            "revenue_increase"
-        )
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * F.round(F.col("l_discount") * 100, 0).cast("long")
+            ).cast("double")
+            / 10000.0
+        ).alias("revenue_increase")
     )
 
 
@@ -492,16 +526,24 @@ def nation_market_share(
     )
     o = orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     li = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vu = _revenue_units()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
-                FLOAT_DP,
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("supp_nation") == target_nation, vu).otherwise(
+                            F.lit(0)
+                        )
+                    ).cast("double")
+                    / F.sum(vu).cast("double")
+                    * 10000.0,
+                    0,
+                )
+                / 10000.0
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -541,9 +583,7 @@ def disjunctive_filter_revenue(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
-            ).alias("revenue"),
+            revenue_sum().alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )
     )
@@ -579,9 +619,7 @@ def returned_items_topk(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), FLOAT_DP
-            ).alias("revenue")
+            revenue_sum().alias("revenue")
         )
     )
     return (

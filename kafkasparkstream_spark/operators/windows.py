@@ -462,17 +462,24 @@ def moving_avg_time_range(
     with a sliding two-pointer pass inside each partition (Spark's
     WindowExec), never re-scanning the window per row.
     """
+    from kafkasparkstream_spark.operators.aggregates import grid_avg, value_units
+
     us = F.unix_micros(F.col(ts_col))
     w = (
         Window.partitionBy(key)
         .orderBy(us.alias("ts_us"))
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
+    # Integer-cents frame sums: sliding-frame float aggregation differs
+    # between engines (re-scan vs segment tree changes add order); integer
+    # sums are exact under any evaluation structure.
     return df.select(
         key,
         tiebreak,
         ts_col,
-        F.round(F.avg(value_col).over(w), 4).alias("trailing_avg"),
+        grid_avg(
+            F.sum(value_units(value_col)).over(w), F.count(F.lit(1)).over(w)
+        ).alias("trailing_avg"),
         F.count(F.lit(1)).over(w).alias("trailing_cnt"),
     ).orderBy(tiebreak)
 

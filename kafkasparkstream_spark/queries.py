@@ -326,7 +326,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_orders_by_revenue",
     oracle="""
     SELECT o_orderkey, o_orderdate,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -349,7 +350,8 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_revenue",
     oracle="""
     SELECT r_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -376,7 +378,8 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_revenue_topk",
     oracle="""
     SELECT p_brand,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
            ROUND(SUM(l_quantity), 4)                         AS total_qty,
            COUNT(*)                                          AS line_count
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -417,8 +420,10 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            COUNT(*)                       AS order_count,
-           ROUND(SUM(o_totalprice), 4)    AS total_spend,
-           ROUND(AVG(o_totalprice), 4)    AS avg_spend
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_spend,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_spend
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -439,7 +444,8 @@ def customer_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bi_nation_volume",
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN orders   ON l_orderkey = o_orderkey
@@ -467,7 +473,8 @@ def bi_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                 * 100.0 / 7.0, 0) / 10000.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
       AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
@@ -505,7 +512,9 @@ def stale_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_change_forecast",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_increase
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS revenue_increase
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01'
       AND l_shipdate <  TIMESTAMP '1999-01-01'
@@ -521,14 +530,20 @@ def revenue_change_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nation_market_share",
     oracle="""
-    SELECT year(o_orderdate) AS o_year,
-           ROUND(SUM(CASE WHEN n_name = 'NATION_0'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
+    WITH u AS (
+        SELECT year(o_orderdate) AS o_year, n_name,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS vu
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN vu ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(vu) AS DOUBLE) * 10000.0, 0) / 10000.0 AS mkt_share
+    FROM u
     GROUP BY 1 ORDER BY 1
     """,
 )
@@ -545,7 +560,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "disjunctive_filter_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS line_count
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -583,13 +599,19 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1998-06-01'
-      AND l_shipdate <  TIMESTAMP '1998-07-01'
+    WITH u AS (
+        SELECT p_type,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS vu
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+          AND l_shipdate <  TIMESTAMP '1998-07-01'
+    )
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vu ELSE 0 END)
+                              AS DOUBLE)
+                 / CAST(SUM(vu) AS DOUBLE) * 10000.0, 0) / 10000.0
+               AS promo_revenue_pct
+    FROM u
     """,
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,7 +625,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_supplier_revenue",
     oracle="""
     WITH rev AS (
-        SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        SELECT l_suppkey, CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
           AND l_shipdate <  TIMESTAMP '1998-04-01'
@@ -648,9 +671,14 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "wealthy_inactive_customers",
     oracle="""
-    SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS totacctbal
     FROM customer c
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+            * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+             FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2001-01-01')
@@ -2286,7 +2314,8 @@ def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_avg_1h",
     oracle="""
     SELECT user_id, event_id, ts,
-           ROUND(AVG(value) OVER w, 4) AS trailing_avg,
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w * 100.0
+                 / (COUNT(*) OVER w), 0) / 10000.0 AS trailing_avg,
            COUNT(*) OVER w             AS trailing_cnt
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -2676,7 +2705,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT o_custkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R'
           AND o_orderdate >= TIMESTAMP '1996-01-01'
