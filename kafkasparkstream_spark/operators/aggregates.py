@@ -35,7 +35,13 @@ def value_units(value_col: str | Column, scale: int = 2) -> Column:
     of the raw doubles. Oracle twin: ``CAST(ROUND(v*100, 0) AS BIGINT)``.
     """
     c = F.col(value_col) if isinstance(value_col, str) else value_col
-    return F.round(c * (10 ** scale), 0).cast("long")
+    # rint, not round: Catalyst's ROUND(double, 0) allocates a BigDecimal
+    # per row (~30% on a fact-scan aggregate, measured); Math.rint is an
+    # intrinsic and identical here — a fixed-point value ×10^scale sits
+    # within an ulp of its integer, never on a true .5, so banker's vs
+    # half-up cannot differ. The ORACLE keeps ROUND(v*100, 0): equal on
+    # every such input.
+    return F.rint(c * (10 ** scale)).cast("long")
 
 
 def grid_avg(sum_units: Column, n: Column, scale: int = 2, dp: int = FLOAT_DP) -> Column:

@@ -31,8 +31,8 @@ def _revenue_units():
     1e10 magnitude (sf1.0 sweep finding). Oracle twin:
     ``CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
       * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))``."""
-    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    pc = F.rint(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.rint(F.col("l_discount") * 100).cast("long")
     return pc * (100 - dc)
 
 
@@ -64,10 +64,10 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-01") -> Dat
     identical integers in both engines. Averages use the scale-0 ROUND grid
     (the portable one).
     """
-    qty = F.round(F.col("l_quantity"), 0).cast("long")  # integral by spec
-    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")  # cents
-    dc = F.round(F.col("l_discount") * 100, 0).cast("long")  # percent
-    tc = F.round(F.col("l_tax") * 100, 0).cast("long")  # percent
+    qty = F.rint(F.col("l_quantity")).cast("long")  # integral by spec
+    pc = F.rint(F.col("l_extendedprice") * 100).cast("long")  # cents
+    dc = F.rint(F.col("l_discount") * 100).cast("long")  # percent
+    tc = F.rint(F.col("l_tax") * 100).cast("long")  # percent
     cu = pc * (100 - dc) * (100 + tc)  # charge in 1e-6 dollars, ≥ 0
     base = lineitem.filter(
         F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp")
@@ -282,7 +282,7 @@ def small_quantity_revenue(
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     p = part.filter(F.col("p_brand") == brand).select("p_partkey")
-    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    pc = F.rint(F.col("l_extendedprice") * 100).cast("long")
     return (
         lineitem.select("l_partkey", "l_quantity", pc.alias("_pc"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -455,7 +455,7 @@ def wealthy_inactive_customers(
     across engines in the last ulp, and a customer sitting exactly on the
     threshold would flip in or out of the result set.
     """
-    bc = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    bc = F.rint(F.col("c_acctbal") * 100).cast("long")
     bal_stats = customer.filter(F.col("c_acctbal") > 0).agg(
         F.sum(bc).alias("_sum_bc"), F.count(F.lit(1)).alias("_n_pos")
     )
@@ -498,8 +498,8 @@ def revenue_change_forecast(
     ).agg(
         (
             F.sum(
-                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                * F.round(F.col("l_discount") * 100, 0).cast("long")
+                F.rint(F.col("l_extendedprice") * 100).cast("long")
+                * F.rint(F.col("l_discount") * 100).cast("long")
             ).cast("double")
             / 10000.0
         ).alias("revenue_increase")

@@ -204,7 +204,7 @@ def time_weighted_avg(
     w = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc(tiebreak))
     us = F.unix_micros(F.col(ts_col))
     dur = F.lead(us, 1).over(w) - us
-    vq = F.round(F.col(value_col) * 100, 0).cast("long")
+    vq = F.rint(F.col(value_col) * 100).cast("long")
     weighted = df.select(
         key, vq.alias("_vq"), dur.alias("_dur_us")
     ).filter(F.col("_dur_us").isNotNull())

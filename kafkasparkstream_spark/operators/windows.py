@@ -232,7 +232,7 @@ def zscore_per_key_window(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key_col)
-    vq = F.round(F.col(value_col) * 100, 0)
+    vq = F.rint(F.col(value_col) * 100)
     s = F.sum(vq).over(w)
     n = F.count(F.lit(1)).over(w)
     ss = F.sum(vq * vq).over(w)

@@ -212,7 +212,7 @@ def extreme_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     table instead."""
     events = load_table(spark, "events", sf_dir)
     ord_ = (
-        F.round(F.col("value") * 100, 0).cast("long") * F.lit(10_000_000_000_000)
+        F.rint(F.col("value") * 100).cast("long") * F.lit(10_000_000_000_000)
         + F.col("event_id")
     )
     o = events.withColumn("_ord", ord_)
@@ -2835,7 +2835,7 @@ def user_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the fact scan runs once and the kNN cost depends only on
     |users|."""
     events = load_table(spark, "events", sf_dir)
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = F.rint(F.col("value") * 100).cast("long")
     daily = (
         events.groupBy("user_id", F.dayofmonth("ts").alias("d"))
         .agg(F.sum(cents).alias("s"))
@@ -6642,7 +6642,7 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         # final ratio touches floats (identical IEEE ops on identical
         # integers in both engines — the sf1.0 sweep caught the raw-double
         # variant flipping at the 9dp compare grid).
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("r"))
+        .agg(F.sum(F.rint(F.col("o_totalprice") * 100).cast("long")).alias("r"))
     )
     wp = Window.partitionBy("c_nationkey")
     rk = (
@@ -6855,7 +6855,7 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (incremental_rollup_merge is the merge step); a day query then scans
     |days|x|types| rows instead of the raw stream."""
     events = load_table(spark, "events", sf_dir)
-    cents = F.round(F.col("value") * 100, 0)
+    cents = F.rint(F.col("value") * 100)
     minute = (
         events.groupBy(
             F.date_trunc("minute", "ts").alias("m"), "event_type"
@@ -7069,7 +7069,7 @@ def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum(F.round(F.col("value") * 100, 0)).over(w)
+    cum = F.sum(F.rint(F.col("value") * 100)).over(w)
     d = events.select("user_id", "ts", "event_id", cum.alias("cum")).withColumn(
         "peak", F.max("cum").over(w)
     )
@@ -7225,8 +7225,8 @@ def pricing_exact_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined hash agg; decimal costs ~2-3x double arithmetic, the price
     of auditable-to-the-cent results."""
     li = load_table(spark, "lineitem", sf_dir)
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(18,0)")
-    disc_c = (F.lit(100) - F.round(F.col("l_discount") * 100, 0)).cast("decimal(18,0)")
+    cents = F.rint(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    disc_c = (F.lit(100) - F.rint(F.col("l_discount") * 100)).cast("decimal(18,0)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -7328,7 +7328,7 @@ def revenue_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(DATEDIFF(MAX(o_orderdate), MIN(o_orderdate)) / 2 AS INT))"
         ).alias("mid")
     )
-    cents = F.round(F.col("o_totalprice") * 100, 0)
+    cents = F.rint(F.col("o_totalprice") * 100)
     o = orders.join(F.broadcast(h))
     r1 = (
         o.filter(F.col("o_orderdate") < F.col("mid"))
@@ -7412,7 +7412,7 @@ def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     base = events.select(
-        "event_type", "ts", "event_id", F.round(F.col("value") * 100, 0).alias("vc")
+        "event_type", "ts", "event_id", F.rint(F.col("value") * 100).alias("vc")
     )
     tot = base.groupBy("event_type").agg(
         F.sum("vc").alias("s"), F.count(F.lit(1)).alias("n")
@@ -7602,7 +7602,7 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(F.datediff(F.col("maxd"), F.col("o_orderdate"))).alias("recency_d"),
             F.count(F.lit(1)).alias("freq"),
-            F.sum(F.round(F.col("o_totalprice") * 100, 0)).alias("monetary_c"),
+            F.sum(F.rint(F.col("o_totalprice") * 100)).alias("monetary_c"),
         )
     )
     cuts = rfm.agg(
@@ -7701,7 +7701,7 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir)
     r = (
         li.select(F.col("l_suppkey").alias("s_suppkey"),
-                  F.round(F.col("l_extendedprice") * 100, 0).alias("cents"))
+                  F.rint(F.col("l_extendedprice") * 100).alias("cents"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), "s_suppkey")
         .groupBy("s_nationkey", "s_suppkey")
         .agg(F.sum("cents").alias("rev"))
@@ -7810,7 +7810,7 @@ def customer_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile assignment engine-stable (an exact decile boundary would flip
     on float sum noise otherwise)."""
     orders = load_table(spark, "orders", sf_dir)
-    cents = F.round(F.col("o_totalprice") * 100, 0)
+    cents = F.rint(F.col("o_totalprice") * 100)
     per = (
         orders.groupBy("o_custkey")
         .agg(
@@ -7914,14 +7914,14 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir)
     supply = (
         li.select(F.col("l_suppkey").alias("s_suppkey"),
-                  F.round(F.col("l_extendedprice") * 100, 0).alias("c"))
+                  F.rint(F.col("l_extendedprice") * 100).alias("c"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), "s_suppkey")
         .groupBy(F.col("s_nationkey").alias("nk"))
         .agg(F.sum("c").alias("sell_c"))
     )
     demand = (
         orders.select(F.col("o_custkey").alias("c_custkey"),
-                      F.round(F.col("o_totalprice") * 100, 0).alias("c"))
+                      F.rint(F.col("o_totalprice") * 100).alias("c"))
         .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), "c_custkey")
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg(F.sum("c").alias("buy_c"))
@@ -8130,7 +8130,7 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         orders.groupBy(F.trunc("o_orderdate", "month").alias("month"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0)).alias("rev_c"),
+            F.sum(F.rint(F.col("o_totalprice") * 100)).alias("rev_c"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
