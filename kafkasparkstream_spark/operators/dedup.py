@@ -135,6 +135,95 @@ def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     )
 
 
+def _prefix_verified_common(arr: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact overlap pairs ``(doc_a, doc_b, common, n_a, n_b)`` at a
+    similarity ``threshold``, via *prefix filtering* (Chaudhuri/Ganjam/
+    Kaushik ICDE'06; Xiao et al. PPJoin, WWW'08 — public similarity-join
+    literature) instead of the naive shingle self-join.
+
+    Why: the naive plan's join output is Σ_s df(s)² over shingle document
+    frequencies — hot shingles (boilerplate, template near-dup corpora)
+    blow up quadratically, and at sf1.0 the two shingle-join queries were
+    the registry's scaling outliers (30×/22× runtime for 10× data).
+
+    Candidate generation (exact, no false negatives) for CONTAINMENT
+    (``common / min(n_a, n_b) ≥ t``):
+    - Rank each doc's shingles in ONE global canonical order, rarest
+      first: (document frequency asc, shingle asc). Any fixed total order
+      makes the pigeonhole below valid; frequency-ascending additionally
+      starves the globally hot shingles (boilerplate n-grams, the Σ df²
+      quadratic term) out of every prefix. Measured at sf1.0: a pure
+      hash order — which would avoid the docfreq pass entirely — is
+      ~1.7× slower end-to-end because hot shingles then survive into
+      ~(1−t) of the prefixes; the frequency pass pays for itself.
+    - A qualifying pair must share ``c_min = ⌈t·n_m⌉`` shingles, where m
+      is the pair's smaller doc. By pigeonhole the smaller doc's first
+      ``n_m − c_min + 1`` ranked shingles (its *prefix*) must contain a
+      common shingle — so joining every doc's prefix against all docs'
+      full shingle lists finds every qualifying pair. (At t=0.8 a prefix
+      is the rarest ~20% of a doc.)
+    - ``c_min`` uses ``ceil(t·n − 1e-9)``: the epsilon keeps float noise
+      in ``t·n`` from overstating the requirement (a too-small prefix
+      would be a silent false-negative filter).
+
+    Verification is per-candidate-pair ``array_intersect`` on the carried
+    shingle arrays (JVM set intersect, O(n_a+n_b) per pair) — the exact
+    count, computed once per distinct pair instead of shuffling every
+    common-shingle occurrence into a grouped count.
+
+    100 TB shape: three fact-sized shuffles (docfreq build is map-side
+    combined to vocab size; df-attach keyed by shingle; per-doc rank
+    window keyed by id) + a candidate join whose prefix side is
+    rare-shingle-only (skew-bounded; AQE skew-join covers residual hot
+    buckets) + a pair-keyed distinct + two id-keyed verify joins. No
+    corpus-global or driver-side state.
+    """
+    from pyspark.sql.window import Window
+
+    sh = arr.select(F.col(id_col), "n_sh", F.explode("sh_arr").alias("shingle"))
+    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    c_min = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    prefix = (
+        sh.join(docfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("n_sh") - c_min + 1)
+        .select(F.col(id_col), F.col("shingle"))
+    )
+    # Containment only bounds c via the SMALLER doc (c ≥ t·n_min), so
+    # only the smaller side's prefix is guaranteed to hold a common
+    # shingle — join every doc's prefix against all docs' full lists.
+    a, b = prefix.alias("a"), sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    )
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    va = arr.select(
+        F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("_arr_a"), F.col("n_sh").alias("n_a")
+    )
+    vb = arr.select(
+        F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("_arr_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_arr_a", "_arr_b")).alias("common"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -145,9 +234,21 @@ def ngram_jaccard_pairs(
     """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
 
     Plan: explode distinct shingles → self-join on shingle (co-partitioned
-    hash join) → count common shingles per pair → join per-doc set sizes →
-    filter. The self-join is the scale limiter (a hot shingle fans out
-    quadratically) — at 100 TB run :func:`minhash_lsh_pairs` first and feed
+    hash join) → count common shingles per pair → filter; per-doc sizes
+    ride the exploded rows (min() recovers them exactly). The pair-keyed
+    count gets a map-side partial aggregate, so the post-join shuffle
+    carries ~one row per surviving pair, not one per common shingle.
+
+    Plan note (measured at sf1.0 on a ~1000×-replica near-dup corpus):
+    the prefix-filtered variant used by :func:`containment_pairs` was
+    ALSO tried here as an exact prefix×prefix join (both-endpoint bound
+    c ≥ t·n_x + the smallest-common-element lemma) and lost 2× — at
+    t=0.5 a prefix is half of every doc's shingles, replica groups share
+    identical prefixes so Σ pf(s)² matches the naive fanout, and the
+    docfreq/rank/verify stages are pure overhead on top. Prefix filtering
+    pays when thresholds are high (containment at 0.8: rarest ~20%) or
+    hot shingles are cross-doc boilerplate rather than whole-doc
+    replication. At 100 TB run :func:`minhash_lsh_pairs` first and feed
     its candidates here for exact verification.
     """
     arr = _shingle_arrays(df, text_col, id_col, n)
@@ -679,27 +780,16 @@ def containment_pairs(
     a long one — quotes, boilerplate wrappers, chunk-of-another-doc — which
     Jaccard misses because the union is dominated by the long side.
 
-    Same plan shape as :func:`ngram_jaccard_pairs` (distinct-shingle
-    explode → co-partitioned self-join → per-pair count + broadcast-free
-    size recovery via min/max over the carried n_sh); at 100 TB run the
-    banded LSH candidates first and verify containment here.
+    Same prefix-filtered plan as :func:`ngram_jaccard_pairs` (see
+    :func:`_prefix_verified_common`): containment/min ≥ t bounds the
+    required common count by the SMALLER doc's size, so the pigeonhole
+    prefix argument applies directly (no length-ratio prune — a tiny doc
+    inside a huge one is exactly the pair this operator exists to catch).
+    At t=0.8 the prefix is the rarest ~20% of each doc's shingles, a ~5×
+    cut in candidate-join fanout on top of removing hot shingles entirely.
     """
     arr = _shingle_arrays(df, text_col, id_col, n)
-    sh = arr.select(F.col(id_col), "n_sh", F.explode("sh_arr").alias("shingle"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.min("a.n_sh").alias("n_a"),
-            F.min("b.n_sh").alias("n_b"),
-        )
-    )
+    common = _prefix_verified_common(arr, id_col, threshold)
     cont = F.col("common") / F.least(F.col("n_a"), F.col("n_b"))
     return (
         common.filter(cont >= threshold)
