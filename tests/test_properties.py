@@ -990,3 +990,55 @@ def test_skyline_direction_variants_match_bruteforce(spark, pts, mx, my):
         )
     }
     assert got == want
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.34, 0.5, 0.6, 0.75, 0.8, 1.0]),
+)
+def test_containment_prefix_filter_matches_bruteforce(spark, docs, threshold):
+    """The prefix-filtered containment_pairs plan must equal the quadratic
+    scan at EVERY threshold — the pigeonhole prefix size ``n − ⌈t·n⌉ + 1``
+    sits on a ceil boundary exactly where a float-noise overestimate of
+    ``t·n`` would silently drop a qualifying pair (the failure mode the
+    1e-9 epsilon in _prefix_verified_common guards). The 4-word alphabet
+    forces hot shingles (replica-heavy docfreq skew), short docs exercise
+    the empty-shingle path, and t=1.0 makes the prefix exactly one
+    shingle."""
+    import math
+    import re
+
+    from kafkasparkstream_spark.operators.dedup import containment_pairs, release_caches
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["containment"])
+        for r in containment_pairs(df, n=3, threshold=threshold).collect()
+    }
+    release_caches()
+
+    def sh(text):
+        toks = [t for t in re.split(" +", text.strip())]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = [sh(t) for t in docs]
+    want = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            m = min(len(sets[i]), len(sets[j]))
+            if m == 0:
+                continue
+            cont = len(sets[i] & sets[j]) / m
+            if cont >= threshold:
+                want.add((i, j, round(cont, 4)))
+    assert got == want
