@@ -11,11 +11,14 @@ media libraries:
   batch can't OOM the worker;
 - output schema is declared up front, so downstream stays fully columnar.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are deterministic fakes behind ``_HAS_CODECS`` — the Spark-side
-plumbing (schema, batching, partitioning, UDF signatures) is real and tested.
-Swap ``_fake_*`` with real library calls to productionize; nothing else
-changes.
+Decode is REAL for PNG and WAV via the pure-stdlib codecs in
+:mod:`kafkasparkstream_spark.operators.codecs` (zlib scanline decode with
+all five PNG filters; RIFF/PCM parse) — kernels sniff magic bytes per
+asset, decode real media for real payloads, and fall back to deterministic
+digest-derived fakes for payloads that are not a supported container
+(synthetic fixtures, or JPEG/MP4 when PIL/ffmpeg are absent —
+``_HAS_PIL`` gates the JPEG branch). The fallback keeps every output
+column well-defined and oracle-reproducible for any byte string.
 
 Scale notes: repartition by asset id before mapInPandas so media bytes spread
 evenly (assets vary 1000× in size — range-partition on size if skewed);
@@ -42,12 +45,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # real codecs are not available in this container — gate, don't fail
+from kafkasparkstream_spark.operators import codecs
+
+try:  # PIL covers JPEG etc.; PNG/WAV need only the stdlib codecs module
     import PIL.Image  # noqa: F401
 
-    _HAS_CODECS = True
+    _HAS_PIL = True
 except ImportError:
-    _HAS_CODECS = False
+    _HAS_PIL = False
+
+# Back-compat alias (older tests/docs gated on this name).
+_HAS_CODECS = _HAS_PIL
 
 
 IMAGE_FEATURES_SCHEMA = StructType(
@@ -71,25 +79,71 @@ FRAME_SAMPLE_SCHEMA = StructType(
 
 
 def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for image decode: dims derived from a digest.
-
-    Replace with ``PIL.Image.open(io.BytesIO(payload)).size`` when codecs
-    exist (guard with _HAS_CODECS).
-    """
-    if _HAS_CODECS:
-        raise NotImplementedError("real decode path requires PIL wiring")
+    """Deterministic fallback for non-decodable payloads: dims from a digest."""
     d = hashlib.sha256(payload).digest()
     return 64 + d[0] % 192, 64 + d[1] % 192
 
 
 def _fake_embedding(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a vision-model embedding."""
+    """Deterministic fallback for a vision-model embedding."""
     d = hashlib.sha256(b"emb:" + payload).digest()
     return [round(b / 255.0 - 0.5, 6) for b in d[:dim]]
 
 
+def _decode_image(raw: bytes):
+    """Real pixels ``(h, w, ch) uint8`` for decodable payloads, else None."""
+    kind = codecs.sniff(raw)
+    try:
+        if kind == "png":
+            return codecs.png_decode(raw)
+        if kind == "jpeg" and _HAS_PIL:
+            import io
+
+            import numpy as np
+
+            import PIL.Image
+
+            img = np.asarray(PIL.Image.open(io.BytesIO(raw)).convert("RGB"))
+            return img if img.dtype == "uint8" else None
+    except Exception:  # malformed/truncated container or unsupported scope
+        return None  # -> deterministic fallback; the kernel must stay total
+    return None
+
+
+def _pixel_embedding(img, dim: int) -> list[float]:
+    """Deterministic content embedding from REAL pixels: per-channel means
+    (padded to 4), overall contrast (std), aspect, log-size — exact
+    integer/single-op float math, so the value is engine- and
+    platform-stable."""
+    import math
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    px = img.astype(np.int64)
+    n = h * w
+    means = [float(px[:, :, c].sum()) / (255.0 * n) - 0.5 for c in range(min(ch, 4))]
+    means += [0.0] * (4 - len(means))
+    var = float((px * px).sum()) / (n * ch) - (float(px.sum()) / (n * ch)) ** 2
+    feats = means + [
+        math.sqrt(max(var, 0.0)) / 255.0,
+        w / (w + h),
+        math.log1p(n) / 20.0,
+        ch / 4.0,
+    ]
+    out = [round(v, 6) for v in feats[:dim]]
+    return out + [0.0] * (dim - len(out))
+
+
 def image_features(assets: DataFrame, embedding_dim: int = 8) -> DataFrame:
-    """Decode + feature-extract image assets via Arrow-batched mapInPandas."""
+    """Decode + feature-extract image assets via Arrow-batched mapInPandas.
+
+    PNG payloads are REALLY decoded (stdlib codec): width/height are the
+    image's actual dimensions and the embedding is computed from pixel
+    statistics. JPEG decodes when PIL is installed. Anything else gets the
+    deterministic digest-derived fallback, so the operator is total over
+    arbitrary bytes (a 100 TB crawl always contains garbage payloads — a
+    decode-or-die kernel would kill the stage)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -103,13 +157,19 @@ def image_features(assets: DataFrame, embedding_dim: int = 8) -> DataFrame:
             }
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                w, h = _fake_decode_dims(raw)
+                img = _decode_image(raw)
+                if img is not None:
+                    h, w = img.shape[0], img.shape[1]
+                    emb = _pixel_embedding(img, embedding_dim)
+                else:
+                    w, h = _fake_decode_dims(raw)
+                    emb = _fake_embedding(raw, embedding_dim)
                 out["asset_id"].append(asset_id)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(raw))
                 out["sha256"].append(hashlib.sha256(raw).hexdigest())
-                out["embedding"].append(_fake_embedding(raw, embedding_dim))
+                out["embedding"].append(emb)
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(
@@ -172,11 +232,13 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def audio_features(assets: DataFrame) -> DataFrame:
     """Decode + summarize audio assets via Arrow-batched mapInPandas.
 
-    The fake decode treats each payload byte as one centered PCM sample
-    (b − 128); a real kernel would torchaudio/soundfile-decode. Energy is an
-    exact integer sum (engine-order-independent) and RMS is one IEEE sqrt of
-    an exact ratio, so the oracle matches bit-for-bit — the same
-    determinism-by-construction discipline as the image kernel.
+    RIFF/WAVE payloads are REALLY decoded (stdlib ``wave``): n_samples,
+    energy and RMS come from the actual PCM samples (8-bit centered,
+    16-bit native). Non-WAV payloads keep the deterministic byte-as-sample
+    fallback (each byte − 128). Energy is an exact integer sum
+    (engine-order-independent) and RMS is one IEEE sqrt of an exact ratio,
+    so the oracle matches bit-for-bit — the same determinism-by-construction
+    discipline as the image kernel.
     """
     import math
 
@@ -187,7 +249,14 @@ def audio_features(assets: DataFrame) -> DataFrame:
             out = {"asset_id": [], "n_samples": [], "energy": [], "rms": []}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+                x = None
+                if codecs.sniff(raw) == "wav":
+                    try:
+                        x = codecs.wav_decode(raw)[0].reshape(-1)
+                    except Exception:  # malformed/truncated container -> fallback
+                        x = None
+                if x is None:
+                    x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
                 energy = int((x * x).sum())
                 n = len(x)
                 out["asset_id"].append(asset_id)
@@ -217,11 +286,11 @@ def resize_images(
     assets: DataFrame, target_w: int = 16, target_h: int = 16
 ) -> DataFrame:
     """Resize image assets to a fixed target via Arrow-batched mapInPandas —
-    the binary-in/binary-out transform shape (decode → scale → re-encode)
-    of a real thumbnailing stage, with the codec swapped for a
-    deterministic fake (truncate to the target byte budget) since the
-    container ships no image libraries; a real kernel drops PIL's
-    ``Image.resize`` into the same loop.
+    the full binary-in/binary-out thumbnailing stage: PNG payloads are
+    REALLY decoded (stdlib codec), area-weighted box-resized to the target,
+    and re-encoded as PNG; non-decodable payloads keep the deterministic
+    truncate-to-budget fake so the operator stays total over arbitrary
+    bytes.
 
     Per-asset work is independent → the operator scales with input splits;
     the output carries dims + content digest so downstream stages (and the
@@ -241,7 +310,13 @@ def resize_images(
             }
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                resized = raw[:budget]
+                img = _decode_image(raw)
+                if img is not None:
+                    resized = codecs.png_encode(
+                        codecs.box_resize(img, target_w, target_h)
+                    )
+                else:
+                    resized = raw[:budget]
                 out["asset_id"].append(asset_id)
                 out["width"].append(target_w)
                 out["height"].append(target_h)
