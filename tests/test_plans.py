@@ -598,3 +598,17 @@ def test_edit_distance_kernel_executes_wide(spark):
     assert max(widths.values()) >= want, (
         f"kernel never fanned out: stage widths {widths}, expected >= {want}"
     )
+
+
+def test_containment_prefix_plan_shape(spark):
+    """The prefix-filtered containment plan must keep its three scale
+    properties: the docfreq build map-side-combines before its exchange,
+    the per-doc prefix rank hash-partitions by doc (never a single global
+    sort), and candidate pairs reduce through a distinct whose partial
+    runs before the shuffle — so no stage ever sees the naive plan's
+    sum-of-df^2 fanout in one reducer."""
+    plan = _plan(spark, "dedup_containment")
+    assert plan.count("HashAggregate") >= 2, "docfreq lost its partial aggregate"
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1, "prefix rank window missing"
