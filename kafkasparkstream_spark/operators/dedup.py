@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafkasparkstream_spark.operators.text import shingles_col
+from kafkasparkstream_spark.operators.text import (
+    shingle_hashes_col,
+    shingles_col,
+    token_hashes_col,
+)
 from kafkasparkstream_spark.util import checkpoint_tracked, fanout, free_rdd_ids
 
 #: Persisted intermediates (shingle arrays, simhash signatures) live past the
@@ -108,7 +112,12 @@ MINHASH_B = [(40503 * (i + 7) ** 2) % MINHASH_P for i in range(64)]
 
 
 def _shingle_arrays(
-    df: DataFrame, text_col: str, id_col: str, n: int, persist: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    persist: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """Per-doc distinct shingle arrays: ``(id, sh_arr, n_sh)``.
 
@@ -118,13 +127,28 @@ def _shingle_arrays(
     the input text; at 100 TB the spill path handles it, or pass False to
     trade recompute for memory).
 
+    ``hashed=True`` stores 64-bit shingle keys (:func:`shingle_hashes_col`
+    over a single per-token hash pass) instead of the shingle strings —
+    identical distinct/count semantics (collision odds ~|shingles|²/2⁶⁵,
+    see text.py) at ~3-4× less cache, shuffle, and intersect cost. Use it
+    whenever downstream only counts/joins shingles and never needs the
+    text back.
+
     fanout first: shingling is the expensive step — spreading docs across
     the cluster before it keeps every core busy (no-op when the scan
     already has enough splits).
     """
-    out = fanout(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.array_distinct(shingles_col(text_col, n)).alias("sh_arr")
-    ).withColumn("n_sh", F.size("sh_arr"))
+    src = fanout(df.select(F.col(id_col), F.col(text_col)))
+    if hashed:
+        sh = shingle_hashes_col(F.col("_th"), n)
+        out = src.withColumn("_th", token_hashes_col(text_col)).select(
+            F.col(id_col), F.array_distinct(sh).alias("sh_arr")
+        )
+    else:
+        out = src.select(
+            F.col(id_col), F.array_distinct(shingles_col(text_col, n)).alias("sh_arr")
+        )
+    out = out.withColumn("n_sh", F.size("sh_arr"))
     return _tracked_persist(out) if persist else out
 
 
@@ -177,6 +201,18 @@ def _prefix_verified_common(arr: DataFrame, id_col: str, threshold: float) -> Da
     rare-shingle-only (skew-bounded; AQE skew-join covers residual hot
     buckets) + a pair-keyed distinct + two id-keyed verify joins. No
     corpus-global or driver-side state.
+
+    Every join carries an explicit ``shuffle_hash`` hint: Catalyst's
+    static size estimate for these sides flows through a not-yet-
+    materialized cache with a Generate (explode) on top and lands under
+    the broadcast threshold, so without the hint it BROADCASTS the
+    vocab-sized docfreq, the fact-sized exploded shingle list, and the
+    array-carrying verify sides — measured at sf1.0: 250 s spent
+    building/shipping broadcasts in a 100 g driver, OOM in a default
+    one (AQE can't rescue it: no shuffle below the join means no runtime
+    stats). With the hints the same query runs ~17 s. None of these
+    sides is ever broadcastable at scale, so the hint states a truth the
+    estimator can't see, rather than overriding a judgment call.
     """
     from pyspark.sql.window import Window
 
@@ -185,7 +221,7 @@ def _prefix_verified_common(arr: DataFrame, id_col: str, threshold: float) -> Da
     c_min = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
     w = Window.partitionBy(id_col).orderBy("_df", "shingle")
     prefix = (
-        sh.join(docfreq, "shingle")
+        sh.join(docfreq.hint("shuffle_hash"), "shingle")
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.col("n_sh") - c_min + 1)
         .select(F.col(id_col), F.col("shingle"))
@@ -193,7 +229,7 @@ def _prefix_verified_common(arr: DataFrame, id_col: str, threshold: float) -> Da
     # Containment only bounds c via the SMALLER doc (c ≥ t·n_min), so
     # only the smaller side's prefix is guaranteed to hold a common
     # shingle — join every doc's prefix against all docs' full lists.
-    a, b = prefix.alias("a"), sh.alias("b")
+    a, b = prefix.hint("shuffle_hash").alias("a"), sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
     )
@@ -212,8 +248,9 @@ def _prefix_verified_common(arr: DataFrame, id_col: str, threshold: float) -> Da
         F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("_arr_b"), F.col("n_sh").alias("n_b")
     )
     return (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
+        cand.hint("shuffle_hash")
+        .join(va.hint("shuffle_hash"), "doc_a")
+        .join(vb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -787,8 +824,12 @@ def containment_pairs(
     inside a huge one is exactly the pair this operator exists to catch).
     At t=0.8 the prefix is the rarest ~20% of each doc's shingles, a ~5×
     cut in candidate-join fanout on top of removing hot shingles entirely.
+    Shingles ride as 64-bit hashes end-to-end (``hashed=True``): the
+    verify joins shuffle each doc's full shingle set once, and 8-byte
+    keys make that exchange (and the array_intersect) ~4× cheaper than
+    strings with identical count semantics.
     """
-    arr = _shingle_arrays(df, text_col, id_col, n)
+    arr = _shingle_arrays(df, text_col, id_col, n, hashed=True)
     common = _prefix_verified_common(arr, id_col, threshold)
     cont = F.col("common") / F.least(F.col("n_a"), F.col("n_b"))
     return (
