@@ -288,12 +288,19 @@ def ngram_jaccard_pairs(
     replication. At 100 TB run :func:`minhash_lsh_pairs` first and feed
     its candidates here for exact verification.
     """
-    arr = _shingle_arrays(df, text_col, id_col, n)
+    arr = _shingle_arrays(df, text_col, id_col, n, hashed=True)
     # Carry n_sh through the explode: one int per row buys back two
     # sizes-joins after the pair aggregate (n_sh is constant per doc, so
-    # min() recovers it exactly).
+    # min() recovers it exactly). Shingles are 64-bit hashes (identical
+    # count semantics, ~4× lighter self-join exchange), and the self-join
+    # carries a merge hint: both sides are fact-sized, so broadcasting is
+    # never right — Catalyst's static estimate through the unmaterialized
+    # cache says otherwise and must be overridden (measured at sf1.0:
+    # 30.5 s with the misplanned broadcast, 19.9 s without). Merge, not
+    # shuffle_hash: the join key is the shingle, whose hot keys would
+    # concentrate an SHJ build; sort-merge spills instead of OOMing.
     sh = arr.select(F.col(id_col), "n_sh", F.explode("sh_arr").alias("shingle"))
-    a = sh.alias("a")
+    a = sh.hint("merge").alias("a")
     b = sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -391,7 +398,11 @@ def minhash_lsh_pairs(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    ca = buckets.alias("a")
+    # Bucket self-join: both sides are corpus-sized (one row per doc per
+    # band) — merge hint because Catalyst's static estimate through the
+    # cache would broadcast one side (hot buckets also make an SHJ build
+    # side skew-prone; sort-merge spills instead).
+    ca = buckets.hint("merge").alias("a")
     cb = buckets.alias("b")
     candidates = (
         ca.join(
@@ -406,12 +417,19 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification via per-doc array intersection: two compact
     # joins keyed on doc id (arrays travel, not exploded rows) — candidate
     # count is tiny relative to the corpus, so this is the cheap side of the
-    # plan at any scale.
-    sa = arr.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("_sh_a"), F.col("n_sh").alias("n_a"))
-    sb = arr.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("_sh_b"), F.col("n_sh").alias("n_b"))
+    # plan at any scale. The arrays ship as 64-bit hashes (same distinct
+    # counts as the strings the signatures were built from), and every side
+    # is hinted shuffle_hash: the array-carrying sides are corpus-sized, so
+    # the statically misestimated broadcast is never right.
+    hashed = arr.select(
+        F.col(id_col), F.transform("sh_arr", lambda s: F.xxhash64(s)).alias("sh_arr"), "n_sh"
+    )
+    sa = hashed.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("_sh_a"), F.col("n_sh").alias("n_a"))
+    sb = hashed.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("_sh_b"), F.col("n_sh").alias("n_b"))
     verified = (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.hint("shuffle_hash")
+        .join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn("common", F.size(F.array_intersect("_sh_a", "_sh_b")))
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
