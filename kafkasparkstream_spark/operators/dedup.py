@@ -70,7 +70,13 @@ def release_caches() -> int:
     while _LIVE_CACHES:
         df = _LIVE_CACHES.pop()
         try:
-            df.unpersist()
+            # blocking=True: the default async unpersist lets multi-hundred-MB
+            # shingle caches linger into the NEXT query's working set —
+            # measured in the sf1.0 full bench as 2-4x inflation of whatever
+            # runs right after the jaccard/containment family (simhash
+            # 3.0 s clean -> 11.5 s contaminated). Synchronous release makes
+            # per-query timings independent of registry order.
+            df.unpersist(blocking=True)
             n += 1
         except Exception:
             pass  # session already stopped
