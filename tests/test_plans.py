@@ -612,3 +612,19 @@ def test_containment_prefix_plan_shape(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 1, "prefix rank window missing"
+
+
+def test_shingle_join_family_never_broadcasts_fact_sides(spark):
+    """The shingle dedup family must keep its joins partitioned: Catalyst's
+    static size estimate through the unmaterialized shingle cache (Generate
+    over InMemoryRelation, no shuffle beneath for AQE to correct) claims the
+    exploded shingle lists, vocab-sized docfreq, and array-carrying verify
+    sides fit a broadcast — at sf1.0 that misplan cost 250 s / OOM. The
+    merge/shuffle_hash hints make the join strategy unconditional, so this
+    pin holds at every scale factor."""
+    for name in ("dedup_containment", "dedup_ngram_jaccard", "dedup_minhash_lsh"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" not in plan, f"{name} broadcasts a fact side"
+        assert (
+            plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
+        ), f"{name} lost its partitioned joins"
