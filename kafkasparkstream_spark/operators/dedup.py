@@ -555,7 +555,15 @@ def simhash_pairs(
         F.col("bb.chunk").alias("chunk"),
         *word_cols,
     )
-    a = buckets.alias("a")
+    # shuffle_hash hint: both sides are corpus-sized (docs × bands rows),
+    # so a broadcast is never right — but Catalyst's static estimate
+    # through the unmaterialized signature cache claims one side fits (the
+    # same misplan class fixed on containment/jaccard/minhash; flagged by
+    # scripts/broadcast_audit.py). Hash, not merge: 16-bit chunks collide
+    # at ~2^-16 for unrelated docs and exact_dedup pre-collapses identical
+    # signatures (documented precondition), so per-partition builds stay
+    # tiny and we skip two corpus-sized sorts.
+    a = buckets.hint("shuffle_hash").alias("a")
     b = buckets.alias("b")
     # Packed signatures ride along through the join, so verification needs
     # no extra join back to `sig`.
@@ -724,8 +732,15 @@ def incremental_minhash_pairs(
 
     in_b, in_arr = _buckets_and_arrays(incoming)
     co_b, co_arr = _buckets_and_arrays(corpus)
+    # The delta side broadcasts EXPLICITLY (its boundedness is this
+    # operator's contract — each crawl batch vs the corpus), and the
+    # corpus sides carry shuffle hints: without them Catalyst's static
+    # estimate through the unmaterialized caches decides which side is
+    # "small", and on a different corpus that guess can flip to
+    # broadcasting the corpus (the misplan class fixed on containment —
+    # scripts/broadcast_audit.py). Declared intent instead of estimated.
     candidates = (
-        in_b.alias("i")
+        F.broadcast(in_b).alias("i")
         .join(co_b.alias("c"), ["band", "bucket"])
         .select(
             F.col(f"i.{id_col}").alias("incoming_id"),
@@ -733,15 +748,22 @@ def incremental_minhash_pairs(
         )
         .distinct()
     )
-    sa = in_arr.select(
+    # Verify arrays ride as 64-bit hashes on both sides (identical distinct
+    # counts): the corpus arrays are the one big exchange here.
+    def _hashed(arr: DataFrame) -> DataFrame:
+        return arr.select(
+            F.col(id_col), F.transform("sh_arr", lambda s: F.xxhash64(s)).alias("sh_arr"), "n_sh"
+        )
+
+    sa = _hashed(in_arr).select(
         F.col(id_col).alias("incoming_id"), F.col("sh_arr").alias("_sh_a"), F.col("n_sh").alias("n_a")
     )
-    sb = co_arr.select(
+    sb = _hashed(co_arr).select(
         F.col(id_col).alias("corpus_id"), F.col("sh_arr").alias("_sh_b"), F.col("n_sh").alias("n_b")
     )
     verified = (
-        candidates.join(sa, "incoming_id")
-        .join(sb, "corpus_id")
+        candidates.join(F.broadcast(sa), "incoming_id")
+        .join(sb.hint("shuffle_hash"), "corpus_id")
         .withColumn("common", F.size(F.array_intersect("_sh_a", "_sh_b")))
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))

@@ -1,0 +1,105 @@
+"""Registry-wide audit for statically-misestimated broadcast joins.
+
+The hazard (found on dedup_containment, round 3): Catalyst's static
+sizeInBytes through a persisted-but-unmaterialized cache with a Generate
+(explode) on top lands under the broadcast threshold, and with no shuffle
+below the join AQE never gets runtime stats to correct it — so a
+fact-sized side (exploded shingles, vocab aggregate, array-carrying
+verify side) gets broadcast. Invisible at bench SFs, 250 s/OOM at sf1.0+.
+
+This script plans (never executes) every registry query against a given
+SF dir and flags each BroadcastExchange whose build subtree contains a
+Generate or an InMemoryTableScan with NO intervening shuffle Exchange —
+i.e. a broadcast justified by neither real file statistics nor AQE
+runtime statistics. Broadcasts of raw parquet scans (real size stats)
+and of aggregates sitting above an Exchange (AQE-informed) are not
+flagged.
+
+Usage:
+    python scripts/broadcast_audit.py [sf_dir]      # default .scratch/sf1.0
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a simple-mode explain line (indent of its +-/:- marker)."""
+    m = re.search(r"[+:]-", line)
+    return m.start() if m else -1
+
+
+def flagged_broadcasts(plan: str) -> list[str]:
+    """Hazard signatures in a simple-mode physical plan string.
+
+    Returns one descriptor per BroadcastExchange whose subtree reaches a
+    Generate/InMemoryTableScan without crossing a shuffle Exchange.
+    """
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = _depth(ln)
+        crossed_shuffle = False
+        for sub in lines[i + 1 :]:
+            sd = _depth(sub)
+            if sd >= 0 and sd <= d:
+                break  # left the subtree
+            if re.search(r"\bExchange (hash|range|Single)", sub):
+                crossed_shuffle = True
+            if ("Generate" in sub or "InMemoryTableScan" in sub) and not crossed_shuffle:
+                out.append(sub.strip()[:90])
+                break
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1.0"
+
+    from kafkasparkstream_spark.session import get_spark
+
+    spark = get_spark(app_name="broadcast-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    from kafkasparkstream_spark.operators.dedup import release_caches
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    bad, errors = {}, {}
+    names = sorted(E.queries())
+    for name in names:
+        # streaming replays execute side effects at build time — plan-only
+        # audit would still run them; their batch twins are audited instead.
+        if name.startswith("streaming_") or name == "python_stream_source_gen":
+            continue
+        try:
+            df = E.queries()[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as e:  # noqa: BLE001 - record and move on
+            errors[name] = repr(e)[:120]
+            continue
+        finally:
+            release_caches()
+        hits = flagged_broadcasts(plan)
+        if hits:
+            bad[name] = hits
+    for name, hits in sorted(bad.items()):
+        print(f"FLAG {name}")
+        for h in hits:
+            print(f"     {h}")
+    for name, err in sorted(errors.items()):
+        print(f"ERR  {name}: {err}")
+    print(f"=== audited {len(names)} queries at {sf_dir}: "
+          f"{len(bad)} flagged, {len(errors)} plan errors")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

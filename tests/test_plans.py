@@ -622,7 +622,12 @@ def test_shingle_join_family_never_broadcasts_fact_sides(spark):
     sides fit a broadcast — at sf1.0 that misplan cost 250 s / OOM. The
     merge/shuffle_hash hints make the join strategy unconditional, so this
     pin holds at every scale factor."""
-    for name in ("dedup_containment", "dedup_ngram_jaccard", "dedup_minhash_lsh"):
+    for name in (
+        "dedup_containment",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+    ):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" not in plan, f"{name} broadcasts a fact side"
         assert (
