@@ -633,3 +633,42 @@ def test_shingle_join_family_never_broadcasts_fact_sides(spark):
         assert (
             plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
         ), f"{name} lost its partitioned joins"
+
+
+def test_broadcast_audit_flags_planted_misplan(spark):
+    """The audit's audit: scripts/broadcast_audit.flagged_broadcasts must
+    flag a REAL plan that broadcasts an exploded cached relation, and stay
+    quiet on (a) the same join once the exploded side is hinted to shuffle
+    and (b) a broadcast sitting above a shuffle Exchange (AQE-informed).
+    If Spark renames the plan nodes, the registry-wide audit silently
+    stops auditing — this test plants the hazard and expects the alarm."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from broadcast_audit import flagged_broadcasts
+
+    from pyspark.sql import functions as F
+
+    cached = (
+        spark.range(200)
+        .select(F.col("id"), F.array(F.col("id"), F.col("id") + 1).alias("arr"))
+        .persist()
+    )
+    try:
+        exploded = cached.select("id", F.explode("arr").alias("k"))
+        fact = spark.range(1000).withColumnRenamed("id", "k")
+        # Static estimate through the unmaterialized cache -> broadcast of
+        # the Generate side.
+        bad = fact.join(exploded, "k")
+        plan_bad = explain_str(bad)
+        if "BroadcastExchange" in plan_bad:  # the misplan this audit exists for
+            assert flagged_broadcasts(plan_bad), plan_bad
+        hinted = fact.join(exploded.hint("shuffle_hash"), "k")
+        assert not flagged_broadcasts(explain_str(hinted))
+        # Aggregate above an Exchange: runtime-informed, must NOT flag even
+        # when broadcast.
+        agg = exploded.groupBy("k").count()
+        ok = fact.join(F.broadcast(agg), "k")
+        assert not flagged_broadcasts(explain_str(ok))
+    finally:
+        cached.unpersist(blocking=True)
