@@ -203,3 +203,65 @@ def test_mixed_real_and_fallback_assets(spark):
     for aid, raw in [(1, bytes(png[:20])), (2, garbage)]:
         d = hashlib.sha256(raw).digest()
         assert (rows[aid].width, rows[aid].height) == (64 + d[0] % 192, 64 + d[1] % 192)
+
+
+def test_codec_roundtrips_property():
+    """Pure-codec property tests (no Spark): PNG encode→decode is the
+    identity for every supported channel count and shape, including 1-pixel
+    edges; WAV roundtrips mono/stereo int16; box_resize preserves constant
+    images exactly and never leaves the input value range."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkasparkstream_spark.operators.codecs import (
+        box_resize,
+        png_decode,
+        png_encode,
+        wav_decode,
+        wav_encode,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def png_roundtrip(h, w, ch, seed):
+        img = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(img)), img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 300),
+        stereo=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_roundtrip(n, stereo, seed):
+        x = np.random.default_rng(seed).integers(-(2**15), 2**15, n, dtype=np.int64)
+        x = x.astype(np.int16)
+        s = np.stack([x, x[::-1]], axis=1) if stereo else x
+        dec, rate = wav_decode(wav_encode(s, 8000))
+        assert rate == 8000
+        want = s if stereo else x[:, None]
+        assert np.array_equal(dec, want.astype(np.int64))
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 10),
+        w=st.integers(1, 10),
+        th=st.integers(1, 10),
+        tw=st.integers(1, 10),
+        v=st.integers(0, 255),
+    )
+    def resize_invariants(h, w, th, tw, v):
+        const = np.full((h, w, 3), v, dtype=np.uint8)
+        r = box_resize(const, tw, th)
+        assert r.shape == (th, tw, 3)
+        assert (r == v).all()  # area-weighted mean of a constant is itself
+
+    png_roundtrip()
+    wav_roundtrip()
+    resize_invariants()
