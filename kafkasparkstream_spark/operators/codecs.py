@@ -16,6 +16,11 @@ Scope (honest partial codec, errors loudly outside it):
 - PNG encode: filter-0 scanlines, one zlib IDAT; gray/RGB/RGBA by array
   shape.
 - WAV decode/encode: PCM 8/16-bit via the stdlib ``wave`` module.
+- GIF decode: 87a/89a multi-frame LZW (variable code width, table resets,
+  KwKwK case), global/local color tables; interlace rejected,
+  transparency/disposal ignored (frames return as standalone RGB). Plus a
+  test-fixture encoder. This makes frame-sampling REAL for actual
+  multi-frame media.
 
 Performance shape: these run per-asset inside Arrow-batched ``mapInPandas``
 kernels — the decompression and unfiltering are C-speed (zlib, numpy); only
@@ -41,11 +46,13 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples per pixel
 
 
 def sniff(payload: bytes) -> str | None:
-    """Media container by magic bytes: 'png', 'wav', 'jpeg', or None."""
+    """Media container by magic bytes: 'png', 'wav', 'gif', 'jpeg', or None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     return None
@@ -211,3 +218,194 @@ def box_resize(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     t = wy @ img.reshape(h, w * ch).astype(np.int64)
     t = np.einsum("jw,iwc->ijc", wx, t.reshape(target_h, w, ch))
     return np.rint(t / (h * w)).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# GIF: LZW-compressed indexed frames (pure stdlib). Decode scope: 87a/89a,
+# global/local color tables, multiple frames, transparency/disposal IGNORED
+# (each frame is returned as its own indexed region rendered over black),
+# interlaced frames rejected. Exactly what frame-sampling needs: the real
+# frame COUNT and real per-frame pixels.
+# --------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW: variable code width, CLEAR/EOI codes, MSB-last bit
+    packing within little-endian bytes."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    # bit reader over the concatenated sub-block payload
+    acc = bitn = pos = 0
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    prev = None
+
+    def read_code():
+        nonlocal acc, bitn, pos
+        while bitn < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << bitn
+            pos += 1
+            bitn += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bitn -= width
+        return code
+
+    while len(out) < n_pixels:
+        code = read_code()
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = table[: (1 << min_code_size) + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return bytes(out[:n_pixels])
+
+
+def _lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (for tests/fixtures and re-encode paths)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bitn = 0
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, bitn, width
+        acc |= code << bitn
+        bitn += width
+        while bitn >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitn -= 8
+
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for b in pixels:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:
+                emit(clear)
+                table = {bytes([i]): i for i in range(1 << min_code_size)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if bitn:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_decode_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode every frame of a GIF to ``(h, w, 3)`` uint8 RGB arrays
+    (frame-local dimensions; disposal/composition ignored)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    pos = 6
+    _w, _h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[pos : pos + 7])
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = np.frombuffer(_lzw_decode(bytes(data), mcs, fw * fh), np.uint8)
+            frames.append(ct[np.minimum(idx, len(ct) - 1)].reshape(fh, fw, 3))
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    return frames
+
+
+def gif_encode_frames(frames: list[np.ndarray], palette: np.ndarray | None = None) -> bytes:
+    """Encode indexed frames as an animated GIF (test-fixture encoder).
+
+    ``frames``: list of ``(h, w)`` uint8 PALETTE-INDEX arrays; ``palette``:
+    ``(n, 3)`` uint8 RGB (default 256-gray). Frames may differ in size.
+    """
+    if palette is None:
+        palette = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << max(bits, 1)
+    pal = np.zeros((size, 3), np.uint8)
+    pal[:n] = palette
+    w = max(f.shape[1] for f in frames)
+    h = max(f.shape[0] for f in frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (max(bits, 1) - 1), 0, 0)
+    out += pal.tobytes()
+    mcs = max(2, bits)
+    for f in frames:
+        fh, fw = f.shape
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, fw, fh, 0)
+        out.append(mcs)
+        comp = _lzw_encode(f.astype(np.uint8).reshape(-1).tobytes(), mcs)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)

@@ -178,12 +178,15 @@ def image_features(assets: DataFrame, embedding_dim: int = 8) -> DataFrame:
 
 
 def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> DataFrame:
-    """Frame-sample "video" assets (1 output row per sampled frame).
+    """Frame-sample multi-frame media (1 output row per sampled frame).
 
-    The fake kernel slices the payload into fixed-size chunks as stand-in
-    frames; a real one would ffmpeg-demux. The Spark shape — one input row
-    fanning out to N output rows through mapInPandas — is the part that
-    matters for the pipeline.
+    GIF payloads are REALLY demuxed (stdlib LZW decode, codecs.py): every
+    ``every_n``-th actual frame is decoded and re-emitted as a PNG binary —
+    the true decode→sample→re-encode pipeline shape. MP4 would slot into
+    the same kernel via ffmpeg when present; without a real container the
+    fallback slices the payload into fixed-size chunks as stand-in frames.
+    The Spark shape — one input row fanning out to N output rows through
+    mapInPandas — is identical on both paths.
     """
     frame_bytes = 16
 
@@ -192,6 +195,19 @@ def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> D
             rows = {"asset_id": [], "frame_index": [], "frame": []}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
+                if codecs.sniff(raw) == "gif":
+                    try:
+                        frames = codecs.gif_decode_frames(raw)
+                    except Exception:  # malformed container -> chunk fallback
+                        frames = None
+                    if frames is not None:
+                        for i, fi in enumerate(range(0, len(frames), every_n)):
+                            if i >= max_frames:
+                                break
+                            rows["asset_id"].append(asset_id)
+                            rows["frame_index"].append(fi)
+                            rows["frame"].append(codecs.png_encode(frames[fi]))
+                        continue
                 n_frames = max(len(raw) // frame_bytes, 0)
                 for i, fi in enumerate(range(0, n_frames, every_n)):
                     if i >= max_frames:

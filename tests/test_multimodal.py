@@ -265,3 +265,65 @@ def test_codec_roundtrips_property():
     png_roundtrip()
     wav_roundtrip()
     resize_invariants()
+
+
+def test_real_gif_frame_sampling(spark):
+    """GIF payloads must fan out to ACTUAL decoded frames (re-encoded as
+    PNG), with the every_n stride and max_frames cap applied to the real
+    frame sequence — not to byte chunks."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.codecs import (
+        gif_encode_frames,
+        png_decode,
+    )
+    from kafkasparkstream_spark.operators.multimodal import sample_frames
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx_frames = [rng.integers(0, 16, (6, 4), dtype=np.uint8) for _ in range(7)]
+    gif = gif_encode_frames(idx_frames, pal)
+    df = spark.createDataFrame([(0, bytearray(gif))], "asset_id long, payload binary")
+    rows = sorted(
+        sample_frames(df, every_n=2, max_frames=3).collect(),
+        key=lambda r: r.frame_index,
+    )
+    # 7 frames, stride 2, cap 3 -> indices 0, 2, 4
+    assert [r.frame_index for r in rows] == [0, 2, 4]
+    for r in rows:
+        got = png_decode(bytes(r.frame))
+        want = pal[idx_frames[r.frame_index]]
+        assert np.array_equal(got, want), r.frame_index
+
+
+def test_gif_codec_property_roundtrip():
+    """Pure-codec: GIF encode->decode is the identity (through the palette)
+    for random frame stacks, including 256-color palettes that force 12-bit
+    LZW code growth and table resets."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkasparkstream_spark.operators.codecs import (
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        nf=st.integers(1, 4),
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ncol=st.sampled_from([2, 16, 256]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(nf, h, w, ncol, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        frames = [rng.integers(0, ncol, (h, w), dtype=np.uint8) for _ in range(nf)]
+        dec = gif_decode_frames(gif_encode_frames(frames, pal))
+        assert len(dec) == nf
+        for f, d in zip(frames, dec):
+            assert np.array_equal(d, pal[f])
+
+    roundtrip()
