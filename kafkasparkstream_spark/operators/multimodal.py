@@ -91,11 +91,17 @@ def _fake_embedding(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _decode_image(raw: bytes):
-    """Real pixels ``(h, w, ch) uint8`` for decodable payloads, else None."""
+    """Real pixels ``(h, w, ch) uint8`` for decodable payloads, else None.
+
+    GIFs contribute their FIRST frame (the still-image convention thumbnail
+    pipelines use); frame-level access goes through :func:`sample_frames`.
+    """
     kind = codecs.sniff(raw)
     try:
         if kind == "png":
             return codecs.png_decode(raw)
+        if kind == "gif":
+            return codecs.gif_decode_frames(raw)[0]
         if kind == "jpeg" and _HAS_PIL:
             import io
 

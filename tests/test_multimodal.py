@@ -327,3 +327,23 @@ def test_gif_codec_property_roundtrip():
             assert np.array_equal(d, pal[f])
 
     roundtrip()
+
+
+def test_gif_first_frame_through_image_features(spark):
+    """A GIF payload's image features must come from its real first frame
+    (dims + pixel embedding), matching the PNG path's treatment of the
+    same pixels."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.codecs import gif_encode_frames
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    first = rng.integers(0, 16, (9, 5), dtype=np.uint8)
+    gif = gif_encode_frames([first, rng.integers(0, 16, (9, 5), dtype=np.uint8)], pal)
+    df = spark.createDataFrame([(0, bytearray(gif))], "asset_id long, payload binary")
+    r = image_features(df).collect()[0]
+    assert (r.width, r.height) == (5, 9)
+    rgb = pal[first]
+    want = round(float(rgb[:, :, 0].astype(np.int64).sum()) / (255.0 * 9 * 5) - 0.5, 6)
+    assert r.embedding[0] == want
