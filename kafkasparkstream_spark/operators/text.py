@@ -474,7 +474,14 @@ def split_leakage_overlap(
     sh = F.explode(F.array_distinct(shingle_hashes_col(F.col("_th"), n))).alias("sh")
     test_sh = hashed.filter(~is_train).select(F.col(id_col), sh)
     train_sh = hashed.filter(is_train).select(sh)
-    maybe_bc = F.broadcast if broadcast_test else (lambda d: d)
+    # Shuffle mode must HINT the partitioned join: without it, Catalyst's
+    # static size estimate through the Generate-derived shingle sides still
+    # lands under the auto-broadcast threshold at small SFs — the exact
+    # misestimated-broadcast class scripts/broadcast_audit.py gates, and a
+    # fact-sized broadcast at the 10%-of-corpus scale this mode exists for.
+    maybe_bc = (
+        F.broadcast if broadcast_test else (lambda d: d.hint("shuffle_hash"))
+    )
     leaked = (
         train_sh.join(
             maybe_bc(test_sh.select("sh").distinct()), "sh", "left_semi"

@@ -207,13 +207,36 @@ def extreme_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable: ties resolve to the highest event_id on peaks, lowest
     on troughs, identically in Spark and the oracle.
 
+    The composite form assumes |value·100| ≤ 922,336 (≈ |value| ≤ $9,223)
+    and 0 ≤ event_id < 10^13 — outside those bounds int64 would WRAP, and
+    Spark wraps silently while DuckDB errors, so the argmax could diverge
+    unnoticed. The bounds are therefore GUARDED in-plan: out-of-range rows
+    `raise_error` (both engines now fail loudly instead of diverging). The
+    alternative — MAX over a (cents, id) struct — is portable without
+    bounds but falls off hash aggregation into SortAggregate (struct isn't
+    a mutable aggregate buffer type), turning an O(n) hash pass into a
+    per-partition sort of the fact table; the guarded ordinal keeps the
+    hash plan.
+
     100 TB: partial map-side combine keeps executor traffic at |types|
     rows; the window-function formulation would shuffle the whole fact
     table instead."""
     events = load_table(spark, "events", sf_dir)
-    ord_ = (
-        F.rint(F.col("value") * 100).cast("long") * F.lit(10_000_000_000_000)
-        + F.col("event_id")
+    cents = F.rint(F.col("value") * 100).cast("long")
+    in_bounds = (
+        (F.abs(cents) <= F.lit(922_336))
+        & (F.col("event_id") >= 0)
+        & (F.col("event_id") < F.lit(10_000_000_000_000))
+    )
+    ord_ = F.when(
+        in_bounds, cents * F.lit(10_000_000_000_000) + F.col("event_id")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "extreme_events_by_type: composite ordinal out of bounds "
+                "(requires |value| <= 9223.36 and 0 <= event_id < 1e13)"
+            )
+        ).cast("long")
     )
     o = events.withColumn("_ord", ord_)
     return (
@@ -2560,19 +2583,10 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=EVENT_WIRE_SCHEMA,
     )
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
-    # The streaming aggregate's state-store count is pinned at checkpoint
-    # creation from spark.sql.shuffle.partitions. This run creates a fresh
-    # checkpoint over a bounded replay, so a handful of stores is right;
-    # a production deployment sizes this to cluster capacity BEFORE first
-    # start (it cannot change without a state rebuild).
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
-    try:
+    with _clamped_shuffle_partitions(spark):
         agg_q, raw_q = start_pipeline(raw, sink, ckpt, cfg, available_now=True)
         agg_q.awaitTermination()
         raw_q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     final = latest_state(
         spark.read.parquet(f"{sink}/sensor_aggregates"),
@@ -2919,9 +2933,15 @@ def decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test 8-gram contamination audit over the md5-hash 90/10 split:
     per test doc, how much of it leaks from the train side. Train shingles
-    are never globally distinct'd — they semi-join against the broadcast
-    test shingle set first."""
-    return text_ops.split_leakage_overlap(load_table(spark, "documents", sf_dir))
+    are never globally distinct'd — they semi-join against the test shingle
+    set first. ``broadcast_test=False`` because this is a PROPORTIONAL
+    split — the test side is 10% of the corpus (10 TB at target scale) and
+    must shuffle, not broadcast (text.py split_leakage_overlap docstring;
+    the broadcast path stays covered by
+    test_split_leakage_shuffle_mode_matches_broadcast_mode)."""
+    return text_ops.split_leakage_overlap(
+        load_table(spark, "documents", sf_dir), broadcast_test=False
+    )
 
 
 @register(

@@ -46,6 +46,13 @@ RUNNING_TOTALS_SCHEMA = StructType(
     ]
 )
 
+# NOTE — on-disk state contract: ``s`` became LongType (exact integer cents)
+# in the round-3 grid migration; it was DoubleType before. Streaming state
+# schema is part of the checkpoint format, so a checkpoint written by the old
+# applyInPandasWithState schema will fail (or silently misread state) on
+# restart after this upgrade. There is no in-place migration: point upgraded
+# pipelines at a NEW checkpointLocation (and, for exactly-once sinks, replay
+# from the source or seed initial state from the sink's latest_state read).
 _STATE_SCHEMA = StructType(
     [
         StructField("n", LongType(), False),

@@ -46,11 +46,22 @@ def flagged_broadcasts(plan: str) -> list[str]:
         if "BroadcastExchange" not in ln:
             continue
         d = _depth(ln)
-        crossed_shuffle = False
+        # Shuffle crossings are PER-BRANCH: a shuffle Exchange only covers
+        # its own subtree (the contiguous deeper lines that follow it), not
+        # sibling branches of the broadcast build side.  Tracking a single
+        # boolean let a shuffle in one child suppress flagging a
+        # Generate/InMemoryTableScan in a shuffle-free sibling — a false
+        # negative in exactly the misplan class this audit gates.  Keep a
+        # stack of the depths of shuffle nodes whose subtree we're inside;
+        # pop when the walk rises back to (or above) that depth.
+        shuffle_depths: list[int] = []
         for sub in lines[i + 1 :]:
             sd = _depth(sub)
             if sd >= 0 and sd <= d:
-                break  # left the subtree
+                break  # left the broadcast subtree
+            if sd >= 0:
+                while shuffle_depths and sd <= shuffle_depths[-1]:
+                    shuffle_depths.pop()  # left that shuffle's subtree
             # Shuffle exchange in either explain mode: simple prints
             # "Exchange hashpartitioning(...)" / "Exchange SinglePartition",
             # formatted prints a bare "Exchange (n)" tree line.
@@ -59,8 +70,10 @@ def flagged_broadcasts(plan: str) -> list[str]:
                 and "BroadcastExchange" not in sub
                 and "ReusedExchange" not in sub
             ):
-                crossed_shuffle = True
-            if ("Generate" in sub or "InMemoryTableScan" in sub) and not crossed_shuffle:
+                # Unparseable depth (wrapped line): fall back to covering the
+                # rest of the broadcast subtree, as the old boolean did.
+                shuffle_depths.append(sd if sd >= 0 else d + 1)
+            elif ("Generate" in sub or "InMemoryTableScan" in sub) and not shuffle_depths:
                 out.append(sub.strip()[:90])
                 break
     return out

@@ -123,30 +123,38 @@ def run_mode(spark, events, mode: str, n_files: int) -> dict:
         n_batches = (last["batchId"] + 1) if last else 0
 
     # Correctness gate: final sink state must equal the batch shadow.
-    final = (
-        latest_state(
-            spark.read.parquet(sink), ("window_start", "window_end", "event_type")
-        )
-        .select(
-            "window_start",
-            "window_end",
-            "event_type",
-            F.round("avg_value", 4).alias("avg_value"),
-            "min_value",
-            "max_value",
-            "reading_count",
-        )
+    # The pipeline sink computes avg_value via grid_avg over exact integer
+    # cents (pipeline.windowed_aggregate_stage), so the shadow must use the
+    # SAME helpers — a float ROUND(AVG(value), 4) shadow can diverge on 4dp
+    # half-up boundaries (the exact cross-scale bug class the grid kills)
+    # and spuriously fail this gate.
+    from kafkasparkstream_spark.operators.aggregates import grid_avg, value_units
+
+    final = latest_state(
+        spark.read.parquet(sink), ("window_start", "window_end", "event_type")
+    ).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "avg_value",
+        "min_value",
+        "max_value",
+        "reading_count",
     )
     shadow = (
         events.groupBy(
             F.window("ts", "1 minute").alias("w"), F.col("event_type")
         )
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(value_units("value")).alias("_sum_cents"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.count(F.lit(1)).alias("reading_count"),
         )
+        .withColumn(
+            "avg_value", grid_avg(F.col("_sum_cents"), F.col("reading_count"))
+        )
+        .drop("_sum_cents")
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

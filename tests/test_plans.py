@@ -502,13 +502,18 @@ def test_semdedup_pairs_keyed_on_cluster(spark):
     assert "cluster_id" in plan
 
 
-def test_split_leakage_train_side_semi_joins_broadcast(spark):
-    """The train shingle set must reduce via LEFT SEMI against the broadcast
-    test set (bounded survivor set), not a global distinct of the train
-    side."""
+def test_split_leakage_train_side_semi_joins_no_broadcast(spark):
+    """The train shingle set must reduce via LEFT SEMI against the test set
+    (bounded survivor set), not a global distinct of the train side — and
+    because the registered query audits a PROPORTIONAL 90/10 split, the
+    corpus-proportional test side must SHUFFLE, never broadcast
+    (broadcast_test=False; semantics parity with the broadcast path is
+    test_split_leakage_shuffle_mode_matches_broadcast_mode)."""
     plan = _plan(spark, "split_leakage_check")
     assert "LeftSemi" in plan, "train shingles must semi-join the test set"
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BroadcastExchange" not in plan, (
+        "proportional-split leakage audit must not broadcast the test side"
+    )
 
 
 def test_extreme_events_single_pass_no_window(spark):
@@ -672,3 +677,44 @@ def test_broadcast_audit_flags_planted_misplan(spark):
         assert not flagged_broadcasts(explain_str(ok))
     finally:
         cached.unpersist(blocking=True)
+
+
+def test_broadcast_audit_shuffle_crossing_is_per_branch():
+    """A shuffle Exchange in ONE child branch of the broadcast build side
+    must not suppress flagging a Generate in a shuffle-free SIBLING branch
+    (the single-boolean false negative). Synthetic tree: the broadcast
+    builds a join whose left child aggregates above a shuffle, while the
+    right child is a bare Generate — still a hazard."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from broadcast_audit import flagged_broadcasts
+
+    plan = "\n".join(
+        [
+            "*(5) BroadcastHashJoin [k], [k], Inner, BuildRight",
+            ":- *(1) ColumnarToRow",
+            ":  +- FileScan parquet [k] ...",
+            "+- BroadcastExchange HashedRelationBroadcastMode",
+            "   +- *(4) SortMergeJoin [k], [k], Inner",
+            "      :- *(2) HashAggregate(keys=[k], functions=[count(1)])",
+            "      :  +- Exchange hashpartitioning(k, 8)",
+            "      :     +- *(1) HashAggregate(keys=[k], functions=[partial_count(1)])",
+            "      :        +- FileScan parquet [k] ...",
+            "      +- *(3) Generate explode(arr), [k]",
+            "         +- InMemoryTableScan [arr]",
+        ]
+    )
+    assert flagged_broadcasts(plan), "sibling-branch Generate must be flagged"
+    # Control: the same Generate UNDER the shuffle is runtime-informed.
+    plan_ok = "\n".join(
+        [
+            "*(5) BroadcastHashJoin [k], [k], Inner, BuildRight",
+            ":- FileScan parquet [k] ...",
+            "+- BroadcastExchange HashedRelationBroadcastMode",
+            "   +- Exchange hashpartitioning(k, 8)",
+            "      +- Generate explode(arr), [k]",
+            "         +- InMemoryTableScan [arr]",
+        ]
+    )
+    assert not flagged_broadcasts(plan_ok)
