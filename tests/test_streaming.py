@@ -938,3 +938,67 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
 
     assert tws.equals(base), f"\nbase:\n{base}\ntws:\n{tws}"
     assert tws.loc[1, "n_events"] == 3 and abs(tws.loc[1, "sum_value"] - 17.5) < 1e-9
+
+
+def test_jdbc_sink_real_roundtrip_embedded_derby(spark, tmp_path):
+    """S3 SUCCESS path over a REAL JDBC database (processor.py:124-140).
+
+    The sandbox has no Postgres, but Spark's own classpath ships the
+    embedded Derby driver (derby-10.16 jars, used by the Hive metastore),
+    so the reference's actual sink call — ``batch_df.write.jdbc(url, table,
+    mode="append")`` from inside foreachBatch — can execute against a live
+    database: stream → parse → JDBC append per micro-batch → read the table
+    back via ``spark.read.jdbc`` and match the batch-parsed shadow. Also
+    exercises ST8 (empty batch never touches the database) and ST7 (a
+    failing write against the live table is isolated; the table keeps its
+    prior contents)."""
+    from kafkasparkstream_spark.streaming.sinks import foreach_batch_jdbc_sink
+
+    # Keep derby.log out of the repo cwd (property read at engine boot).
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
+    url = f"jdbc:derby:{tmp_path}/kssdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(ONTIME[:2]) + "\n")
+    (src / "b2.json").write_text("\n".join(ONTIME[2:]) + "\n")
+
+    raw = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    parsed = parse_stage(raw, PipelineConfig())
+    q = (
+        parsed.writeStream.foreachBatch(
+            foreach_batch_jdbc_sink(url, "sensor_data", properties=props)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.jdbc(url, "sensor_data", properties=props)
+    shadow = parse_stage(
+        spark.read.text(str(src)).withColumnRenamed("value", "v")
+        .selectExpr("CAST(v AS BINARY) AS value"),
+        PipelineConfig(),
+    )
+    key = lambda r: (r["device_id"], r["timestamp"])  # noqa: E731
+    got = sorted(map(key, back.collect()))
+    want = sorted(map(key, shadow.collect()))
+    assert got == want and len(got) == 4
+    assert back.schema["value"].dataType.typeName() == "double"
+
+    # ST8: an empty batch must not create (or touch) a table.
+    sink2 = foreach_batch_jdbc_sink(url, "never_created", properties=props)
+    sink2(back.filter("1=0"), 7)
+    with pytest.raises(Exception):
+        spark.read.jdbc(url, "never_created", properties=props).collect()
+
+    # ST7 against the LIVE table: incompatible schema append fails inside
+    # the guard; stream-side contract is "log and continue", table intact.
+    bad = spark.createDataFrame([(1,)], ["only_one_col"])
+    foreach_batch_jdbc_sink(url, "sensor_data", properties=props)(bad, 8)
+    assert spark.read.jdbc(url, "sensor_data", properties=props).count() == 4
