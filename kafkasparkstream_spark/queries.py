@@ -2606,6 +2606,80 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_upsert_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 minute', ts)                      AS window_start,
+           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+           event_type,
+           ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 100.0
+                 / COUNT(*), 0) / 10000.0 AS avg_value,
+           MIN(value)           AS min_value,
+           MAX(value)           AS max_value,
+           COUNT(*)             AS reading_count
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3's production fix, executed for real: the same 1-minute continuous
+    query as ``streaming_windowed_agg``, but update-mode refinements land
+    through the manifest-swap UPSERT sink
+    (`streaming/sinks.py:foreach_batch_upsert_sink`) — a key's refinement
+    REPLACES its stored row, so the STORED table itself is duplicate-free
+    and is returned directly, with NO ``latest_state`` read-side
+    resolution. The reference appends update-mode batches blindly and
+    serves duplicates (processor.py:105,133); this is the
+    Delta/Iceberg-MERGE-shaped fix as a storage property, hash-checked
+    against the batch oracle."""
+    import tempfile
+
+    from kafkasparkstream_spark.sources.streams import file_json_stream
+    from kafkasparkstream_spark.streaming.pipeline import (
+        PipelineConfig,
+        parse_stage,
+        windowed_aggregate_stage,
+    )
+    from kafkasparkstream_spark.streaming.sinks import (
+        foreach_batch_upsert_sink,
+        read_upsert_table,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    workdir = tempfile.mkdtemp(prefix="kss_upsert_")
+    src, tbl, ckpt = f"{workdir}/src", f"{workdir}/tbl", f"{workdir}/ckpt"
+    _events_to_wire(events, src)
+
+    cfg = PipelineConfig(
+        dims=("event_type",),
+        ts_col="ts",
+        value_col="value",
+        battery_col=None,
+        schema=EVENT_WIRE_SCHEMA,
+    )
+    raw = file_json_stream(spark, src, max_files_per_trigger=None)
+    keys = ("window_start", "window_end", "event_type")
+    with _clamped_shuffle_partitions(spark):
+        q = (
+            windowed_aggregate_stage(parse_stage(raw, cfg), cfg)
+            .writeStream.foreachBatch(foreach_batch_upsert_sink(tbl, keys))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_upsert_table(spark, tbl).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "avg_value",
+        "min_value",
+        "max_value",
+        "reading_count",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing — binary assets decoded/feature-extracted through
 # Arrow-batched mapInPandas kernels. The payloads are synthesized

@@ -1002,3 +1002,99 @@ def test_jdbc_sink_real_roundtrip_embedded_derby(spark, tmp_path):
     bad = spark.createDataFrame([(1,)], ["only_one_col"])
     foreach_batch_jdbc_sink(url, "sensor_data", properties=props)(bad, 8)
     assert spark.read.jdbc(url, "sensor_data", properties=props).count() == 4
+
+
+def test_upsert_sink_stored_table_is_duplicate_free(spark, tmp_path):
+    """ST3 production fix, executable: update-mode refinements REPLACE their
+    stored row via the manifest-swap upsert sink, so the table itself —
+    no latest_state read — is duplicate-free and equals the batch shadow."""
+    from kafkasparkstream_spark.streaming.sinks import (
+        foreach_batch_upsert_sink,
+        read_upsert_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # Batch 1 and batch 2 both hit window 10:00/temperature/room1 → the
+    # second micro-batch refines the first's row (count 1 → 2).
+    (src / "b1.json").write_text(ONTIME[0] + "\n")
+    (src / "b2.json").write_text("\n".join(ONTIME[1:]) + "\n")
+
+    cfg = PipelineConfig()
+    keys = ("window_start", "window_end", "device_type", "location")
+    tbl = str(tmp_path / "agg_upsert")
+    raw = file_json_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        windowed_aggregate_stage(parse_stage(raw, cfg), cfg)
+        .writeStream.foreachBatch(foreach_batch_upsert_sink(tbl, keys))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    stored = read_upsert_table(spark, tbl)
+    assert stored.groupBy(*keys).count().filter("count > 1").count() == 0
+    refined = stored.filter(
+        "device_type = 'temperature' AND location = 'room1' "
+        "AND window_start = timestamp'2024-01-01 10:00:00'"
+    ).collect()
+    assert len(refined) == 1 and refined[0]["reading_count"] == 2
+
+    batch_shadow = windowed_aggregate_stage(
+        parse_stage(
+            spark.read.text(str(src))
+            .withColumnRenamed("value", "v")
+            .selectExpr("CAST(v AS BINARY) AS value"),
+            cfg,
+        ),
+        cfg,
+    )
+    assert stored.exceptAll(batch_shadow).count() == 0
+    assert batch_shadow.exceptAll(stored).count() == 0
+
+
+def test_upsert_sink_replay_and_crash_are_idempotent(spark, tmp_path):
+    """A checkpoint replay of an already-swapped batch (same batch_id) must
+    converge to the identical row set via a FRESH attempt dir — and a
+    'crash' that leaves a stale unreferenced version dir must not corrupt
+    reads. Also ST8 (empty batch leaves no trace) and ST7 isolation."""
+    import os
+
+    from kafkasparkstream_spark.streaming.sinks import (
+        foreach_batch_upsert_sink,
+        read_upsert_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    sink = foreach_batch_upsert_sink(tbl, ("k",), num_buckets=4)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    sink(b0, 0)
+    sink(b0, 0)  # replay after completed swap
+    assert sorted((r["k"], r["v"]) for r in read_upsert_table(spark, tbl).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # refinement batch replaces k=1, adds k=3; replayed twice as well
+    b1 = spark.createDataFrame([(1, "a2"), (3, "c")], ["k", "v"])
+    sink(b1, 1)
+    sink(b1, 1)
+    got = sorted((r["k"], r["v"]) for r in read_upsert_table(spark, tbl).collect())
+    assert got == [(1, "a2"), (2, "b"), (3, "c")]
+    # crash simulation: an orphan version dir (written, never swapped in)
+    # is invisible to readers.
+    os.makedirs(os.path.join(tbl, "data", "v99", "_kb=0"), exist_ok=True)
+    assert sorted(
+        (r["k"], r["v"]) for r in read_upsert_table(spark, tbl).collect()
+    ) == got
+    # ST8: empty batch is a no-op (manifest untouched).
+    before = open(os.path.join(tbl, "_manifest.json")).read()
+    sink(b1.filter("k < 0"), 2)
+    assert open(os.path.join(tbl, "_manifest.json")).read() == before
+    # ST7: a failing merge (schema mismatch vs stored buckets) isolates.
+    bad = spark.createDataFrame([("x",)], ["wrong"])
+    foreach_batch_upsert_sink(tbl, ("wrong",), num_buckets=4)(bad, 3)
+    assert sorted(
+        (r["k"], r["v"]) for r in read_upsert_table(spark, tbl).collect()
+    ) == got
