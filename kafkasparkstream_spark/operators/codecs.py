@@ -1,11 +1,13 @@
-"""Pure-stdlib media codecs: PNG (zlib + struct) and WAV (wave/RIFF).
+"""Pure-stdlib media codecs: PNG (zlib), WAV (RIFF), GIF (LZW), JPEG (DCT).
 
-The container ships no PIL/ffmpeg, but PNG is just zlib-compressed filtered
-scanlines and WAV is raw PCM behind a RIFF header — both fully decodable
-with the standard library. These codecs make the multimodal operators'
-decode path REAL for the two formats (actual pixels, actual samples), with
-the deterministic fakes in :mod:`multimodal` remaining the fallback for
-formats that genuinely need external libraries (JPEG, MP4).
+The container ships no PIL/ffmpeg, but PNG is zlib-compressed filtered
+scanlines, WAV is raw PCM behind a RIFF header, GIF is LZW, and baseline
+JPEG is Huffman + 8×8 DCT — all decodable with the standard library plus
+numpy. These codecs make the multimodal operators' decode path REAL for the
+three dominant web-crawl image containers (PNG/GIF/JPEG) and WAV audio,
+with the deterministic fakes in :mod:`multimodal` remaining the fallback
+only for formats that genuinely need external libraries (MP4/video,
+progressive JPEG).
 
 Scope (honest partial codec, errors loudly outside it):
 
@@ -21,6 +23,13 @@ Scope (honest partial codec, errors loudly outside it):
   transparency/disposal ignored (frames return as standalone RGB). Plus a
   test-fixture encoder. This makes frame-sampling REAL for actual
   multi-frame media.
+- JPEG decode: baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or
+  YCbCr with any integer sampling factors (4:4:4 / 4:2:2 / 4:2:0),
+  restart markers, tables read from the file's own DQT/DHT. Progressive
+  (SOF2), arithmetic coding, 12-bit and CMYK are rejected loudly. Plus a
+  spec-compliant fixture encoder (Annex-K quant tables with libjpeg
+  quality scaling, per-image canonical Huffman, optional 4:2:0 and
+  restart intervals), roundtrip-property-tested against the decoder.
 
 Performance shape: these run per-asset inside Arrow-batched ``mapInPandas``
 kernels — the decompression and unfiltering are C-speed (zlib, numpy); only
@@ -408,4 +417,509 @@ def gif_encode_frames(frames: list[np.ndarray], palette: np.ndarray | None = Non
             out += chunk
         out.append(0)
     out += b"\x3b"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81), pure stdlib + numpy.
+# Decoder: SOF0/SOF1, 8-bit, 1 or 3 components, any integer sampling
+# factors (4:4:4 / 4:2:2 / 4:2:0), restart markers, canonical Huffman from
+# the file's own DHT segments. Progressive (SOF2), arithmetic coding,
+# 12-bit and CMYK are rejected loudly (scope note in the module docstring).
+# Encoder: spec-compliant baseline for test fixtures — 4:4:4 or 4:2:0,
+# Annex-K quant tables with libjpeg quality scaling, per-image canonical
+# Huffman tables (embedded in DHT, so any decoder reads them), optional
+# restart intervals. Roundtrips are property-tested against the decoder.
+# --------------------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """Block index (r*8+c) for each of the 64 zigzag scan positions."""
+    out = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(7, s) + 1)
+        for r in (rng if s % 2 else reversed(rng)):
+            out.append(r * 8 + (s - r))
+    return np.array(out, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+# Annex K.1/K.2 base quantization tables (zigzag-independent, row-major).
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_Q_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+class _BitReader:
+    """MSB-first bit reader over one entropy-coded segment (already
+    de-stuffed: 0xFF00 collapsed to 0xFF, markers stripped)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy data exhausted")
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, nbits: int) -> int:
+    """T.81 F.2.2.1: map the received magnitude bits to a signed value."""
+    if nbits == 0:
+        return 0
+    return v if v >= (1 << (nbits - 1)) else v - (1 << nbits) + 1
+
+
+def _huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical (length, code) -> symbol from a DHT BITS/HUFFVAL spec."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | reader.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → ``(h, w, 3) uint8`` RGB (or ``(h, w, 1)`` gray)."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    scan = None
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[i : i + 2])[0]
+        seg = payload[i + 2 : i + seg_len]
+        i += seg_len
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise ValueError("jpeg: only 8-bit quant tables (baseline)")
+                zz = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int64)
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZZ] = zz
+                qt[tq] = t
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17 : p + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/ext sequential
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision")
+            if nc not in (1, 3):
+                raise ValueError("jpeg: only gray/YCbCr (1 or 3 components)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("jpeg: progressive (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"jpeg: unsupported SOF marker 0x{marker:02x}")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            tables = {}
+            for c in range(ns):
+                cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
+                tables[cs] = (td_ta >> 4, td_ta & 15)
+            # Entropy-coded data: de-stuff, split at restart markers.
+            segs, cur = [], bytearray()
+            while i < len(payload):
+                b = payload[i]
+                if b != 0xFF:
+                    cur.append(b)
+                    i += 1
+                    continue
+                nxt = payload[i + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                else:
+                    break  # next real marker (EOI or other)
+            segs.append(bytes(cur))
+            scan = {"tables": tables, "segs": segs}
+            break  # single-scan baseline: decode after the loop
+        # APPn/COM/others: skipped via seg_len
+    if frame is None or scan is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    seg_idx = 0
+    reader = _BitReader(scan["segs"][0])
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                seg_idx += 1
+                reader = _BitReader(scan["segs"][seg_idx])
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                td, ta = scan["tables"][c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        t = _huff_decode(reader, huff_dc[td])
+                        pred[c["id"]] += _extend(reader.receive(t), t)
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff_ac[ta])
+                            if rs == 0:
+                                break  # EOB
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s = rs & 15
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            coef[_ZZ[k]] = _extend(reader.receive(s), s)
+                            k += 1
+                        block = (coef * q).reshape(8, 8).astype(np.float64)
+                        px = _DCT_A.T @ block @ _DCT_A + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            n_mcu += 1
+
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[: frame["h"], : frame["w"]])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)
+                self.buf = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        while self.n:
+            self.write(1, 1)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def q(base):
+        return np.clip((base * scale + 50) // 100, 1, 255)
+    return q(_Q_LUM), q(_Q_CHROM)
+
+
+def _fixed_len_huff(symbols: set[int]) -> tuple[list[int], bytes]:
+    """Canonical table giving every used symbol the same code length L,
+    with 2^L - 1 >= |symbols| (the all-ones code stays unused, as T.81
+    requires). Embedded in DHT, so any conformant decoder reads it."""
+    syms = sorted(symbols) or [0]
+    ln = 1
+    while (1 << ln) - 1 < len(syms):
+        ln += 1
+    bits = [0] * 16
+    bits[ln - 1] = len(syms)
+    return bits, bytes(syms)
+
+
+def _encode_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the canonical table."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _block_symbols(blocks: list[np.ndarray], preds: list[int]) -> tuple[list, set, set]:
+    """Zigzag/RLE a component's quantized blocks into (dc_sym, dc_bits,
+    [(ac_sym, ac_bits)]) tuples, collecting the used symbol sets."""
+    toks, dc_syms, ac_syms = [], set(), set()
+    pred = preds[0]
+    for blk in blocks:
+        zz = blk.reshape(64)[_ZZ]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = int(diff).bit_length() if diff != 0 else 0
+        dc_syms.add(s)
+        dc_tok = (s, diff if diff >= 0 else diff + (1 << s) - 1)
+        acs = []
+        run = 0
+        last_nz = max(np.nonzero(zz)[0]) if np.any(zz) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                if k > last_nz:
+                    acs.append((0x00, 0, 0))  # EOB
+                    ac_syms.add(0x00)
+                    break
+                run += 1
+                if run == 16:
+                    acs.append((0xF0, 0, 0))  # ZRL
+                    ac_syms.add(0xF0)
+                    run = 0
+                continue
+            s = abs(v).bit_length()
+            sym = (run << 4) | s
+            ac_syms.add(sym)
+            acs.append((sym, s, v if v >= 0 else v + (1 << s) - 1))
+            run = 0
+        toks.append((dc_tok, acs))
+    preds[0] = pred
+    return toks, dc_syms, ac_syms
+
+
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder (test-fixture grade, spec-compliant output):
+    ``(h, w, 3)`` RGB → YCbCr 4:4:4 (or 4:2:0 with ``subsample=True``),
+    ``(h, w)``/``(h, w, 1)`` → grayscale. ``restart_interval`` emits DRI +
+    RSTn markers every N MCUs (exercises the decoder's restart path)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    q_lum, q_chrom = _quality_tables(quality)
+    gray = ch == 1
+    if gray:
+        comps_px = [img[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [q_lum]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            def down2(p):
+                if p.shape[0] % 2:
+                    p = np.concatenate([p, p[-1:]], axis=0)
+                if p.shape[1] % 2:
+                    p = np.concatenate([p, p[:, -1:]], axis=1)
+                return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+            comps_px = [y, down2(cb), down2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comps_px = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [q_lum, q_chrom, q_chrom]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # Quantize every block, MCU-interleaved order per component.
+    mcu_blocks: list[list[np.ndarray]] = []  # [mcu][comp-block...] aligned with comp order
+    comp_block_lists: list[list[np.ndarray]] = [[] for _ in comps_px]
+    for ci, (px, (sh, sv), q) in enumerate(zip(comps_px, samp, qts)):
+        ph, pw = mcuy * 8 * sv, mcux * 8 * sh
+        pad = np.pad(px, ((0, ph - px.shape[0]), (0, pw - px.shape[1])), mode="edge")
+        qm = q.reshape(8, 8).astype(np.float64)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                        blk = pad[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = _DCT_A @ blk @ _DCT_A.T
+                        comp_block_lists[ci].append(
+                            np.round(coef / qm).astype(np.int64)
+                        )
+
+    # Tokenize (two-pass: symbols first, then bits with the built tables).
+    n_tables = 1 if gray else 2
+    toks_per_comp, dc_sets, ac_sets = [], [set() for _ in range(n_tables)], [
+        set() for _ in range(n_tables)
+    ]
+    # Restart intervals reset DC prediction; tokenize per restart segment.
+    blocks_per_mcu = [sh * sv for sh, sv in samp]
+    for ci, blocks in enumerate(comp_block_lists):
+        tclass = 0 if ci == 0 else 1
+        toks = []
+        nper = blocks_per_mcu[ci]
+        ri = restart_interval or (mcux * mcuy)
+        for seg0 in range(0, mcux * mcuy, ri):
+            seg_blocks = blocks[seg0 * nper : (seg0 + ri) * nper]
+            pred = [0]
+            t, ds, as_ = _block_symbols(seg_blocks, pred)
+            toks.extend(t)
+            dc_sets[tclass] |= ds
+            ac_sets[tclass] |= as_
+        toks_per_comp.append(toks)
+
+    dc_tables = [_fixed_len_huff(s) for s in dc_sets]
+    ac_tables = [_fixed_len_huff(s) for s in ac_sets]
+    dc_codes = [_encode_codes(*t) for t in dc_tables]
+    ac_codes = [_encode_codes(*t) for t in ac_tables]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate([q_lum] if gray else [q_lum, q_chrom]):
+        zz = q[_ZZ].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        tq = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, (sh << 4) | sv, tq])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, tables in ((0, dc_tables), (1, ac_tables)):
+        for th, (bits, vals) in enumerate(tables):
+            body = bytes([(tc << 4) | th]) + bytes(bits) + vals
+            out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    wtr = _BitWriter()
+    n_mcu_total = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu_total):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            out += bytes(wtr.out)
+            wtr = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+        for ci in range(nc):
+            tclass = 0 if ci == 0 else 1
+            nper = blocks_per_mcu[ci]
+            for bi in range(nper):
+                (s, dbits), acs = toks_per_comp[ci][m * nper + bi]
+                code, ln = dc_codes[tclass][s]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(dbits, s)
+                for sym, sbits, vbits in acs:
+                    code, ln = ac_codes[tclass][sym]
+                    wtr.write(code, ln)
+                    if sbits:
+                        wtr.write(vbits, sbits)
+    wtr.flush()
+    out += bytes(wtr.out)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -102,15 +102,20 @@ def _decode_image(raw: bytes):
             return codecs.png_decode(raw)
         if kind == "gif":
             return codecs.gif_decode_frames(raw)[0]
-        if kind == "jpeg" and _HAS_PIL:
-            import io
+        if kind == "jpeg":
+            if _HAS_PIL:
+                import io
 
-            import numpy as np
+                import numpy as np
 
-            import PIL.Image
+                import PIL.Image
 
-            img = np.asarray(PIL.Image.open(io.BytesIO(raw)).convert("RGB"))
-            return img if img.dtype == "uint8" else None
+                img = np.asarray(PIL.Image.open(io.BytesIO(raw)).convert("RGB"))
+                return img if img.dtype == "uint8" else None
+            # Pure-stdlib baseline decoder (codecs.py): SOF0/SOF1, 4:4:4 /
+            # 4:2:2 / 4:2:0, restart markers. Progressive falls through to
+            # the digest fallback via the except guard.
+            return codecs.jpeg_decode(raw)
     except Exception:  # malformed/truncated container or unsupported scope
         return None  # -> deterministic fallback; the kernel must stay total
     return None

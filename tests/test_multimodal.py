@@ -347,3 +347,85 @@ def test_gif_first_frame_through_image_features(spark):
     rgb = pal[first]
     want = round(float(rgb[:, :, 0].astype(np.int64).sum()) / (255.0 * 9 * 5) - 0.5, 6)
     assert r.embedding[0] == want
+
+
+def test_jpeg_codec_property_roundtrip():
+    """JPEG encode→decode property: output parses as baseline JPEG, decodes
+    to the exact source dimensions, and pixel error stays within the
+    quantization budget at q=90 across gray/RGB, 4:4:4/4:2:0, and restart
+    intervals. Lossy, so the bound is on mean absolute error (the smooth
+    gradient keeps high-frequency quantization noise small)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkasparkstream_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        sniff,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        gray=st.booleans(),
+        subsample=st.booleans(),
+        rst=st.sampled_from([0, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, gray, subsample, rst, seed):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (1 if gray else 3,)).astype(np.float64)
+        yy, xx = np.mgrid[0:h, 0:w]
+        grad = (yy * 2 + xx * 3) % 97
+        img = np.clip(base[None, None, :] * 0.5 + grad[:, :, None], 0, 255).astype(
+            np.uint8
+        )
+        if gray:
+            img = img[:, :, :1]
+        enc = jpeg_encode(img, quality=90, subsample=not gray and subsample,
+                          restart_interval=rst)
+        assert sniff(enc) == "jpeg"
+        dec = jpeg_decode(enc)
+        assert dec.shape[:2] == (h, w)
+        assert dec.shape[2] == (1 if gray else 3)
+        ref = img.astype(np.float64)
+        got = dec.astype(np.float64)
+        assert np.abs(got - ref).mean() < 16.0, np.abs(got - ref).mean()
+
+    roundtrip()
+
+
+def test_jpeg_through_image_features(spark):
+    """A baseline JPEG payload must yield its ACTUAL dims and an embedding
+    computed from the decoded pixels (bit-equal to running the pure codec
+    locally) — not the digest fallback. Progressive-marker payloads stay on
+    the deterministic fallback (kernel total over malformed input)."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    jpg = jpeg_encode(img, quality=85, subsample=True)
+    decoded = jpeg_decode(jpg)  # reference pixels (lossy, but deterministic)
+
+    # A fake progressive JPEG: SOI + SOF2 marker → decoder raises → fallback.
+    fake_prog = b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+
+    df = spark.createDataFrame(
+        [(0, bytearray(jpg)), (1, bytearray(fake_prog))],
+        "asset_id long, payload binary",
+    )
+    rows = {r.asset_id: r for r in image_features(df).collect()}
+    assert (rows[0].width, rows[0].height) == (7, 11)
+    h, w, _ = decoded.shape
+    want = round(
+        float(decoded[:, :, 0].astype(np.int64).sum()) / (255.0 * h * w) - 0.5, 6
+    )
+    assert rows[0].embedding[0] == want
+    # fallback row: digest-derived dims, deterministic across runs
+    assert rows[1].width > 0 and rows[1].height > 0
+    again = {r.asset_id: r for r in image_features(df).collect()}
+    assert again[1].width == rows[1].width and again[1].embedding == rows[1].embedding
