@@ -256,3 +256,31 @@ def read_upsert_table(spark, path: str) -> DataFrame:
     if not dirs:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*dirs)
+
+
+def vacuum_upsert_table(path: str) -> list[str]:
+    """Delete version directories no longer referenced by the manifest and
+    return their names. Safe at any time under the single-writer model: the
+    manifest swap is atomic, a version dir is immutable once referenced, and
+    an in-flight batch only ever writes a NEW unreferenced dir (never one
+    this vacuum could be deleting, since fresh attempt suffixes skip every
+    name that has ever been referenced — stale dirs here are from crashes or
+    superseded batches). Run it opportunistically (e.g. every N batches)
+    exactly like Delta's VACUUM, minus the time-travel retention window —
+    this table keeps only the current snapshot."""
+    import json
+    import os
+    import shutil
+
+    data = os.path.join(path, "data")
+    try:
+        with open(os.path.join(path, "_manifest.json")) as f:
+            referenced = set(json.load(f)["buckets"].values())
+    except (OSError, ValueError):
+        return []
+    removed = []
+    for ver in sorted(os.listdir(data)) if os.path.isdir(data) else []:
+        if ver not in referenced:
+            shutil.rmtree(os.path.join(data, ver), ignore_errors=True)
+            removed.append(ver)
+    return removed

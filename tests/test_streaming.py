@@ -1098,3 +1098,30 @@ def test_upsert_sink_replay_and_crash_are_idempotent(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in read_upsert_table(spark, tbl).collect()
     ) == got
+
+
+def test_upsert_vacuum_removes_only_unreferenced_versions(spark, tmp_path):
+    """Vacuum deletes superseded/orphaned version dirs, never a referenced
+    one; reads are identical before and after."""
+    import os
+
+    from kafkasparkstream_spark.streaming.sinks import (
+        foreach_batch_upsert_sink,
+        read_upsert_table,
+        vacuum_upsert_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    sink = foreach_batch_upsert_sink(tbl, ("k",), num_buckets=2)
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), 0)
+    sink(spark.createDataFrame([(1, "a2")], ["k", "v"]), 1)  # supersedes k=1's bucket in v0
+    os.makedirs(os.path.join(tbl, "data", "v99", "_kb=0"), exist_ok=True)  # crash orphan
+    before = sorted(map(tuple, read_upsert_table(spark, tbl).collect()))
+    removed = vacuum_upsert_table(tbl)
+    assert "v99" in removed
+    assert sorted(map(tuple, read_upsert_table(spark, tbl).collect())) == before
+    # every remaining dir is referenced
+    import json
+
+    refs = set(json.load(open(os.path.join(tbl, "_manifest.json")))["buckets"].values())
+    assert set(os.listdir(os.path.join(tbl, "data"))) == refs
