@@ -106,12 +106,19 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     no join at all. At 100 TB-scale graphs the mitigation is the usual
     degree-ordered orientation (hash-partition by the low-degree endpoint).
     """
+    # The canonical edge list feeds SIX consumers (three join legs, both
+    # degree projections, the edge count). Without a barrier each consumer
+    # re-executes the whole upstream plan — ruinous when `edges` is an
+    # expensive kernel like the GEMM kNN build (measured 3-4x on the
+    # knn_triangle_stats query). localCheckpoint materializes the
+    # edge-list-sized result once on the executors and truncates lineage.
     e = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))

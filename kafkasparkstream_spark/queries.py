@@ -6507,8 +6507,14 @@ def knn_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-edges, so a shared neighbor fans out to ≤k² wedges — linear in
     nodes, never all-pairs. Degrees ride a tiny broadcast join; the final
     top-20 is a TakeOrdered."""
-    edges = similarity.knn_graph(load_table(spark, "embeddings", sf_dir), k=5).select(
-        "vec_id", "neighbor_id"
+    # Barrier the kNN edge list: it feeds the degree aggregate AND both
+    # sides of the wedge self-join, and without lineage truncation each
+    # consumer re-runs the GEMM tile kernel (measured 4x cold at sf0.1).
+    # The materialized set is n·k rows — linear in corpus size.
+    edges = (
+        similarity.knn_graph(load_table(spark, "embeddings", sf_dir), k=5)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
     )
     deg = edges.groupBy("vec_id").agg(F.count(F.lit(1)).alias("d"))
     a, b = edges.alias("a"), edges.alias("b")
