@@ -722,3 +722,56 @@ def test_broadcast_audit_shuffle_crossing_is_per_branch():
         ]
     )
     assert not flagged_broadcasts(plan_ok)
+
+
+def test_recompute_audit_flags_planted_kernel_fanout(spark):
+    """The kernel-recompute audit's audit: scripts/recompute_audit.
+    flagged_kernels must flag a REAL plan in which one applyInPandas
+    kernel feeds two consumers without a barrier (the kernel node appears
+    once per consumer — Spark re-executes it per branch), stay quiet once
+    the kernel output is localCheckpoint'ed, and not confuse two DIFFERENT
+    kernels with one recomputed kernel."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import pandas as pd
+    from recompute_audit import flagged_kernels, simple_plan
+
+    from pyspark.sql import functions as F
+
+    def planted_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+    def other_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+    base = spark.range(100).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    out = base.groupBy("g").applyInPandas(planted_kernel, "g long, v long")
+    # two consumers of the same kernel output, no barrier -> duplicate node
+    fanout = out.groupBy("g").count().join(out, "g")
+    dup = flagged_kernels(simple_plan(fanout))
+    assert dup and all(fn == "planted_kernel" for _, fn in dup), dup
+    # barrier: the kernel materializes once, the plan reads the RDD twice
+    barriered = out.localCheckpoint()
+    fixed = barriered.groupBy("g").count().join(barriered, "g")
+    assert not flagged_kernels(simple_plan(fixed))
+    # composition of two DIFFERENT kernels is not recomputation
+    two = out.join(
+        base.groupBy("g").applyInPandas(other_kernel, "g long, v long"),
+        "g",
+    )
+    assert not flagged_kernels(simple_plan(two))
+
+
+def test_graph_queries_have_no_kernel_recompute(spark):
+    """The round-4 fix stays fixed: the kNN-graph consumers (wedge links,
+    triangle census, pagerank) plan the GEMM tile kernel at most once."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from recompute_audit import flagged_kernels, simple_plan
+
+    for name in ("knn_jaccard_links", "knn_triangle_stats", "pagerank_knn_graph"):
+        assert not flagged_kernels(simple_plan(E.queries()[name](spark, SF_DIR))), name
