@@ -230,7 +230,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    from kafkasparkstream_spark.operators.dedup import release_caches
+    from kafkasparkstream_spark.operators.dedup import deep_release
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
@@ -241,7 +241,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
-        release_caches()  # dedup intermediates don't outlive their query
+        deep_release(spark)  # nothing pinned legitimately outlives its query
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     total = sum(timings.values())

@@ -90,6 +90,44 @@ def release_caches() -> int:
     return n
 
 
+def deep_release(spark) -> int:
+    """Between-queries storage reset for long-lived sweep/bench sessions:
+    :func:`release_caches` plus everything the per-operator registry can't
+    see — raw ``localCheckpoint`` blocks from any query, catalog caches,
+    and terminated streaming queries' state-store providers (Spark keeps
+    each provider's last committed state map loaded until a maintenance
+    cycle unloads it).
+
+    Found the hard way: a full-registry sf1.0 sweep on a default-heap
+    local[8] session accumulated enough pinned storage over ~190 queries
+    that a later hash aggregate died with UNABLE_TO_ACQUIRE_MEMORY
+    (got 3598 of 65536 bytes). Nothing legitimately outlives its query in
+    a sweep, so between queries EVERYTHING pinned is garbage.
+
+    Never call this mid-query: it frees checkpoint blocks out from under
+    any still-unconsumed DataFrame. Returns blocks/handles released."""
+    n = release_caches()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            jmap.get(rid).unpersist(True)
+            n += 1
+    except Exception:
+        pass  # session already stopped
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        # Unload every state-store provider (same call Spark's own
+        # streaming tests use); the next streaming query reloads lazily.
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        n += 1
+    except Exception:
+        pass
+    return n
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content digest: one row per distinct content with the
     smallest id as keeper and the duplicate count.

@@ -98,7 +98,7 @@ def main() -> int:
 
     import __spark_entry__ as E
 
-    from kafkasparkstream_spark.operators.dedup import release_caches
+    from kafkasparkstream_spark.operators.dedup import deep_release
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     bad, errors = {}, {}
@@ -115,7 +115,7 @@ def main() -> int:
             errors[name] = repr(e)[:120]
             continue
         finally:
-            release_caches()
+            deep_release(spark)
         hits = flagged_broadcasts(plan)
         if hits:
             if name in SANCTIONED:

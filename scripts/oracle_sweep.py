@@ -67,7 +67,7 @@ def main() -> int:
     import __spark_entry__ as E
     from oracle import assert_matches_oracle
 
-    from kafkasparkstream_spark.operators.dedup import release_caches
+    from kafkasparkstream_spark.operators.dedup import deep_release
 
     # All-pairs oracle SQL: every oracle that joins a shingle/embedding
     # explosion against itself without an LSH-style prune on the DuckDB
@@ -121,7 +121,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - sweep must not die mid-run
             fails.append((name, repr(e)[:300]))
             print(f"FAIL {name}: {repr(e)[:200]}", flush=True)
-        release_caches()
+        deep_release(spark)
     print(
         f"\n=== {args.sf_dir}: {passed} passed, {len(fails)} failed, "
         f"{len(skipped)} skipped (oracle-infeasible), {time.time() - t_start:.0f}s"

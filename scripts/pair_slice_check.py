@@ -102,7 +102,7 @@ def build_slice() -> None:
 def sampled_oracle() -> list[tuple[str, str]]:
     from pyspark.sql import SparkSession
 
-    from kafkasparkstream_spark.operators.dedup import release_caches
+    from kafkasparkstream_spark.operators.dedup import deep_release
 
     import __spark_entry__ as E
     from oracle import assert_matches_oracle
@@ -128,7 +128,7 @@ def sampled_oracle() -> list[tuple[str, str]]:
         except Exception as e:  # noqa: BLE001 - record and continue
             fails.append((name, repr(e)[:300]))
             print(f"FAIL sampled-oracle {name}: {repr(e)[:200]}", flush=True)
-        release_caches()
+        deep_release(spark)
     return fails
 
 
@@ -158,7 +158,7 @@ def _fingerprint(df):
 def invariance_full_sf1() -> list[tuple[str, str]]:
     from pyspark.sql import SparkSession
 
-    from kafkasparkstream_spark.operators.dedup import release_caches
+    from kafkasparkstream_spark.operators.dedup import deep_release
 
     import __spark_entry__ as E
 
@@ -179,7 +179,7 @@ def invariance_full_sf1() -> list[tuple[str, str]]:
             for parts in ("16", "64"):
                 spark.conf.set("spark.sql.shuffle.partitions", parts)
                 results.append(_fingerprint(Q[name](spark, str(SF1))))
-                release_caches()
+                deep_release(spark)
             if results[0] != results[1]:
                 fails.append(
                     (name, f"partition-dependent result: {results[0]} != {results[1]}")

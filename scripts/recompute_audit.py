@@ -70,7 +70,7 @@ def flagged_kernels(plan: str) -> dict[tuple[str, str], int]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
-    from kafkasparkstream_spark.operators.dedup import release_caches
+    from kafkasparkstream_spark.operators.dedup import deep_release
     from kafkasparkstream_spark.session import get_spark
 
     spark = get_spark(app_name="recompute-audit")
@@ -93,7 +93,7 @@ def main() -> int:
             errors[name] = repr(e)[:120]
             continue
         finally:
-            release_caches()
+            deep_release(spark)
         dup = flagged_kernels(plan)
         if dup:
             if name in SANCTIONED:
