@@ -546,8 +546,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError("jpeg: marker expected")
-        marker = payload[i + 1]
-        i += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker —
+        # skip them so "FF FF DB" parses as DQT, not as marker 0xFF.
+        while i < len(payload) and payload[i] == 0xFF:
+            i += 1
+        if i >= len(payload):
+            raise ValueError("jpeg: truncated at marker")
+        marker = payload[i]
+        i += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -606,10 +612,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                     cur.append(b)
                     i += 1
                     continue
+                if i + 1 >= len(payload):
+                    raise ValueError("jpeg: truncated in entropy-coded data")
                 nxt = payload[i + 1]
                 if nxt == 0x00:
                     cur.append(0xFF)
                     i += 2
+                elif nxt == 0xFF:
+                    i += 1  # T.81 fill byte before an in-scan marker
                 elif 0xD0 <= nxt <= 0xD7:
                     segs.append(bytes(cur))
                     cur = bytearray()

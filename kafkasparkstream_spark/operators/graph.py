@@ -118,7 +118,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # eager=False: same lineage truncation and single materialization
+        # (the RDD persists on first compute within the consuming job), but
+        # construction stays execution-free — plan-only audits can build
+        # this query without running the upstream kernel.
+        .localCheckpoint(eager=False)
     )
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))

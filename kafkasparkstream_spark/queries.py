@@ -228,16 +228,20 @@ def extreme_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("event_id") >= 0)
         & (F.col("event_id") < F.lit(10_000_000_000_000))
     )
+    # Inverted WHEN so NULL inputs pass through instead of crashing: a NULL
+    # value/event_id makes in_bounds NULL, so `when(~in_bounds)` does not
+    # match and the otherwise-branch yields a NULL ordinal — which max_by/
+    # min_by skip, exactly as DuckDB's arg_max skips NULLs. Only a row that
+    # is DEFINITIVELY out of bounds raises.
     ord_ = F.when(
-        in_bounds, cents * F.lit(10_000_000_000_000) + F.col("event_id")
-    ).otherwise(
+        ~in_bounds,
         F.raise_error(
             F.lit(
                 "extreme_events_by_type: composite ordinal out of bounds "
                 "(requires |value| <= 9223.36 and 0 <= event_id < 1e13)"
             )
-        ).cast("long")
-    )
+        ).cast("long"),
+    ).otherwise(cents * F.lit(10_000_000_000_000) + F.col("event_id"))
     o = events.withColumn("_ord", ord_)
     return (
         o.groupBy("event_type")
@@ -2662,7 +2666,14 @@ def streaming_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _clamped_shuffle_partitions(spark):
         q = (
             windowed_aggregate_stage(parse_stage(raw, cfg), cfg)
-            .writeStream.foreachBatch(foreach_batch_upsert_sink(tbl, keys))
+            # swallow_errors=False: ST7 isolation is right for the
+            # reference-parity sinks, but THIS is an oracle-verified
+            # registry query — a swallowed batch failure would surface as
+            # a silently stale table (or a baffling missing-manifest read
+            # error), not as the real exception.
+            .writeStream.foreachBatch(
+                foreach_batch_upsert_sink(tbl, keys, swallow_errors=False)
+            )
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -6514,7 +6525,9 @@ def knn_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         similarity.knn_graph(load_table(spark, "embeddings", sf_dir), k=5)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        # eager=False: see triangle_stats — barrier without executing the
+        # kernel at DataFrame-construction time.
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("vec_id").agg(F.count(F.lit(1)).alias("d"))
     a, b = edges.alias("a"), edges.alias("b")

@@ -168,6 +168,11 @@ def foreach_batch_upsert_sink(
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # The merge takes FOUR actions on batch_df (isEmpty, affected-bucket
+        # collect, anti-join probe, final write); without a persist each one
+        # re-executes the upstream micro-batch plan — the stateful windowed
+        # aggregate, in the registry replay — on the sink hot path.
+        batch_df = batch_df.persist()
         try:
             if skip_empty and batch_df.isEmpty():  # ST8
                 log.info("batch %s empty, skipping upsert %s", batch_id, path)
@@ -232,6 +237,8 @@ def foreach_batch_upsert_sink(
             if not swallow_errors:
                 raise
             log.exception("batch %s upsert to %s failed (isolated)", batch_id, path)
+        finally:
+            batch_df.unpersist()
 
     return _write
 
@@ -260,14 +267,20 @@ def read_upsert_table(spark, path: str) -> DataFrame:
 
 def vacuum_upsert_table(path: str) -> list[str]:
     """Delete version directories no longer referenced by the manifest and
-    return their names. Safe at any time under the single-writer model: the
-    manifest swap is atomic, a version dir is immutable once referenced, and
-    an in-flight batch only ever writes a NEW unreferenced dir (never one
-    this vacuum could be deleting, since fresh attempt suffixes skip every
-    name that has ever been referenced — stale dirs here are from crashes or
-    superseded batches). Run it opportunistically (e.g. every N batches)
-    exactly like Delta's VACUUM, minus the time-travel retention window —
-    this table keeps only the current snapshot."""
+    return their names.
+
+    MUST be serialized with the writer — run it from the foreachBatch
+    callback itself (e.g. every N batches, after the manifest swap) or
+    while no streaming query is writing this table. It is NOT safe as an
+    unsynchronized background job: an in-flight batch writes its new
+    version dir BEFORE the manifest swap references it, so a concurrent
+    vacuum in that window would see the dir as unreferenced, delete it,
+    and the subsequent swap would publish a manifest pointing at a
+    deleted directory (this is what Delta's retention window + lakehouse
+    log exist to prevent; this minimal sink keeps only the current
+    snapshot and has no such window). Under the serialized model every
+    unreferenced dir really is garbage — a crashed attempt or a
+    superseded version — and deleting it never races the swap."""
     import json
     import os
     import shutil

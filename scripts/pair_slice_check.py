@@ -99,20 +99,12 @@ def build_slice() -> None:
     print(f"slice built at {SLICE}: 10x{DOC_KEEP} docs, 4x{VEC_KEEP} vecs")
 
 
-def sampled_oracle() -> list[tuple[str, str]]:
-    from pyspark.sql import SparkSession
-
+def sampled_oracle(spark) -> list[tuple[str, str]]:
     from kafkasparkstream_spark.operators.dedup import deep_release
 
     import __spark_entry__ as E
     from oracle import assert_matches_oracle
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
     Q, O = E.queries(), E.oracle_sql()
     fails = []
     for name in PAIR_QUERIES:
@@ -155,21 +147,11 @@ def _fingerprint(df):
     return (row["n"], row["x"], row["s"])
 
 
-def invariance_full_sf1() -> list[tuple[str, str]]:
-    from pyspark.sql import SparkSession
-
+def invariance_full_sf1(spark) -> list[tuple[str, str]]:
     from kafkasparkstream_spark.operators.dedup import deep_release
 
     import __spark_entry__ as E
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.ui.enabled", "false")
-        # pair queries at full sf1.0 — same heap the engine session uses
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
     Q = E.queries()
     fails = []
     for name in PAIR_QUERIES:
@@ -206,11 +188,29 @@ def main() -> int:
         print("run scripts/make_sf1.py first", file=sys.stderr)
         return 2
     build_slice()
+    # ONE session for both phases, created BEFORE any phase runs:
+    # spark.driver.memory only takes effect at JVM launch, so setting it in
+    # a later getOrCreate() silently no-ops if an earlier phase already
+    # built the session — the invariance pass would then run full-sf1.0
+    # pair queries on a default 1g driver (which in local mode also hosts
+    # the executors), the exact OOM class this harness exists to catch.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    assert spark.sparkContext._conf.get("spark.driver.memory") == "8g", (
+        "driver.memory not applied - a SparkSession already existed"
+    )
     fails = []
     if not args.skip_sampled:
-        fails += sampled_oracle()
+        fails += sampled_oracle(spark)
     if not args.skip_invariance:
-        fails += invariance_full_sf1()
+        fails += invariance_full_sf1(spark)
     print(f"\n=== pair_slice_check: {len(fails)} failures")
     for name, err in fails:
         print("FAIL", name, err)

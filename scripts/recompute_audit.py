@@ -9,8 +9,11 @@ notice (warm Python workers, tiny inputs), but the kernel's cost is
 multiplied by its fan-out: measured 4x cold at sf0.1 and ~2x at sf1.0 on
 the kNN wedge query before its edge list got a localCheckpoint barrier.
 
-This script plans (never executes) every registry query against a given
-SF dir and flags any physical plan in which the same Python-eval node —
+This script plans every registry query against a given SF dir — the plan
+is never collected, though building a query may run small probe jobs its
+constructor owns (e.g. knn_graph's block-count; barriers use
+``localCheckpoint(eager=False)`` so no kernel executes) — and flags any
+physical plan in which the same Python-eval node —
 (node type, kernel function name) — appears more than once. A duplicated
 kernel node means the optimizer could not share the subtree (no
 ReusedExchange covers Python evals without an intervening exchange), so

@@ -404,12 +404,18 @@ def test_jpeg_through_image_features(spark):
     the deterministic fallback (kernel total over malformed input)."""
     import numpy as np
 
-    from kafkasparkstream_spark.operators.codecs import jpeg_decode, jpeg_encode
+    from kafkasparkstream_spark.operators.codecs import jpeg_encode
+    from kafkasparkstream_spark.operators.multimodal import _decode_image
 
     rng = np.random.default_rng(31)
     img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
     jpg = jpeg_encode(img, quality=85, subsample=True)
-    decoded = jpeg_decode(jpg)  # reference pixels (lossy, but deterministic)
+    # Reference pixels through the SAME decode path the kernel uses: with
+    # PIL installed the kernel prefers PIL, whose IDCT/upsampling differs
+    # from the pure codec by a few LSBs — computing the reference via
+    # codecs.jpeg_decode would break the bit-equality assertion there.
+    decoded = _decode_image(bytes(jpg))
+    assert decoded is not None
 
     # A fake progressive JPEG: SOI + SOF2 marker → decoder raises → fallback.
     fake_prog = b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
@@ -429,3 +435,46 @@ def test_jpeg_through_image_features(spark):
     assert rows[1].width > 0 and rows[1].height > 0
     again = {r.asset_id: r for r in image_features(df).collect()}
     assert again[1].width == rows[1].width and again[1].embedding == rows[1].embedding
+
+
+def test_jpeg_decode_tolerates_fill_bytes_and_rejects_truncation():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker —
+    a legal stream with padding must decode to the same pixels as the
+    unpadded stream (both between header segments and before an in-scan
+    restart marker). A payload truncated mid-entropy-data must raise
+    ValueError (total kernels map it to the digest fallback), never
+    IndexError."""
+    import numpy as np
+    import pytest
+
+    from kafkasparkstream_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(7)
+    # big enough for multiple MCUs so restart_interval=2 actually emits RSTn
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    enc = jpeg_encode(img, quality=85, subsample=True, restart_interval=2)
+    ref = jpeg_decode(enc)
+
+    # pad every non-entropy marker AFTER SOI (the file must still start
+    # with the unpadded FF D8 signature) with a fill byte
+    sos = enc.index(b"\xff\xda")
+    padded = bytearray(enc[:2])
+    i = 2
+    while i < sos:
+        if enc[i] == 0xFF:
+            padded += b"\xff"  # one extra fill byte before each marker
+        padded.append(enc[i])
+        i += 1
+    padded += enc[sos:]
+    got = jpeg_decode(bytes(padded))
+    assert np.array_equal(got, ref)
+
+    # fill byte before an in-scan restart marker
+    rst = enc.index(b"\xff\xd0", sos)
+    in_scan = enc[:rst] + b"\xff" + enc[rst:]
+    got2 = jpeg_decode(bytes(in_scan))
+    assert np.array_equal(got2, ref)
+
+    # truncation mid-entropy-data: ValueError, not IndexError
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(enc[: sos + 20]))

@@ -475,3 +475,49 @@ def test_split_leakage_shuffle_mode_matches_broadcast_mode(spark):
     bc = sorted(map(tuple, split_leakage_overlap(docs, broadcast_test=True).collect()))
     sh = sorted(map(tuple, split_leakage_overlap(docs, broadcast_test=False).collect()))
     assert bc == sh and len(bc) > 0
+
+
+def test_extreme_events_guard_nulls_pass_through_and_oob_raises(spark, monkeypatch):
+    """The composite-ordinal bounds guard must behave like the unguarded
+    DuckDB oracle on NULLs — a NULL value/event_id yields a NULL ordinal
+    that max_by/min_by skip (arg_max semantics), NOT a raise_error crash —
+    while a row definitively outside the int64-safe bounds still fails
+    loudly in-plan instead of silently wrapping."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafkasparkstream_spark import queries as Q
+
+    ts = datetime.datetime(2024, 1, 1)
+
+    def fake_events(rows):
+        df = spark.createDataFrame(
+            [
+                Row(
+                    event_id=eid,
+                    user_id=7,
+                    event_type="click",
+                    value=val,
+                    ts=ts,
+                    props="{}",
+                )
+                for eid, val in rows
+            ]
+        )
+        monkeypatch.setattr(Q, "load_table", lambda _s, _t, _d: df)
+        return df
+
+    # NULL value row present: query must still answer, picking the max/min
+    # among non-NULL ordinals (event 2 peaks, event 1 troughs).
+    fake_events([(1, 1.0), (2, 5.0), (3, None)])
+    out = Q.extreme_events_by_type(spark, "ignored").collect()
+    assert len(out) == 1
+    assert out[0]["peak_event_id"] == 2 and out[0]["trough_event_id"] == 1
+
+    # Definitively out-of-bounds value: loud in-plan failure, not a wrap.
+    fake_events([(1, 1.0), (2, 1e9)])
+    with pytest.raises(Exception, match="out of bounds"):
+        Q.extreme_events_by_type(spark, "ignored").collect()
