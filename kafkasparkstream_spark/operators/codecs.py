@@ -24,7 +24,8 @@ Scope (honest partial codec, errors loudly outside it):
   test-fixture encoder. This makes frame-sampling REAL for actual
   multi-frame media.
 - JPEG decode: baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or
-  YCbCr with any integer sampling factors (4:4:4 / 4:2:2 / 4:2:0),
+  YCbCr with max-dividing sampling factors (4:4:4 / 4:2:2 / 4:2:0;
+  non-dividing combos like Y 3x1 + Cb 2x1 are rejected loudly),
   restart markers, tables read from the file's own DQT/DHT. Progressive
   (SOF2), arithmetic coding, 12-bit and CMYK are rejected loudly. Plus a
   spec-compliant fixture encoder (Annex-K quant tables with libjpeg
@@ -422,7 +423,7 @@ def gif_encode_frames(frames: list[np.ndarray], palette: np.ndarray | None = Non
 
 # --------------------------------------------------------------------------
 # JPEG — baseline sequential DCT (ITU-T T.81), pure stdlib + numpy.
-# Decoder: SOF0/SOF1, 8-bit, 1 or 3 components, any integer sampling
+# Decoder: SOF0/SOF1, 8-bit, 1 or 3 components, max-dividing sampling
 # factors (4:4:4 / 4:2:2 / 4:2:0), restart markers, canonical Huffman from
 # the file's own DHT segments. Progressive (SOF2), arithmetic coding,
 # 12-bit and CMYK are rejected loudly (scope note in the module docstring).
@@ -558,7 +559,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
+        if i + 2 > len(payload):
+            raise ValueError("jpeg: truncated in segment length field")
         seg_len = struct.unpack(">H", payload[i : i + 2])[0]
+        if seg_len < 2 or i + seg_len > len(payload):
+            raise ValueError("jpeg: truncated or malformed segment")
         seg = payload[i + 2 : i + seg_len]
         i += seg_len
         if marker == 0xDB:  # DQT
@@ -582,6 +587,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
                 p += 17 + nv
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/ext sequential
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("jpeg: truncated SOF segment")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision")
@@ -597,8 +604,12 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"jpeg: unsupported SOF marker 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("jpeg: truncated DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("jpeg: truncated SOS segment")
             ns = seg[0]
             tables = {}
             for c in range(ns):
@@ -636,6 +647,16 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+            # Upsampling below is integer np.repeat; non-dividing factor
+            # combos (legal per T.81, e.g. Y 3x1 with Cb 2x1) would build a
+            # mis-sized plane — reject loudly instead of a numpy shape error.
+            raise ValueError("jpeg: non-integer-ratio sampling not supported")
+    if set(scan["tables"]) != {c["id"] for c in comps}:
+        # Single-scan baseline only: an SOS covering a component subset is
+        # a multi-scan file; decoding it as one scan would KeyError later.
+        raise ValueError("jpeg: multi-scan (partial SOS coverage) not supported")
     mcux = -(-frame["w"] // (8 * hmax))
     mcuy = -(-frame["h"] // (8 * vmax))
     planes = {
@@ -650,6 +671,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         for mx in range(mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 seg_idx += 1
+                if seg_idx >= len(scan["segs"]):
+                    raise ValueError(
+                        "jpeg: DRI declares more restart segments than present"
+                    )
                 reader = _BitReader(scan["segs"][seg_idx])
                 pred = {c["id"]: 0 for c in comps}
             for c in comps:
@@ -805,6 +830,10 @@ def jpeg_encode(
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
+    if not 1 <= quality <= 100:
+        # _quality_tables divides by quality (<50 branch) and a >100 value
+        # silently degenerates to all-1 tables — reject instead.
+        raise ValueError("jpeg: quality must be in 1..100")
     q_lum, q_chrom = _quality_tables(quality)
     gray = ch == 1
     if gray:

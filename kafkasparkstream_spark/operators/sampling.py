@@ -197,8 +197,10 @@ def pack_sequences(
     The cumulative sum is a keyed window (partition by lang × source), so
     parallelism is the number of corpus streams — at 100 TB each stream
     packs independently; no global sort, no single-partition window. Output
-    is one row per packed sequence: doc count, token total, and fill ratio
-    against the budget.
+    is one row per packed sequence: doc count, token total, and fill level
+    in exact integer basis points of the budget (``fill_bp = seq_tokens *
+    10000 // budget`` — integer units on both engines per the repo's
+    float-grid convention; a ROUND-on-double here has live half-ties).
     """
     from pyspark.sql.window import Window
 
@@ -221,7 +223,7 @@ def pack_sequences(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_ntok").alias("seq_tokens"),
-            F.round(F.sum("_ntok") / F.lit(float(budget)), 4).alias("fill_ratio"),
+            F.expr(f"sum(_ntok) * 10000L div {int(budget)}").alias("fill_bp"),
         )
         .orderBy(*group_cols, "seq_no")
     )

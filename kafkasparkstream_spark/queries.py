@@ -3350,7 +3350,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            MIN(doc_id) AS min_doc_id,
            MAX(doc_id) AS max_doc_id
@@ -3380,8 +3380,8 @@ def shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            CAST(floor((cum - ntok) / 512.0) AS INT) AS seq_no,
            COUNT(*) AS n_docs,
-           SUM(ntok) AS seq_tokens,
-           ROUND(SUM(ntok) / 512.0, 4) AS fill_ratio
+           CAST(SUM(ntok) AS BIGINT) AS seq_tokens,
+           CAST(SUM(ntok) AS BIGINT) * 10000 // 512 AS fill_bp
     FROM c
     GROUP BY lang, source, seq_no
     ORDER BY lang, source, seq_no
@@ -7316,11 +7316,11 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_exact_decimal",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(18,0))) / 100
-                AS DECIMAL(18,2)) AS sum_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(18,0)))
+                AS BIGINT) AS sum_price_cents,
            CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(18,0))
                     * CAST(100 - ROUND(l_discount * 100, 0) AS DECIMAL(18,0)))
-                / 10000 AS DECIMAL(20,4)) AS sum_disc_price,
+                AS BIGINT) AS sum_disc_price_du,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -7333,18 +7333,21 @@ def pricing_exact_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a scale-0 round (the portable quantization — casting a double
     straight to DECIMAL(18,2) re-rounds at the representation boundary and
     engines disagree by a cent); all sums then run in integer decimal
-    space, exact and order-independent, and only the final scale shift
-    (÷100, ÷10000) produces the ledger columns. Still one map-side-
-    combined hash agg; decimal costs ~2-3x double arithmetic, the price
-    of auditable-to-the-cent results."""
+    space, exact and order-independent. The ledger columns are emitted as
+    exact integer units (cents, and 1e-4 discount-units) in BIGINT — the
+    repo's cross-engine grid convention: a DECIMAL output column is the
+    same driver-hash-serialization hazard class as DuckDB's SUM(int)
+    HUGEINT widening (r04), so integer units cross the gate instead.
+    Still one map-side-combined hash agg; decimal costs ~2-3x double
+    arithmetic, the price of auditable-to-the-cent results."""
     li = load_table(spark, "lineitem", sf_dir)
     cents = F.rint(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
     disc_c = (F.lit(100) - F.rint(F.col("l_discount") * 100)).cast("decimal(18,0)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum(cents) / 100).cast("decimal(18,2)").alias("sum_price"),
-            (F.sum(cents * disc_c) / 10000).cast("decimal(20,4)").alias("sum_disc_price"),
+            F.sum(cents).cast("long").alias("sum_price_cents"),
+            F.sum(cents * disc_c).cast("long").alias("sum_disc_price_du"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -243,18 +243,34 @@ def foreach_batch_upsert_sink(
     return _write
 
 
-def read_upsert_table(spark, path: str) -> DataFrame:
+def read_upsert_table(spark, path: str, schema: "StructType | str | None" = None) -> DataFrame:
     """Read the current snapshot of a :func:`foreach_batch_upsert_sink`
     table: the manifest names exactly one version dir per bucket, so the
     union of those dirs IS the table — duplicate-free by construction, no
-    ``latest_state`` pass needed."""
+    ``latest_state`` pass needed.
+
+    A table whose stream never committed a batch (empty source +
+    ``skip_empty``, or the query never ran) has no manifest yet: with a
+    ``schema`` supplied this returns an empty DataFrame of that schema;
+    without one it raises a descriptive error naming the sink path and
+    the no-batches-written cause rather than a bare FileNotFoundError."""
     import json
     import os
 
     from pyspark.sql.types import StructType
 
-    with open(os.path.join(path, "_manifest.json")) as f:
-        manifest = json.load(f)
+    manifest_path = os.path.join(path, "_manifest.json")
+    try:
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    except FileNotFoundError:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"upsert table at {path!r} has no manifest ({manifest_path!r}): "
+            "no micro-batch has committed yet (empty source with skip_empty, "
+            "or the stream never ran). Pass schema= to read it as empty."
+        ) from None
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     dirs = [
         os.path.join(path, "data", ver, f"_kb={b}")

@@ -42,6 +42,14 @@ def main() -> int:
     ap.add_argument(
         "--skip", nargs="*", default=None, help="extra query names to skip"
     )
+    ap.add_argument(
+        "--strict-floats",
+        action="store_true",
+        help="compare doubles bit-exactly (float.hex) instead of the 9dp "
+        "grid — the ROUND-half-tie / sub-grid-noise audit mode; both "
+        "engines are the driver's builds, so a pass here means the driver "
+        "sees identical doubles too",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -65,7 +73,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
+    import oracle as oracle_mod
     from oracle import assert_matches_oracle
+
+    if args.strict_floats:
+        oracle_mod.STRICT_FLOATS = True
 
     from kafkasparkstream_spark.operators.dedup import deep_release
 

@@ -3,13 +3,32 @@
 Mirrors the documented contract (__spark_entry__.py): run the Spark query and
 the oracle SQL on the same parquet tables, then compare row count, schema
 arity, and an order-insensitive value multiset with columns sorted by name.
-Floats compare exactly after normalization to a fixed decimal grid — stricter
-than any sane driver tolerance, so passing here is a safe margin.
+
+Driver-faithfulness (learned the hard way in r04): the driver's hash is
+*result-type sensitive* where a Python ``fetchall()`` compare is not — DuckDB
+widens SUM(INTEGER) to HUGEINT, which its pandas/arrow conversion then turns
+into float64/decimal128 while Spark emits int64, and the driver hash diverges
+even though every value is numerically equal. This comparator therefore:
+
+1. fetches the DuckDB side through **Arrow** (``.arrow().to_pylist()``), which
+   preserves the engine's logical result types (HUGEINT -> Decimal, not int),
+   and
+2. normalizes values **type-sensitively**: bool / int / float / Decimal /
+   str / date / datetime all normalize into disjoint spaces, so an oracle
+   whose column widens to HUGEINT or DECIMAL fails here exactly like it
+   failed the driver (verified: both r04 reds reproduce pre-fix under this
+   comparator and pass post-fix).
+
+The driver's exact hash serialization is still unknown, so the hard gate
+against this failure class is the registry-wide oracle type-audit in
+tests/test_oracle_parity.py (every oracle column must DESCRIBE to a
+pandas/arrow-lossless type); this module is the per-value backstop.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 
 import duckdb
@@ -18,31 +37,92 @@ from kafkasparkstream_spark.tables import TABLE_NAMES
 
 NORM_DP = 9  # normalization grid for float compare (queries round to 4dp already)
 
+#: When True, floats compare BIT-EXACTLY (float.hex()) instead of on the
+#: 9dp grid. Since the driver runs the same Spark and DuckDB builds at the
+#: same scale, a bit-exact local pass implies the driver sees identical
+#: doubles too — this is the ROUND-half-tie / sub-grid-noise audit mode
+#: (scripts/oracle_sweep.py --strict-floats).
+STRICT_FLOATS = False
 
-def duckdb_run(sql: str, sf_dir: str):
+#: DuckDB logical result types that convert losslessly (and type-stably)
+#: through both pandas and arrow — the only types an oracle may emit.
+#: Notably absent: HUGEINT (SUM over int widens there; -> float64/decimal128),
+#: DECIMAL (-> float64 via .df(), Decimal via arrow), UUID, BLOB, structs.
+ORACLE_TYPE_WHITELIST = frozenset(
+    {
+        "BIGINT",
+        "INTEGER",
+        "SMALLINT",
+        "TINYINT",
+        "DOUBLE",
+        "FLOAT",
+        "VARCHAR",
+        "DATE",
+        "TIMESTAMP",
+        "BOOLEAN",
+    }
+)
+
+
+def oracle_type_ok(duckdb_type: str) -> bool:
+    """True iff a DuckDB DESCRIBE type string is driver-hash portable
+    (whitelisted scalar, or a list of a whitelisted scalar)."""
+    t = duckdb_type.strip().upper()
+    if t.endswith("[]"):
+        t = t[:-2].strip()
+    return t in ORACLE_TYPE_WHITELIST
+
+
+def _connect(sf_dir: str):
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    return con
+
+
+def duckdb_describe(sql: str, sf_dir: str):
+    """[(column, duckdb_type)] for the oracle's result, without executing."""
+    con = _connect(sf_dir)
+    desc = con.sql("DESCRIBE " + sql).fetchall()
     con.close()
+    return [(row[0], row[1]) for row in desc]
+
+
+def duckdb_run(sql: str, sf_dir: str):
+    """Run the oracle and fetch through Arrow so logical result types
+    survive (HUGEINT comes back as Decimal, not Python int)."""
+    con = _connect(sf_dir)
+    tbl = con.sql(sql).arrow()
+    con.close()
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
     return cols, rows
 
 
 def _norm(v):
+    """Type-sensitive canonical form: ints, floats, Decimals, bools and
+    strings live in disjoint spaces, so cross-engine type drift (not just
+    value drift) fails the compare — like the driver's hash."""
+    if v is None:
+        return None
     if isinstance(v, bool):
-        return v
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{round(v, NORM_DP):.{NORM_DP}f}"
+            return ("f", "NaN")
+        if STRICT_FLOATS:
+            return ("f", v.hex())
+        return ("f", f"{round(v, NORM_DP):.{NORM_DP}f}")
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+        return ("ts", v.replace(tzinfo=None).isoformat(timespec="microseconds"))
     if isinstance(v, dt.date):
-        return v.isoformat()
+        return ("d", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
@@ -54,7 +134,10 @@ def normalize_result(cols, rows):
     """Sort columns by name (the driver does), then rows as a multiset."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
-    normed = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    normed = sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=repr,
+    )
     return sorted_cols, normed
 
 
@@ -72,9 +155,11 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = "?
     _, s_norm = normalize_result(s_cols, s_rows)
     _, d_norm = normalize_result(d_cols, d_rows)
     if s_norm != d_norm:
-        d_set, s_set = set(d_norm), set(s_norm)
-        diff_s = [r for r in s_norm if r not in d_set][:5]
-        diff_d = [r for r in d_norm if r not in s_set][:5]
+        d_set = {repr(r) for r in d_norm}
+        s_set = {repr(r) for r in s_norm}
+        diff_s = [r for r in s_norm if repr(r) not in d_set][:5]
+        diff_d = [r for r in d_norm if repr(r) not in s_set][:5]
         raise AssertionError(
-            f"{name}: value mismatch.\n spark-only (≤5): {diff_s}\n duckdb-only (≤5): {diff_d}"
+            f"{name}: value/type mismatch.\n spark-only (≤5): {diff_s}\n"
+            f" duckdb-only (≤5): {diff_d}"
         )

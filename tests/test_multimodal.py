@@ -478,3 +478,71 @@ def test_jpeg_decode_tolerates_fill_bytes_and_rejects_truncation():
     # truncation mid-entropy-data: ValueError, not IndexError
     with pytest.raises(ValueError):
         jpeg_decode(bytes(enc[: sos + 20]))
+
+
+def test_jpeg_malformed_streams_raise_valueerror_consistently():
+    """The codec contract is 'errors loudly via ValueError' — malformed or
+    out-of-scope streams must never escape as IndexError/KeyError/
+    struct.error (r4 advice): truncated length fields, non-dividing
+    sampling factors, partial-SOS (multi-scan) coverage, DRI promising
+    more restart segments than the scan holds, and out-of-range encoder
+    quality."""
+    import numpy as np
+    import pytest
+
+    from kafkasparkstream_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+
+    # encoder quality validation
+    for q in (0, -5, 101):
+        with pytest.raises(ValueError, match="quality"):
+            jpeg_encode(img, quality=q)
+
+    # header truncated inside a segment length field: ValueError, not struct.error
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(b"\xff\xd8\xff\xdb\x00")
+
+    enc = jpeg_encode(img, quality=85, subsample=True, restart_interval=2)
+
+    # non-dividing sampling factors (legal T.81, out of scope here): loud
+    # scope rejection, not a numpy shape error. SOF payload: marker(2) +
+    # len(2) + prec(1) + h(2) + w(2) + nc(1), then (id, h<<4|v, tq) per
+    # component -> Y's hv byte is sof+11, Cb's is sof+14.
+    sof = enc.index(b"\xff\xc0")
+    bad = bytearray(enc)
+    bad[sof + 11] = 0x31  # Y: 3x1
+    bad[sof + 14] = 0x21  # Cb: 2x1 -> hmax=3 % 2 != 0
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg_decode(bytes(bad))
+
+    # SOS covering fewer components than SOF (multi-scan file): ValueError,
+    # not KeyError. Rebuild the SOS header with ns=2.
+    sos = enc.index(b"\xff\xda")
+    seg_len = int.from_bytes(enc[sos + 2 : sos + 4], "big")
+    ns = enc[sos + 4]
+    assert ns == 3 and seg_len == 2 + 1 + 2 * 3 + 3
+    partial = (
+        enc[:sos]
+        + b"\xff\xda"
+        + (seg_len - 2).to_bytes(2, "big")
+        + bytes([2])
+        + enc[sos + 5 : sos + 5 + 4]  # first two (cs, td_ta) pairs
+        + enc[sos + 5 + 6 : sos + 2 + seg_len]  # spectral bytes
+        + enc[sos + 2 + seg_len :]
+    )
+    with pytest.raises(ValueError, match="multi-scan"):
+        jpeg_decode(partial)
+
+    # DRI promising more restart segments than present: cut the scan at its
+    # last RSTn marker and close with EOI -> decode needs one more segment.
+    last_rst = max(enc.rfind(bytes([0xFF, 0xD0 + k]), sos) for k in range(8))
+    assert last_rst > sos
+    with pytest.raises(ValueError, match="restart|exhausted"):
+        jpeg_decode(enc[:last_rst] + b"\xff\xd9")
+
+    # header cut mid-length-field: ValueError, not struct.error
+    dri = enc.index(b"\xff\xdd")
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(enc[: dri + 3])

@@ -7,10 +7,39 @@ import pytest
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_CORRECT
-from tests.oracle import assert_matches_oracle
+from tests.oracle import assert_matches_oracle, duckdb_describe, oracle_type_ok
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
+
+
+def test_oracle_types_driver_portable():
+    """Registry-wide oracle type-audit (r04 post-mortem): every oracle
+    column must DESCRIBE in DuckDB to a type that survives pandas/arrow
+    conversion losslessly — {BIGINT, INTEGER, SMALLINT, TINYINT, DOUBLE,
+    FLOAT, VARCHAR, DATE, TIMESTAMP, BOOLEAN, list-of-those}. DuckDB
+    widens SUM(int) to HUGEINT (-> float64 via .df(), decimal128 via
+    arrow), which the driver's type-sensitive hash rejects even when every
+    value equals Spark's BIGINT — exactly the r04 shard_balance_stats /
+    pack_sequences_512 failures. A HUGEINT/DECIMAL oracle can never be
+    registered again."""
+    bad = []
+    for name, sql in sorted(ORACLES.items()):
+        for col, typ in duckdb_describe(sql, SF_CORRECT):
+            if not oracle_type_ok(typ):
+                bad.append((name, col, typ))
+    assert not bad, f"non-portable oracle result types: {bad}"
+
+
+def test_oracle_type_audit_catches_planted_hugeint():
+    """Self-test: the audit must reject the exact r04 failure shape —
+    a bare SUM over an integer column (HUGEINT) and a DECIMAL cast."""
+    planted = "SELECT SUM(n_chars) AS total_chars FROM documents"
+    types = duckdb_describe(planted, SF_CORRECT)
+    assert any(not oracle_type_ok(t) for _, t in types), types
+    planted_dec = "SELECT CAST(1.5 AS DECIMAL(18,2)) AS x FROM documents LIMIT 1"
+    types = duckdb_describe(planted_dec, SF_CORRECT)
+    assert any(not oracle_type_ok(t) for _, t in types), types
 
 
 def test_entry_smoke(spark):

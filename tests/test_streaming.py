@@ -1127,6 +1127,73 @@ def test_upsert_vacuum_removes_only_unreferenced_versions(spark, tmp_path):
     assert set(os.listdir(os.path.join(tbl, "data"))) == refs
 
 
+def test_upsert_vacuum_under_replay_convergence(spark, tmp_path):
+    """Vacuum interleaved with checkpoint replay (the serialized-writer
+    contract, sinks.py vacuum docstring): a vacuum between a completed
+    swap and that batch's replay never breaks read_upsert_table, and the
+    replay re-converges to the identical row set — vacuum only ever
+    removes dirs no manifest references, replay writes a fresh attempt
+    dir, so the two operations commute."""
+    import json
+    import os
+
+    from kafkasparkstream_spark.streaming.sinks import (
+        foreach_batch_upsert_sink,
+        read_upsert_table,
+        vacuum_upsert_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    sink = foreach_batch_upsert_sink(tbl, ("k",), num_buckets=2)
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), 0)
+    b1 = spark.createDataFrame([(1, "a2"), (3, "c")], ["k", "v"])
+    sink(b1, 1)
+    want = [(1, "a2"), (2, "b"), (3, "c")]
+
+    def snapshot():
+        return sorted((r["k"], r["v"]) for r in read_upsert_table(spark, tbl).collect())
+
+    # vacuum after the swap, before the replay: reads stay intact
+    vacuum_upsert_table(tbl)
+    assert snapshot() == want
+    # replay of the already-swapped batch after that vacuum: converges
+    sink(b1, 1)
+    assert snapshot() == want
+    # vacuum again after the replay; the replay's superseded dirs go,
+    # referenced ones stay, reads unchanged
+    vacuum_upsert_table(tbl)
+    assert snapshot() == want
+    refs = set(json.load(open(os.path.join(tbl, "_manifest.json")))["buckets"].values())
+    assert set(os.listdir(os.path.join(tbl, "data"))) == refs
+    # one more replay cycle on a vacuumed table still converges
+    sink(b1, 1)
+    vacuum_upsert_table(tbl)
+    assert snapshot() == want
+
+
+def test_upsert_read_before_any_batch(spark, tmp_path):
+    """A table whose stream never committed (empty source + skip_empty)
+    has no manifest: read with a schema returns an empty DataFrame; read
+    without one raises a descriptive error naming the path and cause."""
+    import pytest
+
+    from kafkasparkstream_spark.streaming.sinks import (
+        foreach_batch_upsert_sink,
+        read_upsert_table,
+    )
+
+    tbl = str(tmp_path / "never_written")
+    # skip_empty: an all-empty stream leaves no manifest behind
+    sink = foreach_batch_upsert_sink(tbl, ("k",), num_buckets=2)
+    empty = spark.createDataFrame([], "k int, v string")
+    sink(empty, 0)
+
+    df = read_upsert_table(spark, tbl, schema="k int, v string")
+    assert df.count() == 0 and df.columns == ["k", "v"]
+    with pytest.raises(FileNotFoundError, match="no micro-batch has committed"):
+        read_upsert_table(spark, tbl)
+
+
 def test_deep_release_frees_pinned_storage_and_streaming_survives(spark, tmp_path):
     """deep_release must (a) drop raw localCheckpoint blocks that no
     per-operator registry tracks, and (b) unload state-store providers
