@@ -4,10 +4,11 @@ The container ships no PIL/ffmpeg, but PNG is zlib-compressed filtered
 scanlines, WAV is raw PCM behind a RIFF header, GIF is LZW, and baseline
 JPEG is Huffman + 8×8 DCT — all decodable with the standard library plus
 numpy. These codecs make the multimodal operators' decode path REAL for the
-three dominant web-crawl image containers (PNG/GIF/JPEG) and WAV audio,
-with the deterministic fakes in :mod:`multimodal` remaining the fallback
-only for formats that genuinely need external libraries (MP4/video,
-progressive JPEG).
+three dominant web-crawl image containers (PNG/GIF/JPEG), WAV audio, and
+Motion-JPEG MP4 video (real ISO-BMFF moov/stbl demux; the fixture muxer
+below produces conformant files), with the deterministic fakes in
+:mod:`multimodal` remaining the fallback only for payloads that genuinely
+need external libraries (H.264/HEVC video, progressive JPEG).
 
 Scope (honest partial codec, errors loudly outside it):
 
@@ -56,7 +57,8 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples per pixel
 
 
 def sniff(payload: bytes) -> str | None:
-    """Media container by magic bytes: 'png', 'wav', 'gif', 'jpeg', or None."""
+    """Media container by magic bytes: 'png', 'wav', 'gif', 'jpeg', 'mp4',
+    or None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -65,6 +67,8 @@ def sniff(payload: bytes) -> str | None:
         return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -962,3 +966,269 @@ def jpeg_encode(
     out += bytes(wtr.out)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# MP4 — ISO base media file format (ISO/IEC 14496-12): real moov/stbl demux
+# plus a fixture-grade MJPEG muxer. The demuxer walks ftyp/moov/trak/mdia/
+# minf/stbl, reads the sample tables (stsd codec + dimensions, stts timing,
+# stsc sample→chunk runs, stsz sizes, stco/co64 chunk offsets) and returns
+# exact per-sample byte ranges out of mdat — the container layer a frame-
+# sampling stage actually needs. Codec scope: Motion-JPEG ('jpeg' sample
+# entries), every sample a complete baseline JPEG that jpeg_decode handles;
+# other codecs (avc1/hev1...) probe fine but demux-decode is out of scope
+# and rejected loudly, falling back to the digest path in the kernels.
+# Mirrors the reference's opaque-payload treatment of media columns
+# (spark-processor/processor.py treats values as bytes end-to-end).
+# --------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B", version) + flags.to_bytes(3, "big") + payload)
+
+
+def _walk_boxes(raw: bytes, start: int, end: int):
+    """Yield ``(fourcc, payload_start, payload_end)`` for each box in
+    ``raw[start:end]``; ValueError on truncation / malformed sizes."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        (size,) = struct.unpack(">I", raw[pos : pos + 4])
+        btype = raw[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize box")
+            (size,) = struct.unpack(">Q", raw[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("mp4: malformed box size")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(raw: bytes, path: list[bytes], start: int, end: int) -> tuple[int, int]:
+    """(payload_start, payload_end) of the first box at a nested path."""
+    for btype, ps, pe in _walk_boxes(raw, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _find_box(raw, path[1:], ps, pe)
+    raise ValueError(f"mp4: missing {b'/'.join(path).decode('latin1')} box")
+
+
+def _video_stbl(raw: bytes) -> tuple[int, int]:
+    """(payload_start, payload_end) of the first VIDEO track's stbl."""
+    moov_s, moov_e = _find_box(raw, [b"moov"], 0, len(raw))
+    for btype, ps, pe in _walk_boxes(raw, moov_s, moov_e):
+        if btype != b"trak":
+            continue
+        try:
+            mdia_s, mdia_e = _find_box(raw, [b"mdia"], ps, pe)
+            hdlr_s, _ = _find_box(raw, [b"hdlr"], mdia_s, mdia_e)
+            if raw[hdlr_s + 8 : hdlr_s + 12] != b"vide":
+                continue
+            return _find_box(raw, [b"minf", b"stbl"], mdia_s, mdia_e)
+        except ValueError:
+            continue
+    raise ValueError("mp4: no video track")
+
+
+def mp4_probe(payload: bytes) -> dict:
+    """Container metadata from the moov atom without touching sample data:
+    ``{codec, width, height, n_samples, timescale, duration}``.
+    ValueError on anything that is not an ISO-BMFF file with a video trak."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("mp4: missing ftyp")
+    stbl_s, stbl_e = _video_stbl(payload)
+    stsd_s, stsd_e = _find_box(payload, [b"stsd"], stbl_s, stbl_e)
+    if stsd_e - stsd_s < 16 + 36:
+        raise ValueError("mp4: truncated stsd")
+    entry = stsd_s + 8  # skip version/flags + entry_count
+    codec = payload[entry + 4 : entry + 8].decode("latin1")
+    width, height = struct.unpack(">HH", payload[entry + 32 : entry + 36])
+    stsz_s, stsz_e = _find_box(payload, [b"stsz"], stbl_s, stbl_e)
+    _, n_samples = struct.unpack(">II", payload[stsz_s + 4 : stsz_s + 12])
+    # mdhd holds the track's media timescale/duration
+    moov_s, moov_e = _find_box(payload, [b"moov"], 0, len(payload))
+    timescale = duration = 0
+    try:
+        mdhd_s, _ = _find_box(payload, [b"trak", b"mdia", b"mdhd"], moov_s, moov_e)
+        timescale, duration = struct.unpack(">II", payload[mdhd_s + 12 : mdhd_s + 20])
+    except ValueError:
+        pass
+    return {
+        "codec": codec,
+        "width": width,
+        "height": height,
+        "n_samples": n_samples,
+        "timescale": timescale,
+        "duration": duration,
+    }
+
+
+def _sample_ranges(payload: bytes) -> list[tuple[int, int]]:
+    """Exact (offset, size) of every video sample, from the sample tables."""
+    stbl_s, stbl_e = _video_stbl(payload)
+
+    stsz_s, stsz_e = _find_box(payload, [b"stsz"], stbl_s, stbl_e)
+    fixed, n = struct.unpack(">II", payload[stsz_s + 4 : stsz_s + 12])
+    if fixed:
+        sizes = [fixed] * n
+    else:
+        if stsz_s + 12 + 4 * n > stsz_e:
+            raise ValueError("mp4: truncated stsz")
+        sizes = list(struct.unpack(f">{n}I", payload[stsz_s + 12 : stsz_s + 12 + 4 * n]))
+
+    try:
+        stco_s, stco_e = _find_box(payload, [b"stco"], stbl_s, stbl_e)
+        (nc,) = struct.unpack(">I", payload[stco_s + 4 : stco_s + 8])
+        offs = list(struct.unpack(f">{nc}I", payload[stco_s + 8 : stco_s + 8 + 4 * nc]))
+    except ValueError:
+        stco_s, stco_e = _find_box(payload, [b"co64"], stbl_s, stbl_e)
+        (nc,) = struct.unpack(">I", payload[stco_s + 4 : stco_s + 8])
+        offs = list(struct.unpack(f">{nc}Q", payload[stco_s + 8 : stco_s + 8 + 8 * nc]))
+
+    stsc_s, stsc_e = _find_box(payload, [b"stsc"], stbl_s, stbl_e)
+    (ne,) = struct.unpack(">I", payload[stsc_s + 4 : stsc_s + 8])
+    runs = [
+        struct.unpack(">III", payload[stsc_s + 8 + 12 * k : stsc_s + 20 + 12 * k])
+        for k in range(ne)
+    ]
+
+    # Expand stsc runs: run k applies from its first_chunk until the next
+    # run's first_chunk (1-based), per 14496-12 §8.7.4.
+    per_chunk = []
+    for k, (first, spc, _sdi) in enumerate(runs):
+        last = runs[k + 1][0] if k + 1 < len(runs) else len(offs) + 1
+        per_chunk.extend([spc] * (last - first))
+    if len(per_chunk) < len(offs):
+        per_chunk.extend([per_chunk[-1] if per_chunk else 0] * (len(offs) - len(per_chunk)))
+
+    ranges: list[tuple[int, int]] = []
+    si = 0
+    for ci, chunk_off in enumerate(offs):
+        pos = chunk_off
+        for _ in range(per_chunk[ci]):
+            if si >= len(sizes):
+                break
+            if pos + sizes[si] > len(payload):
+                raise ValueError("mp4: sample range beyond file end")
+            ranges.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    if si != len(sizes):
+        raise ValueError("mp4: sample tables disagree on sample count")
+    return ranges
+
+
+def mp4_demux(payload: bytes) -> list[bytes]:
+    """Raw per-sample payloads of the video track (for MJPEG: each one a
+    complete JPEG image). Container-layer only — no codec decode here."""
+    return [payload[o : o + s] for o, s in _sample_ranges(payload)]
+
+
+def mp4_decode_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode a Motion-JPEG mp4 to ``(h, w, 3) uint8`` frames via the
+    baseline JPEG decoder. ValueError for non-MJPEG codecs (avc1...) —
+    callers fall back to the digest path, same contract as progressive
+    JPEG."""
+    meta = mp4_probe(payload)
+    if meta["codec"] not in ("jpeg", "mjpa"):
+        raise ValueError(f"mp4: codec {meta['codec']!r} decode not supported (MJPEG only)")
+    return [jpeg_decode(s) for s in mp4_demux(payload)]
+
+
+def mp4_encode_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 85
+) -> bytes:
+    """Fixture-grade Motion-JPEG mp4 muxer: every frame JPEG-encoded and
+    stored as one sample, correct ftyp/moov/mdat with real sample tables
+    (single chunk, per-sample stsz). Any conformant demuxer reads it."""
+    if not frames:
+        raise ValueError("mp4: need at least one frame")
+    h, w = frames[0].shape[:2]
+    samples = [jpeg_encode(f, quality=quality) for f in frames]
+    n = len(samples)
+    timescale = 1000
+    delta = timescale // fps
+    duration = n * delta
+
+    def moov_for(chunk_off: int) -> bytes:
+        mvhd = _full_box(
+            b"mvhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">iH", 0x00010000, 0x0100)  # rate, volume
+            + b"\x00" * 10
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24
+            + struct.pack(">I", 2),  # next_track_id
+        )
+        tkhd = _full_box(
+            b"tkhd",
+            0,
+            7,  # enabled | in_movie | in_preview
+            struct.pack(">IIIII", 0, 0, 1, 0, duration)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _full_box(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _full_box(
+            b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+        )
+        entry = (
+            b"\x00" * 6
+            + struct.pack(">H", 1)  # data_reference_index
+            + b"\x00" * 16
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4
+            + struct.pack(">H", 1)  # frame_count
+            + b"\x0bMotion-JPEG" + b"\x00" * 20  # 32-byte compressorname
+            + struct.pack(">Hh", 24, -1)
+        )
+        stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry))
+        stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+        stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stsz = _full_box(
+            b"stsz",
+            0,
+            0,
+            struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+        stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        dref = _full_box(
+            b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+        )
+        vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    # stco stores an absolute file offset; moov's SIZE is independent of the
+    # offset value (fixed-width u32), so one placeholder pass sizes it.
+    moov_len = len(moov_for(0))
+    first_sample = len(ftyp) + moov_len + 8
+    moov = moov_for(first_sample)
+    mdat = _box(b"mdat", b"".join(samples))
+    return ftyp + moov + mdat

@@ -11,14 +11,16 @@ media libraries:
   batch can't OOM the worker;
 - output schema is declared up front, so downstream stays fully columnar.
 
-Decode is REAL for PNG and WAV via the pure-stdlib codecs in
+Decode is REAL for PNG, WAV, GIF, baseline JPEG and Motion-JPEG MP4 via
+the pure-stdlib codecs in
 :mod:`kafkasparkstream_spark.operators.codecs` (zlib scanline decode with
-all five PNG filters; RIFF/PCM parse) — kernels sniff magic bytes per
-asset, decode real media for real payloads, and fall back to deterministic
-digest-derived fakes for payloads that are not a supported container
-(synthetic fixtures, or JPEG/MP4 when PIL/ffmpeg are absent —
-``_HAS_PIL`` gates the JPEG branch). The fallback keeps every output
-column well-defined and oracle-reproducible for any byte string.
+all five PNG filters; RIFF/PCM parse; LZW frames; Huffman+IDCT; ISO-BMFF
+moov/stbl sample-table demux) — kernels sniff magic bytes per asset,
+decode real media for real payloads, and fall back to deterministic
+digest-derived fakes for payloads outside codec scope (synthetic
+fixtures, H.264/HEVC video, progressive JPEG; ``_HAS_PIL`` upgrades the
+JPEG branch when PIL exists). The fallback keeps every output column
+well-defined and oracle-reproducible for any byte string.
 
 Scale notes: repartition by asset id before mapInPandas so media bytes spread
 evenly (assets vary 1000× in size — range-partition on size if skewed);
@@ -102,6 +104,10 @@ def _decode_image(raw: bytes):
             return codecs.png_decode(raw)
         if kind == "gif":
             return codecs.gif_decode_frames(raw)[0]
+        if kind == "mp4":
+            # Motion-JPEG demux (codecs.py): first frame, the thumbnail
+            # convention. Non-MJPEG codecs raise -> digest fallback.
+            return codecs.mp4_decode_frames(raw)[0]
         if kind == "jpeg":
             if _HAS_PIL:
                 import io
@@ -191,13 +197,14 @@ def image_features(assets: DataFrame, embedding_dim: int = 8) -> DataFrame:
 def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> DataFrame:
     """Frame-sample multi-frame media (1 output row per sampled frame).
 
-    GIF payloads are REALLY demuxed (stdlib LZW decode, codecs.py): every
-    ``every_n``-th actual frame is decoded and re-emitted as a PNG binary —
-    the true decode→sample→re-encode pipeline shape. MP4 would slot into
-    the same kernel via ffmpeg when present; without a real container the
-    fallback slices the payload into fixed-size chunks as stand-in frames.
-    The Spark shape — one input row fanning out to N output rows through
-    mapInPandas — is identical on both paths.
+    GIF and Motion-JPEG MP4 payloads are REALLY demuxed (stdlib LZW decode
+    / ISO-BMFF moov+stbl sample tables, codecs.py): every ``every_n``-th
+    actual frame is decoded and re-emitted as a PNG binary — the true
+    decode→sample→re-encode pipeline shape. Payloads outside codec scope
+    (H.264 mp4, malformed containers) fall back to slicing the payload
+    into fixed-size chunks as deterministic stand-in frames. The Spark
+    shape — one input row fanning out to N output rows through
+    mapInPandas — is identical on all paths.
     """
     frame_bytes = 16
 
@@ -206,10 +213,15 @@ def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> D
             rows = {"asset_id": [], "frame_index": [], "frame": []}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                if codecs.sniff(raw) == "gif":
+                kind = codecs.sniff(raw)
+                if kind in ("gif", "mp4"):
                     try:
-                        frames = codecs.gif_decode_frames(raw)
-                    except Exception:  # malformed container -> chunk fallback
+                        frames = (
+                            codecs.gif_decode_frames(raw)
+                            if kind == "gif"
+                            else codecs.mp4_decode_frames(raw)
+                        )
+                    except Exception:  # malformed/out-of-scope -> chunk fallback
                         frames = None
                     if frames is not None:
                         for i, fi in enumerate(range(0, len(frames), every_n)):

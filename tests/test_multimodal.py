@@ -546,3 +546,120 @@ def test_jpeg_malformed_streams_raise_valueerror_consistently():
     dri = enc.index(b"\xff\xdd")
     with pytest.raises(ValueError, match="truncated"):
         jpeg_decode(enc[: dri + 3])
+
+
+def test_mp4_mjpeg_mux_demux_roundtrip():
+    """Pure-codec: the fixture MJPEG muxer writes real ISO-BMFF sample
+    tables, and the demuxer recovers every sample byte-exactly (each a
+    complete baseline JPEG the decoder accepts); probe reads codec/dims/
+    counts from the moov atom alone."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        mp4_decode_frames,
+        mp4_demux,
+        mp4_encode_mjpeg,
+        mp4_probe,
+        sniff,
+    )
+
+    rng = np.random.default_rng(31)
+    frames = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(7)]
+    mp4 = mp4_encode_mjpeg(frames, fps=10, quality=85)
+    assert sniff(mp4) == "mp4"
+    meta = mp4_probe(mp4)
+    assert meta == {
+        "codec": "jpeg",
+        "width": 32,
+        "height": 24,
+        "n_samples": 7,
+        "timescale": 1000,
+        "duration": 700,
+    }
+    samples = mp4_demux(mp4)
+    assert [s[:3] for s in samples] == [b"\xff\xd8\xff"] * 7
+    want = [jpeg_decode(jpeg_encode(f, quality=85)) for f in frames]
+    got = mp4_decode_frames(mp4)
+    assert len(got) == 7
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+
+
+def test_mp4_malformed_and_out_of_scope_raise_valueerror():
+    """Demux contract: truncated boxes, missing moov, and non-MJPEG codecs
+    raise ValueError (kernels map that to the digest/chunk fallback)."""
+    import numpy as np
+    import pytest
+
+    from kafkasparkstream_spark.operators.codecs import (
+        mp4_decode_frames,
+        mp4_demux,
+        mp4_encode_mjpeg,
+        mp4_probe,
+    )
+
+    rng = np.random.default_rng(37)
+    mp4 = mp4_encode_mjpeg([rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)] * 2)
+
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_probe(b"\x00\x00\x00\x08freeJUNK")
+    with pytest.raises(ValueError):
+        mp4_demux(mp4[:40])  # cut inside moov
+    # flip the stsd sample-entry fourcc to avc1: probe fine, decode refuses
+    avc = bytearray(mp4)
+    k = avc.find(b"jpeg")
+    avc[k : k + 4] = b"avc1"
+    assert mp4_probe(bytes(avc))["codec"] == "avc1"
+    with pytest.raises(ValueError, match="avc1"):
+        mp4_decode_frames(bytes(avc))
+    # sample table pointing past EOF
+    cut = mp4[: len(mp4) - 10]
+    with pytest.raises(ValueError, match="beyond file end|truncated"):
+        mp4_demux(cut)
+
+
+def test_real_mp4_frame_sampling_and_features(spark):
+    """A Motion-JPEG mp4 payload fans out to ACTUAL decoded frames through
+    sample_frames (stride + cap on the real sample sequence, PNG
+    re-encode), and image_features uses its real first frame; an
+    out-of-scope codec falls back to deterministic byte chunks."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        mp4_encode_mjpeg,
+        png_decode,
+    )
+    from kafkasparkstream_spark.operators.multimodal import sample_frames
+
+    rng = np.random.default_rng(41)
+    frames = [rng.integers(0, 256, (8, 12, 3), dtype=np.uint8) for _ in range(7)]
+    mp4 = mp4_encode_mjpeg(frames, fps=5, quality=90)
+    df = spark.createDataFrame([(0, bytearray(mp4))], "asset_id long, payload binary")
+    rows = sorted(
+        sample_frames(df, every_n=2, max_frames=3).collect(),
+        key=lambda r: r.frame_index,
+    )
+    assert [r.frame_index for r in rows] == [0, 2, 4]
+    for r in rows:
+        got = png_decode(bytes(r.frame))
+        want = jpeg_decode(jpeg_encode(frames[r.frame_index], quality=90))
+        assert np.array_equal(got, want), r.frame_index
+
+    feat = image_features(df).collect()[0]
+    assert (feat.width, feat.height) == (12, 8)
+
+    # out-of-scope codec: chunk fallback, frame bytes are payload slices
+    avc = bytearray(mp4)
+    k = avc.find(b"jpeg")
+    avc[k : k + 4] = b"avc1"
+    df2 = spark.createDataFrame([(1, bytes(avc))], "asset_id long, payload binary")
+    rows2 = sorted(
+        sample_frames(df2, every_n=2, max_frames=2).collect(),
+        key=lambda r: r.frame_index,
+    )
+    assert [r.frame_index for r in rows2] == [0, 2]
+    assert bytes(rows2[0].frame) == bytes(avc)[:16]
