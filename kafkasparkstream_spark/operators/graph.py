@@ -23,6 +23,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_mode: str = "local",
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Power-iteration PageRank with a fixed iteration count.
 
@@ -37,13 +38,19 @@ def pagerank(
     are computed from the edge list (dangling nodes contribute nothing,
     matching the unrolled-SQL twin).
 
-    Lineage control: each iteration's rank table rolls through a
-    ``LocalCheckpointer`` — Catalyst plans one shallow join per round
-    instead of an ``iterations``-deep nested plan whose analysis cost grows
-    superlinearly (measured ~25-40% total win at 10 iterations), and each
-    superseded round's blocks are freed as the next lands, so executor
-    storage stays O(1) in iterations (only the final round's table — which
-    the returned plan reads — outlives the call). ``localCheckpoint``
+    Lineage control: the rank table rolls through a ``LocalCheckpointer``
+    every ``checkpoint_every`` rounds — plans stay at most that many joins
+    deep (vs an ``iterations``-deep nested plan whose analysis cost grows
+    superlinearly; measured ~25-40% total win at 10 iterations), and each
+    superseded truncation's blocks are freed as the next lands, so executor
+    storage stays O(1) in iterations (only the final table — which the
+    returned plan reads — outlives the call). Fixed-iteration loops need no
+    intermediate materialization, so checkpointing every single round just
+    pays ``iterations`` eager jobs for nothing — interval truncation cut
+    the 10-iteration sf0.1 wall time ~40% (r5 profile, VERDICT item 7);
+    convergence-CHECKED loops (connected components) materialize each round
+    anyway for the change count, so this knob is specific to fixed-count
+    iteration. ``localCheckpoint``
     stores to executor memory/disk — fast, but lost with an executor.
     ``checkpoint_mode="reliable"`` swaps every round's truncation for a
     reliable ``checkpoint()`` into ``sparkContext.setCheckpointDir`` (call
@@ -66,23 +73,26 @@ def pagerank(
         ranks = np_.withColumn("rank", F.lit(1.0 / n))
         teleport = (1.0 - damping) / n
         ck = LocalCheckpointer(spark, reliable=reliable)
-        for _ in range(iterations):
+        every = max(1, checkpoint_every)
+        for it in range(iterations):
             inflow = (
                 ed.join(ranks, ed["_src"] == ranks[id_col])
                 .select("_dst", (F.col("rank") / F.col("_deg")).alias("_c"))
                 .groupBy("_dst")
                 .agg(F.sum("_c").alias("_inflow"))
             )
-            ranks = ck.step(
-                np_.join(inflow, F.col(id_col) == F.col("_dst"), "left")
-                .select(
-                    id_col,
-                    (
-                        F.lit(teleport)
-                        + F.lit(damping) * F.coalesce(F.col("_inflow"), F.lit(0.0))
-                    ).alias("rank"),
-                )
+            ranks = np_.join(inflow, F.col(id_col) == F.col("_dst"), "left").select(
+                id_col,
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("_inflow"), F.lit(0.0))
+                ).alias("rank"),
             )
+            # The FINAL round always checkpoints: the finally-block frees
+            # ed/np_'s blocks on return, so the returned plan must read a
+            # self-contained (checkpointed) table, exactly as before.
+            if (it + 1) % every == 0 or it + 1 == iterations:
+                ranks = ck.step(ranks)
         return ranks.select(id_col, F.round("rank", 6).alias("rank")).orderBy(id_col)
     finally:
         e.unpersist()
