@@ -8,7 +8,7 @@ three dominant web-crawl image containers (PNG/GIF/JPEG), WAV audio, and
 Motion-JPEG MP4 video (real ISO-BMFF moov/stbl demux; the fixture muxer
 below produces conformant files), with the deterministic fakes in
 :mod:`multimodal` remaining the fallback only for payloads that genuinely
-need external libraries (H.264/HEVC video, progressive JPEG).
+need external libraries (H.264/HEVC video, arithmetic-coded JPEG).
 
 Scope (honest partial codec, errors loudly outside it):
 
@@ -24,14 +24,18 @@ Scope (honest partial codec, errors loudly outside it):
   transparency/disposal ignored (frames return as standalone RGB). Plus a
   test-fixture encoder. This makes frame-sampling REAL for actual
   multi-frame media.
-- JPEG decode: baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or
-  YCbCr with max-dividing sampling factors (4:4:4 / 4:2:2 / 4:2:0;
-  non-dividing combos like Y 3x1 + Cb 2x1 are rejected loudly),
-  restart markers, tables read from the file's own DQT/DHT. Progressive
-  (SOF2), arithmetic coding, 12-bit and CMYK are rejected loudly. Plus a
-  spec-compliant fixture encoder (Annex-K quant tables with libjpeg
+- JPEG decode: baseline sequential DCT (SOF0/SOF1) AND progressive
+  (SOF2: spectral selection + successive approximation, DC/AC first and
+  refinement passes, EOB runs, per-scan DHT redefinition), 8-bit,
+  grayscale or YCbCr with max-dividing sampling factors (4:4:4 / 4:2:2 /
+  4:2:0; non-dividing combos like Y 3x1 + Cb 2x1 are rejected loudly),
+  restart markers, tables read from the file's own DQT/DHT. Arithmetic
+  coding, 12-bit and CMYK are rejected loudly. Plus spec-compliant
+  fixture encoders for BOTH modes (Annex-K quant tables with libjpeg
   quality scaling, per-image canonical Huffman, optional 4:2:0 and
-  restart intervals), roundtrip-property-tested against the decoder.
+  restart intervals; the progressive encoder emits all four scan types),
+  cross-checked: progressive encode→decode is pixel-identical to the
+  baseline path on the same image.
 
 Performance shape: these run per-asset inside Arrow-batched ``mapInPandas``
 kernels — the decompression and unfiltering are C-speed (zlib, numpy); only
@@ -538,7 +542,10 @@ def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → ``(h, w, 3) uint8`` RGB (or ``(h, w, 1)`` gray)."""
+    """JPEG → ``(h, w, 3) uint8`` RGB (or ``(h, w, 1)`` gray): baseline
+    sequential (SOF0/SOF1, one scan) and progressive (SOF2, multi-scan
+    spectral selection + successive approximation, DC/AC first and
+    refinement passes, per-scan DHT redefinition, restart markers)."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -548,6 +555,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     restart_interval = 0
     i = 2
     scan = None
+    scans: list[dict] = []  # progressive: every scan, in file order
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError("jpeg: marker expected")
@@ -590,7 +598,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 vals = seg[p + 17 : p + 17 + nv]
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
                 raise ValueError("jpeg: truncated SOF segment")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -602,9 +610,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("jpeg: progressive (SOF2) not supported")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"jpeg: unsupported SOF marker 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
@@ -612,13 +618,17 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 raise ValueError("jpeg: truncated DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
-            if not seg or len(seg) < 1 + 2 * seg[0]:
+            progressive = frame is not None and frame.get("progressive")
+            need = 4 + 2 * seg[0] if (seg and progressive) else 1 + 2 * (seg[0] if seg else 0)
+            if not seg or len(seg) < need:
                 raise ValueError("jpeg: truncated SOS segment")
             ns = seg[0]
             tables = {}
+            order = []
             for c in range(ns):
                 cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
                 tables[cs] = (td_ta >> 4, td_ta & 15)
+                order.append(cs)
             # Entropy-coded data: de-stuff, split at restart markers.
             segs, cur = [], bytearray()
             while i < len(payload):
@@ -642,21 +652,37 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 else:
                     break  # next real marker (EOI or other)
             segs.append(bytes(cur))
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                scans.append(
+                    {
+                        "tables": tables,
+                        "order": order,
+                        "segs": segs,
+                        "ss": ss,
+                        "se": se,
+                        "ah": ahal >> 4,
+                        "al": ahal & 15,
+                        "dri": restart_interval,
+                        # DHT may be redefined between scans: snapshot refs
+                        "dc": dict(huff_dc),
+                        "ac": dict(huff_ac),
+                    }
+                )
+                continue  # progressive: keep walking to the next scan
             scan = {"tables": tables, "segs": segs}
             break  # single-scan baseline: decode after the loop
         # APPn/COM/others: skipped via seg_len
+    if frame is not None and frame.get("progressive"):
+        if not scans:
+            raise ValueError("jpeg: missing SOF/SOS")
+        _sampling_check(frame["comps"])
+        return _jpeg_decode_progressive(frame, qt, scans)
     if frame is None or scan is None:
         raise ValueError("jpeg: missing SOF/SOS")
 
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    for c in comps:
-        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
-            # Upsampling below is integer np.repeat; non-dividing factor
-            # combos (legal per T.81, e.g. Y 3x1 with Cb 2x1) would build a
-            # mis-sized plane — reject loudly instead of a numpy shape error.
-            raise ValueError("jpeg: non-integer-ratio sampling not supported")
+    hmax, vmax = _sampling_check(comps)
     if set(scan["tables"]) != {c["id"] for c in comps}:
         # Single-scan baseline only: an SOS covering a component subset is
         # a multi-scan file; decoding it as one scan would KeyError later.
@@ -711,6 +737,27 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
             n_mcu += 1
 
+    return _planes_to_image(frame, planes)
+
+
+def _sampling_check(comps) -> tuple[int, int]:
+    """Validate max-dividing sampling factors; return (hmax, vmax)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+            # Upsampling is integer np.repeat; non-dividing factor combos
+            # (legal per T.81, e.g. Y 3x1 with Cb 2x1) would build a
+            # mis-sized plane — reject loudly instead of a numpy shape error.
+            raise ValueError("jpeg: non-integer-ratio sampling not supported")
+    return hmax, vmax
+
+
+def _planes_to_image(frame: dict, planes: dict) -> np.ndarray:
+    """Upsample chroma to full resolution, crop the MCU padding, and apply
+    the YCbCr→RGB transform (grayscale passes through)."""
+    comps = frame["comps"]
+    hmax, vmax = _sampling_check(comps)
     out_planes = []
     for c in comps:
         p = planes[c["id"]]
@@ -724,6 +771,202 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+
+def _jpeg_decode_progressive(frame: dict, qt: dict, scans: list[dict]) -> np.ndarray:
+    """Progressive (SOF2) reconstruction: accumulate DCT coefficients
+    across spectral-selection / successive-approximation scans (T.81
+    Annex G), then dequantize + IDCT every block at once."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = _sampling_check(comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    info: dict[int, dict] = {}
+    for c in comps:
+        # Interleaved scans pad to whole MCUs; non-interleaved scans use
+        # the component's own sample grid (T.81 A.2.2).
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        info[c["id"]] = {
+            "c": c,
+            "nbw": -(-cw // 8),
+            "nbh": -(-ch // 8),
+            "coef": np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64),
+        }
+    for scan in scans:
+        _apply_progressive_scan(scan, frame, info, mcux, mcuy)
+    planes = {}
+    for cid, st in info.items():
+        q = qt[st["c"]["tq"]]
+        bh, bw = st["coef"].shape[:2]
+        blocks = (st["coef"].reshape(-1, 64) * q).astype(np.float64).reshape(-1, 8, 8)
+        px = np.matmul(np.matmul(_DCT_A.T, blocks), _DCT_A) + 128.0
+        planes[cid] = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+    return _planes_to_image(frame, planes)
+
+
+def _apply_progressive_scan(scan, frame, info, mcux, mcuy) -> None:
+    comp_ids = {c["id"] for c in frame["comps"]}
+    for cid in scan["order"]:
+        if cid not in comp_ids:
+            raise ValueError("jpeg: SOS names an unknown component")
+    if scan["ss"] == 0:
+        if scan["se"] != 0:
+            raise ValueError("jpeg: progressive DC scan must have Se=0")
+        _dc_scan(scan, info, mcux, mcuy)
+    else:
+        if len(scan["order"]) != 1:
+            raise ValueError("jpeg: progressive AC scan must cover one component")
+        _ac_scan(scan, info[scan["order"][0]])
+
+
+def _next_seg(scan, seg_idx: int) -> "_BitReader":
+    if seg_idx >= len(scan["segs"]):
+        raise ValueError("jpeg: DRI declares more restart segments than present")
+    return _BitReader(scan["segs"][seg_idx])
+
+
+def _dc_scan(scan, info, mcux, mcuy) -> None:
+    """DC pass — first (Ah=0: Huffman diffs, value << Al) or refinement
+    (one appended bit per block). Interleaved scans walk MCU order;
+    single-component scans walk the component's own block raster."""
+    al, first = scan["al"], scan["ah"] == 0
+    order = scan["order"]
+    dri = scan["dri"]
+    seg_idx, n_unit = 0, 0
+    reader = _next_seg(scan, 0)
+    pred = {cid: 0 for cid in order}
+
+    # restart units: blocks for a single-component scan, MCUs otherwise
+    if len(order) == 1:
+        st = info[order[0]]
+        units = [
+            [(order[0], ry, rx)]
+            for ry in range(st["nbh"])
+            for rx in range(st["nbw"])
+        ]
+    else:
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                mcu = []
+                for cid in order:
+                    c = info[cid]["c"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            mcu.append((cid, my * c["v"] + by, mx * c["h"] + bx))
+                units.append(mcu)
+
+    for unit in units:
+        if dri and n_unit and n_unit % dri == 0:
+            seg_idx += 1
+            reader = _next_seg(scan, seg_idx)
+            pred = {cid: 0 for cid in order}
+        for cid, ry, rx in unit:
+            coef = info[cid]["coef"][ry, rx]
+            if first:
+                td = scan["tables"][cid][0]
+                t = _huff_decode(reader, scan["dc"][td])
+                pred[cid] += _extend(reader.receive(t), t)
+                coef[0] = pred[cid] << al
+            elif reader.read_bit():
+                coef[0] |= 1 << al
+        n_unit += 1
+
+
+def _ac_scan(scan, st) -> None:
+    ss, se, al, first = scan["ss"], scan["se"], scan["al"], scan["ah"] == 0
+    cid = scan["order"][0]
+    table = scan["ac"][scan["tables"][cid][1]]
+    dri = scan["dri"]
+    seg_idx, n_blk = 0, 0
+    reader = _next_seg(scan, 0)
+    eobrun = [0]
+    for ry in range(st["nbh"]):
+        for rx in range(st["nbw"]):
+            if dri and n_blk and n_blk % dri == 0:
+                seg_idx += 1
+                reader = _next_seg(scan, seg_idx)
+                eobrun[0] = 0
+            coef = st["coef"][ry, rx]
+            if first:
+                _ac_first_block(reader, table, coef, ss, se, al, eobrun)
+            else:
+                _ac_refine_block(reader, table, coef, ss, se, al, eobrun)
+            n_blk += 1
+
+
+def _ac_first_block(reader, table, coef, ss, se, al, eobrun) -> None:
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1  # EOBn: this block ends the run's first
+            if r:
+                eobrun[0] += reader.receive(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        coef[_ZZ[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, table, coef, ss, se, al, eobrun) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3 / the
+    libjpeg-documented algorithm): newly-significant coefficients arrive as
+    run/1 symbols; every already-nonzero coefficient passed over emits one
+    correction bit; EOB runs append correction bits to the block tails."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, table)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: run of blocks ending here
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad AC-refine symbol")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = _ZZ[k]
+                if coef[z] != 0:
+                    if reader.read_bit() and not (coef[z] & p1):
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[_ZZ[k]] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            z = _ZZ[k]
+            if coef[z] != 0:
+                if reader.read_bit() and not (coef[z] & p1):
+                    coef[z] += p1 if coef[z] >= 0 else m1
+            k += 1
+        eobrun[0] -= 1
 
 
 class _BitWriter:
@@ -821,16 +1064,11 @@ def _block_symbols(blocks: list[np.ndarray], preds: list[int]) -> tuple[list, se
     return toks, dc_syms, ac_syms
 
 
-def jpeg_encode(
-    img: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JPEG encoder (test-fixture grade, spec-compliant output):
-    ``(h, w, 3)`` RGB → YCbCr 4:4:4 (or 4:2:0 with ``subsample=True``),
-    ``(h, w)``/``(h, w, 1)`` → grayscale. ``restart_interval`` emits DRI +
-    RSTn markers every N MCUs (exercises the decoder's restart path)."""
+def _prepare_blocks(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front-end: color transform, optional 4:2:0 downsample,
+    MCU padding, forward DCT and quantization. Returns
+    ``(gray, samp, q_lum, q_chrom, comp_block_lists, mcux, mcuy, h, w)``
+    with blocks in MCU-interleaved order per component."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -870,7 +1108,6 @@ def jpeg_encode(
     mcuy = -(-h // (8 * vmax))
 
     # Quantize every block, MCU-interleaved order per component.
-    mcu_blocks: list[list[np.ndarray]] = []  # [mcu][comp-block...] aligned with comp order
     comp_block_lists: list[list[np.ndarray]] = [[] for _ in comps_px]
     for ci, (px, (sh, sv), q) in enumerate(zip(comps_px, samp, qts)):
         ph, pw = mcuy * 8 * sv, mcux * 8 * sh
@@ -886,6 +1123,22 @@ def jpeg_encode(
                         comp_block_lists[ci].append(
                             np.round(coef / qm).astype(np.int64)
                         )
+    return gray, samp, q_lum, q_chrom, comp_block_lists, mcux, mcuy, h, w
+
+
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder (test-fixture grade, spec-compliant output):
+    ``(h, w, 3)`` RGB → YCbCr 4:4:4 (or 4:2:0 with ``subsample=True``),
+    ``(h, w)``/``(h, w, 1)`` → grayscale. ``restart_interval`` emits DRI +
+    RSTn markers every N MCUs (exercises the decoder's restart path)."""
+    gray, samp, q_lum, q_chrom, comp_block_lists, mcux, mcuy, h, w = _prepare_blocks(
+        img, quality, subsample
+    )
 
     # Tokenize (two-pass: symbols first, then bits with the built tables).
     n_tables = 1 if gray else 2
@@ -964,6 +1217,269 @@ def jpeg_encode(
                         wtr.write(vbits, sbits)
     wtr.flush()
     out += bytes(wtr.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+
+
+# ---- Progressive (SOF2) encoder — fixture-grade, spec-compliant ----------
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended-bits encoding of a value."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+class _ScanEmitter:
+    """Two-pass scan encoding: pass 1 (no writer) collects the Huffman
+    symbol set; pass 2 writes codes + raw bits with the built table."""
+
+    def __init__(self, writer: "_BitWriter | None" = None, codes: dict | None = None):
+        self.syms: set[int] = set()
+        self.writer = writer
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        if self.writer is None:
+            self.syms.add(s)
+        else:
+            code, ln = self.codes[s]
+            self.writer.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n and self.writer is not None:
+            self.writer.write(v, n)
+
+
+def _enc_dc_first(units, al: int, emit: _ScanEmitter) -> None:
+    """DC first pass: Huffman-coded diffs of the point-transformed DC
+    (arithmetic shift, T.81 G.1.2.1), prediction per component."""
+    pred: dict[int, int] = {}
+    for unit in units:
+        for cid, coef in unit:
+            v = int(coef[0]) >> al
+            diff = v - pred.get(cid, 0)
+            pred[cid] = v
+            s, dbits = _mag_bits(diff)
+            emit.sym(s)
+            emit.bits(dbits, s)
+
+
+def _enc_dc_refine(units, al: int, wtr: "_BitWriter") -> None:
+    """DC refinement: one raw bit per block, no Huffman coding."""
+    for unit in units:
+        for _cid, coef in unit:
+            wtr.write((int(coef[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(blocks, ss: int, se: int, al: int, emit: _ScanEmitter) -> None:
+    """AC first pass over one component (magnitude point transform,
+    truncation toward zero) with cross-block EOB runs and ZRL folding."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            emit.sym(r << 4)
+            emit.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for coef in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(coef[_ZZ[k]])
+            m = (v if v >= 0 else -v) >> al
+            vals.append(m if v >= 0 else -m)
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                emit.sym(0xF0)
+                r -= 16
+            s, vbits = _mag_bits(v)
+            emit.sym((r << 4) | s)
+            emit.bits(vbits, s)
+            r = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(blocks, ss: int, se: int, al: int, emit: _ScanEmitter) -> None:
+    """AC refinement pass over one component (T.81 G.1.2.3, the
+    libjpeg-documented buffering scheme): newly-significant coefficients
+    as run/1 symbols + sign bit; correction bits for already-significant
+    coefficients buffered and emitted after the covering symbol; leftover
+    runs fold into cross-block EOB runs that carry their buffered bits."""
+    eobrun = 0
+    bfifo: list[int] = []  # correction bits buffered behind the EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, bfifo
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            emit.sym(r << 4)
+            emit.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in bfifo:
+            emit.bits(b, 1)
+        bfifo = []
+
+    for coef in blocks:
+        raw = [int(coef[_ZZ[k]]) for k in range(ss, se + 1)]
+        absv = [(v if v >= 0 else -v) >> al for v in raw]
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:  # newly significant at this precision
+                eobpos = i
+        r = 0
+        pending: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs not foldable into the EOB run must flush now (this
+            # runs for BOTH correction-bit and newly-significant hits,
+            # so buffered bits stay attributed to the right symbol)
+            while r > 15 and i <= eobpos:
+                flush_eob()
+                emit.sym(0xF0)
+                for b in pending:
+                    emit.bits(b, 1)
+                pending = []
+                r -= 16
+            if t > 1:  # already significant: buffer its correction bit
+                pending.append(t & 1)
+                continue
+            flush_eob()
+            emit.sym((r << 4) | 1)
+            emit.bits(1 if raw[i] >= 0 else 0, 1)
+            for b in pending:
+                emit.bits(b, 1)
+            pending = []
+            r = 0
+        if r > 0 or pending:
+            eobrun += 1
+            bfifo.extend(pending)
+            if eobrun == 0x7FFF or len(bfifo) > 900:
+                flush_eob()
+    flush_eob()
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    successive: bool = True,
+) -> bytes:
+    """Progressive JPEG encoder (SOF2, test-fixture grade): a DC scan for
+    all components then one AC scan per component (spectral selection);
+    with ``successive=True`` each of those splits into a first pass at
+    Al=1 plus a refinement pass (Ah=1, Al=0), exercising all four
+    progressive scan types. Every scan carries its own fixed-length DHT
+    (table id 0), exercising per-scan table redefinition. Same pixel
+    front-end as :func:`jpeg_encode`, so progressive decode of this output
+    must equal the baseline encode→decode of the same image."""
+    gray, samp, q_lum, q_chrom, comp_block_lists, mcux, mcuy, h, w = _prepare_blocks(
+        img, quality, subsample
+    )
+    nc = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    # Interleaved MCU units for DC scans (cid = component index + 1).
+    blocks_per_mcu = [sh * sv for sh, sv in samp]
+    units = []
+    for m in range(mcux * mcuy):
+        unit = []
+        for ci in range(nc):
+            nper = blocks_per_mcu[ci]
+            for bi in range(nper):
+                unit.append((ci + 1, comp_block_lists[ci][m * nper + bi].ravel()))
+        units.append(unit)
+    # Non-interleaved raster block lists per component (T.81 A.2.2 grid).
+    raster: list[list[np.ndarray]] = []
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        chh = -(-h * sv // vmax)
+        nbw, nbh = -(-cw // 8), -(-chh // 8)
+        lst = []
+        for ry in range(nbh):
+            for rx in range(nbw):
+                idx = ((ry // sv) * mcux + rx // sh) * sv * sh + (ry % sv) * sh + (rx % sh)
+                lst.append(comp_block_lists[ci][idx].ravel())
+        raster.append(lst)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate([q_lum] if gray else [q_lum, q_chrom]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + q[_ZZ].astype(np.uint8).tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+
+    def add_huffman_scan(tclass, scan_fn, comp_ids, ss, se, ah, al):
+        collect = _ScanEmitter()
+        scan_fn(collect)
+        bits, vals = _fixed_len_huff(collect.syms)
+        body = bytes([(tclass << 4) | 0]) + bytes(bits) + vals
+        out.extend(b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body)
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])  # Td=0, Ta=0 (per-scan table id 0)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+        wtr = _BitWriter()
+        scan_fn(_ScanEmitter(wtr, _encode_codes(bits, vals)))
+        wtr.flush()
+        out.extend(bytes(wtr.out))
+
+    all_ids = list(range(1, nc + 1))
+    dc_al = 1 if successive else 0
+    add_huffman_scan(0, lambda e: _enc_dc_first(units, dc_al, e), all_ids, 0, 0, 0, dc_al)
+    if successive:
+        # DC refinement: raw bits, no Huffman table needed
+        sos = bytes([nc]) + b"".join(bytes([cid, 0x00]) for cid in all_ids) + bytes([0, 0, (1 << 4) | 0])
+        out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+        wtr = _BitWriter()
+        _enc_dc_refine(units, 0, wtr)
+        wtr.flush()
+        out.extend(bytes(wtr.out))
+    ac_al = 1 if successive else 0
+    for ci in range(nc):
+        add_huffman_scan(
+            1,
+            lambda e, ci=ci: _enc_ac_first(raster[ci], 1, 63, ac_al, e),
+            [ci + 1], 1, 63, 0, ac_al,
+        )
+    if successive:
+        for ci in range(nc):
+            add_huffman_scan(
+                1,
+                lambda e, ci=ci: _enc_ac_refine(raster[ci], 1, 63, 0, e),
+                [ci + 1], 1, 63, 1, 0,
+            )
     out += b"\xff\xd9"
     return bytes(out)
 

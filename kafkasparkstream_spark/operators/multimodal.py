@@ -18,8 +18,8 @@ all five PNG filters; RIFF/PCM parse; LZW frames; Huffman+IDCT; ISO-BMFF
 moov/stbl sample-table demux) — kernels sniff magic bytes per asset,
 decode real media for real payloads, and fall back to deterministic
 digest-derived fakes for payloads outside codec scope (synthetic
-fixtures, H.264/HEVC video, progressive JPEG; ``_HAS_PIL`` upgrades the
-JPEG branch when PIL exists). The fallback keeps every output column
+fixtures, H.264/HEVC video, arithmetic-coded JPEG; ``_HAS_PIL`` upgrades
+the JPEG branch when PIL exists). The fallback keeps every output column
 well-defined and oracle-reproducible for any byte string.
 
 Scale notes: repartition by asset id before mapInPandas so media bytes spread
@@ -118,9 +118,11 @@ def _decode_image(raw: bytes):
 
                 img = np.asarray(PIL.Image.open(io.BytesIO(raw)).convert("RGB"))
                 return img if img.dtype == "uint8" else None
-            # Pure-stdlib baseline decoder (codecs.py): SOF0/SOF1, 4:4:4 /
-            # 4:2:2 / 4:2:0, restart markers. Progressive falls through to
-            # the digest fallback via the except guard.
+            # Pure-stdlib decoder (codecs.py): baseline SOF0/SOF1 and
+            # progressive SOF2 (spectral selection + successive
+            # approximation), 4:4:4 / 4:2:2 / 4:2:0, restart markers.
+            # Arithmetic-coded / 12-bit files fall through to the digest
+            # fallback via the except guard.
             return codecs.jpeg_decode(raw)
     except Exception:  # malformed/truncated container or unsupported scope
         return None  # -> deterministic fallback; the kernel must stay total

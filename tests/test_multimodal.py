@@ -400,8 +400,9 @@ def test_jpeg_codec_property_roundtrip():
 def test_jpeg_through_image_features(spark):
     """A baseline JPEG payload must yield its ACTUAL dims and an embedding
     computed from the decoded pixels (bit-equal to running the pure codec
-    locally) — not the digest fallback. Progressive-marker payloads stay on
-    the deterministic fallback (kernel total over malformed input)."""
+    locally) — not the digest fallback. A truncated SOF2 header with no
+    scan data stays on the deterministic fallback (kernel total over
+    malformed input)."""
     import numpy as np
 
     from kafkasparkstream_spark.operators.codecs import jpeg_encode
@@ -417,7 +418,7 @@ def test_jpeg_through_image_features(spark):
     decoded = _decode_image(bytes(jpg))
     assert decoded is not None
 
-    # A fake progressive JPEG: SOI + SOF2 marker → decoder raises → fallback.
+    # A scanless SOF2 header (no SOS) → decoder raises → fallback.
     fake_prog = b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
 
     df = spark.createDataFrame(
@@ -663,3 +664,60 @@ def test_real_mp4_frame_sampling_and_features(spark):
     )
     assert [r.frame_index for r in rows2] == [0, 2]
     assert bytes(rows2[0].frame) == bytes(avc)[:16]
+
+
+def test_jpeg_progressive_matches_baseline_pixels():
+    """Progressive (SOF2) encode→decode must be PIXEL-IDENTICAL to the
+    baseline path on the same image — both modes share the quantized
+    coefficients, so the entropy layers (spectral selection, successive
+    approximation with DC/AC refinement passes, EOB runs, per-scan DHTs)
+    are fully cross-checked against the already-property-tested baseline."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkasparkstream_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        gray=st.booleans(),
+        subsample=st.booleans(),
+        successive=st.booleans(),
+        quality=st.sampled_from([30, 85, 95]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, gray, subsample, successive, quality, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        sub = subsample and not gray
+        base = jpeg_decode(jpeg_encode(img, quality=quality, subsample=sub))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(
+                img, quality=quality, subsample=sub, successive=successive
+            )
+        )
+        assert np.array_equal(prog, base)
+
+    roundtrip()
+
+
+def test_progressive_jpeg_through_image_features(spark):
+    """A real progressive JPEG payload decodes through the kernel path —
+    actual dims, not the digest fallback (the r4 gap is closed)."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.codecs import jpeg_encode_progressive
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    prog = jpeg_encode_progressive(img, quality=85, successive=True)
+    df = spark.createDataFrame([(0, bytearray(prog))], "asset_id long, payload binary")
+    r = image_features(df).collect()[0]
+    assert (r.width, r.height) == (7, 11)
