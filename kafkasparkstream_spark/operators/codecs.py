@@ -1540,8 +1540,8 @@ def _find_box(raw: bytes, path: list[bytes], start: int, end: int) -> tuple[int,
     raise ValueError(f"mp4: missing {b'/'.join(path).decode('latin1')} box")
 
 
-def _video_stbl(raw: bytes) -> tuple[int, int]:
-    """(payload_start, payload_end) of the first VIDEO track's stbl."""
+def _video_mdia(raw: bytes) -> tuple[int, int]:
+    """(payload_start, payload_end) of the first VIDEO track's mdia."""
     moov_s, moov_e = _find_box(raw, [b"moov"], 0, len(raw))
     for btype, ps, pe in _walk_boxes(raw, moov_s, moov_e):
         if btype != b"trak":
@@ -1551,10 +1551,16 @@ def _video_stbl(raw: bytes) -> tuple[int, int]:
             hdlr_s, _ = _find_box(raw, [b"hdlr"], mdia_s, mdia_e)
             if raw[hdlr_s + 8 : hdlr_s + 12] != b"vide":
                 continue
-            return _find_box(raw, [b"minf", b"stbl"], mdia_s, mdia_e)
+            return mdia_s, mdia_e
         except ValueError:
             continue
     raise ValueError("mp4: no video track")
+
+
+def _video_stbl(raw: bytes) -> tuple[int, int]:
+    """(payload_start, payload_end) of the first VIDEO track's stbl."""
+    mdia_s, mdia_e = _video_mdia(raw)
+    return _find_box(raw, [b"minf", b"stbl"], mdia_s, mdia_e)
 
 
 def mp4_probe(payload: bytes) -> dict:
@@ -1572,11 +1578,12 @@ def mp4_probe(payload: bytes) -> dict:
     width, height = struct.unpack(">HH", payload[entry + 32 : entry + 36])
     stsz_s, stsz_e = _find_box(payload, [b"stsz"], stbl_s, stbl_e)
     _, n_samples = struct.unpack(">II", payload[stsz_s + 4 : stsz_s + 12])
-    # mdhd holds the track's media timescale/duration
-    moov_s, moov_e = _find_box(payload, [b"moov"], 0, len(payload))
+    # mdhd of the VIDEO track (not just the first trak) holds the media
+    # timescale/duration
     timescale = duration = 0
     try:
-        mdhd_s, _ = _find_box(payload, [b"trak", b"mdia", b"mdhd"], moov_s, moov_e)
+        mdia_s, mdia_e = _video_mdia(payload)
+        mdhd_s, _ = _find_box(payload, [b"mdhd"], mdia_s, mdia_e)
         timescale, duration = struct.unpack(">II", payload[mdhd_s + 12 : mdhd_s + 20])
     except ValueError:
         pass
