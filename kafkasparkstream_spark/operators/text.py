@@ -852,11 +852,18 @@ def ngram_novelty(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 
     # fanout: shingle hashing is the expensive projection and the corpus
     # may arrive as one split; both downstream branches inherit the spread.
+    # The barrier matters too: hashed feeds TWO consumers (the row-local
+    # denominator and the exploded min-doc agg) — without lineage
+    # truncation each consumer re-runs the tokenize+shingle projection
+    # over the full corpus (the same multi-consumer recompute class as
+    # the kNN kernels, just expression-level); eager=False keeps query
+    # construction execution-free for plan audits.
     hashed = (
         fanout(df.select("doc_id", F.col(text_col)))
         .withColumn("_th", token_hashes_col(text_col))
         .withColumn("_sh", F.array_distinct(shingle_hashes_col(F.col("_th"), n)))
         .drop(text_col, "_th")
+        .localCheckpoint(eager=False)
     )
     base = hashed.select(
         "doc_id", F.size("_sh").cast("long").alias("n_shingles")
