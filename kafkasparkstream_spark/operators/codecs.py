@@ -1389,15 +1389,20 @@ def jpeg_encode_progressive(
     quality: int = 85,
     subsample: bool = False,
     successive: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG encoder (SOF2, test-fixture grade): a DC scan for
     all components then one AC scan per component (spectral selection);
     with ``successive=True`` each of those splits into a first pass at
     Al=1 plus a refinement pass (Ah=1, Al=0), exercising all four
     progressive scan types. Every scan carries its own fixed-length DHT
-    (table id 0), exercising per-scan table redefinition. Same pixel
-    front-end as :func:`jpeg_encode`, so progressive decode of this output
-    must equal the baseline encode→decode of the same image."""
+    (table id 0), exercising per-scan table redefinition.
+    ``restart_interval`` emits DRI and splits EVERY scan's entropy data
+    into RSTn-delimited segments (per T.81 the unit is MCUs for the
+    interleaved DC scans, blocks for single-component scans; predictors
+    and EOB runs reset per segment). Same pixel front-end as
+    :func:`jpeg_encode`, so progressive decode of this output must equal
+    the baseline encode→decode of the same image."""
     gray, samp, q_lum, q_chrom, comp_block_lists, mcux, mcuy, h, w = _prepare_blocks(
         img, quality, subsample
     )
@@ -1438,10 +1443,34 @@ def jpeg_encode_progressive(
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    def add_huffman_scan(tclass, scan_fn, comp_ids, ss, se, ah, al):
+    def chunked(seq):
+        if not restart_interval:
+            return [seq]
+        return [
+            seq[i : i + restart_interval]
+            for i in range(0, len(seq), restart_interval)
+        ]
+
+    def emit_segments(chunks, write_chunk):
+        # scan encoders carry no cross-call state, so per-segment resets
+        # (DC predictors, EOB runs, correction-bit buffers) hold by
+        # construction — exactly the decoder's per-RSTn contract
+        for k, ch in enumerate(chunks):
+            wtr = _BitWriter()
+            write_chunk(ch, wtr)
+            wtr.flush()
+            out.extend(bytes(wtr.out))
+            if k < len(chunks) - 1:
+                out.extend(bytes([0xFF, 0xD0 + (k % 8)]))
+
+    def add_huffman_scan(tclass, scan_fn, comp_ids, ss, se, ah, al, seq):
+        chunks = chunked(seq)
         collect = _ScanEmitter()
-        scan_fn(collect)
+        for ch in chunks:
+            scan_fn(ch, collect)
         bits, vals = _fixed_len_huff(collect.syms)
         body = bytes([(tclass << 4) | 0]) + bytes(bits) + vals
         out.extend(b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body)
@@ -1450,35 +1479,32 @@ def jpeg_encode_progressive(
             sos += bytes([cid, 0x00])  # Td=0, Ta=0 (per-scan table id 0)
         sos += bytes([ss, se, (ah << 4) | al])
         out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
-        wtr = _BitWriter()
-        scan_fn(_ScanEmitter(wtr, _encode_codes(bits, vals)))
-        wtr.flush()
-        out.extend(bytes(wtr.out))
+        codes = _encode_codes(bits, vals)
+        emit_segments(chunks, lambda ch, wtr: scan_fn(ch, _ScanEmitter(wtr, codes)))
 
     all_ids = list(range(1, nc + 1))
     dc_al = 1 if successive else 0
-    add_huffman_scan(0, lambda e: _enc_dc_first(units, dc_al, e), all_ids, 0, 0, 0, dc_al)
+    add_huffman_scan(
+        0, lambda ch, e: _enc_dc_first(ch, dc_al, e), all_ids, 0, 0, 0, dc_al, units
+    )
     if successive:
         # DC refinement: raw bits, no Huffman table needed
         sos = bytes([nc]) + b"".join(bytes([cid, 0x00]) for cid in all_ids) + bytes([0, 0, (1 << 4) | 0])
         out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
-        wtr = _BitWriter()
-        _enc_dc_refine(units, 0, wtr)
-        wtr.flush()
-        out.extend(bytes(wtr.out))
+        emit_segments(chunked(units), lambda ch, wtr: _enc_dc_refine(ch, 0, wtr))
     ac_al = 1 if successive else 0
     for ci in range(nc):
         add_huffman_scan(
             1,
-            lambda e, ci=ci: _enc_ac_first(raster[ci], 1, 63, ac_al, e),
-            [ci + 1], 1, 63, 0, ac_al,
+            lambda ch, e: _enc_ac_first(ch, 1, 63, ac_al, e),
+            [ci + 1], 1, 63, 0, ac_al, raster[ci],
         )
     if successive:
         for ci in range(nc):
             add_huffman_scan(
                 1,
-                lambda e, ci=ci: _enc_ac_refine(raster[ci], 1, 63, 0, e),
-                [ci + 1], 1, 63, 1, 0,
+                lambda ch, e: _enc_ac_refine(ch, 1, 63, 0, e),
+                [ci + 1], 1, 63, 1, 0, raster[ci],
             )
     out += b"\xff\xd9"
     return bytes(out)

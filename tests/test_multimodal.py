@@ -689,10 +689,11 @@ def test_jpeg_progressive_matches_baseline_pixels():
         gray=st.booleans(),
         subsample=st.booleans(),
         successive=st.booleans(),
+        restart=st.sampled_from([0, 1, 3]),
         quality=st.sampled_from([30, 85, 95]),
         seed=st.integers(0, 2**31 - 1),
     )
-    def roundtrip(h, w, gray, subsample, successive, quality, seed):
+    def roundtrip(h, w, gray, subsample, successive, restart, quality, seed):
         rng = np.random.default_rng(seed)
         shape = (h, w) if gray else (h, w, 3)
         img = rng.integers(0, 256, shape, dtype=np.uint8)
@@ -700,7 +701,11 @@ def test_jpeg_progressive_matches_baseline_pixels():
         base = jpeg_decode(jpeg_encode(img, quality=quality, subsample=sub))
         prog = jpeg_decode(
             jpeg_encode_progressive(
-                img, quality=quality, subsample=sub, successive=successive
+                img,
+                quality=quality,
+                subsample=sub,
+                successive=successive,
+                restart_interval=restart,
             )
         )
         assert np.array_equal(prog, base)
