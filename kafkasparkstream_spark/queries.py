@@ -2453,13 +2453,21 @@ import contextlib  # noqa: E402
 
 
 @contextlib.contextmanager
-def _clamped_shuffle_partitions(spark: SparkSession, cap: int = 8):
-    """Pin a small state-store count for a bounded streaming replay (the
-    count is frozen into the fresh checkpoint at first start); restore the
+def _clamped_shuffle_partitions(spark: SparkSession, cap: int = 8, rows: int | None = None):
+    """Pin the state-store count for a bounded streaming replay (the count
+    is frozen into the fresh checkpoint at first start); restore the
     session value after. Production sizes this to cluster capacity BEFORE
-    the first start — it cannot change without a state rebuild."""
+    the first start — it cannot change without a state rebuild — and this
+    helper sizes the replay's store the same way, to its DATA: small
+    replays pin ``cap`` partitions (32 providers for 10k rows is pure
+    per-provider commit overhead at the sf0.01 gate), while large replays
+    (``rows`` ≥ 200k) keep the session's full width — the stateful
+    Python stage is the replay's hot loop, and squeezing 1M rows through
+    8 state partitions on a 32-core session measured 2× the wall of the
+    full-width store (streaming_running_totals, sf1.0: 23 s → 12 s)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old), cap)))
+    eff = int(old) if (rows is not None and rows >= 200_000) else min(int(old), cap)
+    spark.conf.set("spark.sql.shuffle.partitions", str(eff))
     try:
         yield
     finally:
@@ -2587,7 +2595,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=EVENT_WIRE_SCHEMA,
     )
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         agg_q, raw_q = start_pipeline(raw, sink, ckpt, cfg, available_now=True)
         agg_q.awaitTermination()
         raw_q.awaitTermination()
@@ -2663,7 +2671,7 @@ def streaming_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
     keys = ("window_start", "window_end", "event_type")
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         q = (
             windowed_aggregate_stage(parse_stage(raw, cfg), cfg)
             # swallow_errors=False: ST7 isolation is right for the
@@ -3983,7 +3991,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Fresh checkpoint per run: pin a small state-store count for the
     # bounded replay (same rationale as streaming_windowed_agg).
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         q = (
             totals.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("update")
@@ -4540,7 +4548,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         q = (
             pairs.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -4630,7 +4638,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         q = (
             sessions.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -5244,7 +5252,7 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w5.start").alias("window_start"), "n_events", "_sum_c")
     )
 
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         q = (
             coarse.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -5550,7 +5558,7 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("category", "value", "weight")
     )
 
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         q = (
             enriched.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -5980,7 +5988,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = PipelineConfig(ts_col="ts")
     deduped = dedup_stage(parsed, keys=("event_id", "ts"), cfg=cfg)
 
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         q = (
             deduped.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -6633,7 +6641,7 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         q = (
             pairs.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -8165,7 +8173,7 @@ def streaming_batch_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=EVENT_WIRE_SCHEMA,
     )
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
-    with _clamped_shuffle_partitions(spark):
+    with _clamped_shuffle_partitions(spark, rows=events.count()):
         agg_q, raw_q = start_pipeline(raw, sink, ckpt, cfg, available_now=True)
         agg_q.awaitTermination()
         raw_q.awaitTermination()

@@ -1250,3 +1250,24 @@ def test_deep_release_frees_pinned_storage_and_streaming_survives(spark, tmp_pat
     deep_release(spark)
     n2 = replay("two")
     assert n1 == n2 == 50
+
+
+def test_clamped_shuffle_partitions_is_scale_aware(spark):
+    """Bounded-replay state-store sizing: small replays pin the 8-provider
+    store (per-provider commit overhead dominates at the sf0.01 gate);
+    large replays (rows >= 200k) keep the session's full width — 8 state
+    partitions on a 32-core session measured 2x the wall at sf1.0."""
+    from kafkasparkstream_spark.queries import _clamped_shuffle_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    with _clamped_shuffle_partitions(spark, rows=10_000):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            min(int(old), 8)
+        )
+    with _clamped_shuffle_partitions(spark, rows=1_000_000):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    with _clamped_shuffle_partitions(spark):  # rows unknown -> conservative
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            min(int(old), 8)
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
