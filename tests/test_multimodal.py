@@ -726,3 +726,77 @@ def test_progressive_jpeg_through_image_features(spark):
     df = spark.createDataFrame([(0, bytearray(prog))], "asset_id long, payload binary")
     r = image_features(df).collect()[0]
     assert (r.width, r.height) == (7, 11)
+
+
+def test_mp4_demux_multi_chunk_stsc_and_co64():
+    """Sample-table generality the fixture muxer doesn't emit: stsc RUNS
+    (run k applies from its first_chunk until the next run's first_chunk,
+    14496-12 8.7.4) across multiple chunks, and 64-bit co64 chunk offsets.
+    Hand-built container: 5 samples in 3 chunks as (2, 2, 1)."""
+    import struct
+
+    from kafkasparkstream_spark.operators.codecs import (
+        _box,
+        _full_box,
+        mp4_demux,
+        mp4_probe,
+    )
+
+    samples = [bytes([0x40 + i]) * (3 + i) for i in range(5)]
+    # chunk layout: c1=[s0,s1] c2=[s2,s3] c3=[s4]; stsc runs: (1,2,1),(3,1,1)
+    chunks = [b"".join(samples[0:2]), b"".join(samples[2:4]), samples[4]]
+
+    def moov_for(offs):
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+            + struct.pack(">HH", 8, 8)
+            + struct.pack(">II", 0x00480000, 0x00480000)
+            + b"\x00" * 4 + struct.pack(">H", 1)
+            + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+        )
+        stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry))
+        stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, 5, 100))
+        stsc = _full_box(
+            b"stsc", 0, 0,
+            struct.pack(">I", 2) + struct.pack(">III", 1, 2, 1) + struct.pack(">III", 3, 1, 1),
+        )
+        stsz = _full_box(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, 5) + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+        co64 = _full_box(
+            b"co64", 0, 0,
+            struct.pack(">I", 3) + b"".join(struct.pack(">Q", o) for o in offs),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + co64)
+        dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b""))
+        minf = _box(b"minf", _full_box(b"vmhd", 0, 1, b"\x00" * 8) + _box(b"dinf", dref) + stbl)
+        mdhd = _full_box(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 500) + struct.pack(">HH", 0x55C4, 0))
+        hdlr = _full_box(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"V\x00")
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _full_box(
+            b"tkhd", 0, 7,
+            struct.pack(">IIIII", 0, 0, 1, 0, 500) + b"\x00" * 16
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", 8 << 16, 8 << 16),
+        )
+        mvhd = _full_box(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, 1000, 500) + struct.pack(">iH", 0x00010000, 0x0100)
+            + b"\x00" * 10
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        return _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    moov_len = len(moov_for([0, 0, 0]))
+    mdat_payload_at = len(ftyp) + moov_len + 8
+    offs = [mdat_payload_at]
+    offs.append(offs[0] + len(chunks[0]))
+    offs.append(offs[1] + len(chunks[1]))
+    mp4 = ftyp + moov_for(offs) + _box(b"mdat", b"".join(chunks))
+
+    meta = mp4_probe(mp4)
+    assert meta["codec"] == "jpeg" and meta["n_samples"] == 5
+    assert mp4_demux(mp4) == samples
