@@ -2457,14 +2457,20 @@ def _clamped_shuffle_partitions(spark: SparkSession, cap: int = 8, rows: int | N
     """Pin the state-store count for a bounded streaming replay (the count
     is frozen into the fresh checkpoint at first start); restore the
     session value after. Production sizes this to cluster capacity BEFORE
-    the first start — it cannot change without a state rebuild — and this
-    helper sizes the replay's store the same way, to its DATA: small
-    replays pin ``cap`` partitions (32 providers for 10k rows is pure
-    per-provider commit overhead at the sf0.01 gate), while large replays
-    (``rows`` ≥ 200k) keep the session's full width — the stateful
-    Python stage is the replay's hot loop, and squeezing 1M rows through
-    8 state partitions on a 32-core session measured 2× the wall of the
-    full-width store (streaming_running_totals, sf1.0: 23 s → 12 s)."""
+    the first start — it cannot change without a state rebuild.
+
+    ``rows``: pass the replay's row count ONLY for Python-stateful
+    replays (``applyInPandasWithState`` / ``transformWithStateInPandas``):
+    there the per-partition Arrow+Python loop is the bottleneck, and a
+    large replay (``rows`` ≥ 200k) keeps the session's full shuffle width
+    (streaming_running_totals at sf1.0: 23 s → 12 s on local[32]).
+    JVM-state replays (windowed aggs, dedup, stream-stream joins) must
+    NOT pass it: their cost is per-provider state commits × batches, and
+    widening the store makes them SLOWER — measured at sf1.0, cap 8 vs
+    session-32: left-outer join 5.4 s vs 12.5 s, interval join 4.4 vs
+    10.6, chained windows 3.4 vs 5.6, upsert 2.7 vs 4.3 (stream-stream
+    joins keep FOUR stores per partition, so provider overhead scales
+    worst there)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     eff = int(old) if (rows is not None and rows >= 200_000) else min(int(old), cap)
     spark.conf.set("spark.sql.shuffle.partitions", str(eff))
@@ -2595,7 +2601,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=EVENT_WIRE_SCHEMA,
     )
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
-    with _clamped_shuffle_partitions(spark, rows=events.count()):
+    with _clamped_shuffle_partitions(spark):
         agg_q, raw_q = start_pipeline(raw, sink, ckpt, cfg, available_now=True)
         agg_q.awaitTermination()
         raw_q.awaitTermination()
@@ -2671,7 +2677,7 @@ def streaming_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
     keys = ("window_start", "window_end", "event_type")
-    with _clamped_shuffle_partitions(spark, rows=events.count()):
+    with _clamped_shuffle_partitions(spark):
         q = (
             windowed_aggregate_stage(parse_stage(raw, cfg), cfg)
             # swallow_errors=False: ST7 isolation is right for the
@@ -3989,8 +3995,10 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_json_events(raw, EVENT_WIRE_SCHEMA, ts_col="ts")
     totals = running_user_totals(parsed)
 
-    # Fresh checkpoint per run: pin a small state-store count for the
-    # bounded replay (same rationale as streaming_windowed_agg).
+    # Fresh checkpoint per run. Unlike the JVM-state replays, this one
+    # passes rows= so a large replay keeps the session's full shuffle
+    # width: applyInPandasWithState is Arrow/Python-throughput-bound per
+    # partition (see _clamped_shuffle_partitions).
     with _clamped_shuffle_partitions(spark, rows=events.count()):
         q = (
             totals.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
@@ -4548,7 +4556,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
-    with _clamped_shuffle_partitions(spark, rows=events.count()):
+    with _clamped_shuffle_partitions(spark):
         q = (
             pairs.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -4638,7 +4646,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    with _clamped_shuffle_partitions(spark, rows=events.count()):
+    with _clamped_shuffle_partitions(spark):
         q = (
             sessions.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -5252,7 +5260,7 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w5.start").alias("window_start"), "n_events", "_sum_c")
     )
 
-    with _clamped_shuffle_partitions(spark, rows=events.count()):
+    with _clamped_shuffle_partitions(spark):
         q = (
             coarse.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -5558,7 +5566,7 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("category", "value", "weight")
     )
 
-    with _clamped_shuffle_partitions(spark, rows=events.count()):
+    with _clamped_shuffle_partitions(spark):
         q = (
             enriched.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -5988,7 +5996,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = PipelineConfig(ts_col="ts")
     deduped = dedup_stage(parsed, keys=("event_id", "ts"), cfg=cfg)
 
-    with _clamped_shuffle_partitions(spark, rows=events.count()):
+    with _clamped_shuffle_partitions(spark):
         q = (
             deduped.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -6641,7 +6649,7 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
-    with _clamped_shuffle_partitions(spark, rows=events.count()):
+    with _clamped_shuffle_partitions(spark):
         q = (
             pairs.writeStream.foreachBatch(foreach_batch_parquet_sink(sink))
             .outputMode("append")
@@ -8173,7 +8181,7 @@ def streaming_batch_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=EVENT_WIRE_SCHEMA,
     )
     raw = file_json_stream(spark, src, max_files_per_trigger=None)
-    with _clamped_shuffle_partitions(spark, rows=events.count()):
+    with _clamped_shuffle_partitions(spark):
         agg_q, raw_q = start_pipeline(raw, sink, ckpt, cfg, available_now=True)
         agg_q.awaitTermination()
         raw_q.awaitTermination()
