@@ -204,6 +204,10 @@ def pack_sequences(
     """
     from pyspark.sql.window import Window
 
+    if budget <= 0:
+        # seq_no and fill_bp both divide by the budget; 0 would yield
+        # NULL-division rows instead of an explainable error.
+        raise ValueError(f"pack_sequences budget must be positive, got {budget}")
     ntok = F.size(F.split(F.trim(F.col(text_col)), " +"))
     w = (
         Window.partitionBy(*group_cols)
