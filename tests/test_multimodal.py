@@ -800,3 +800,41 @@ def test_mp4_demux_multi_chunk_stsc_and_co64():
     meta = mp4_probe(mp4)
     assert meta["codec"] == "jpeg" and meta["n_samples"] == 5
     assert mp4_demux(mp4) == samples
+
+
+def test_jpeg_progressive_structured_images_match_baseline():
+    """Structured inputs random pixels never produce — constant planes
+    (pure EOB-run streams), checkerboards (high-frequency AC), a single
+    hot pixel (long ZRL chains inside refinement), fine stripes — must
+    still decode pixel-identically to the baseline path, across quality
+    extremes, 4:2:0, successive approximation and restart markers."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    g = np.linspace(0, 255, 40).astype(np.uint8)
+    cb = (np.indices((32, 32)).sum(0) % 2 * 255).astype(np.uint8)
+    hot = np.zeros((24, 24, 3), np.uint8)
+    hot[5, 7] = [255, 0, 255]
+    stripe = np.zeros((17, 33, 3), np.uint8)
+    stripe[:, ::2] = [10, 250, 60]
+    cases = [
+        np.full((24, 24, 3), 128, dtype=np.uint8),
+        np.stack([np.tile(g, (40, 1))] * 3, axis=-1),
+        np.stack([cb] * 3, axis=-1),
+        hot,
+        stripe,
+    ]
+    for img in cases:
+        for q, sub, succ, ri in [(5, True, True, 2), (95, False, True, 0), (50, True, False, 0)]:
+            base = jpeg_decode(jpeg_encode(img, quality=q, subsample=sub))
+            dec = jpeg_decode(
+                jpeg_encode_progressive(
+                    img, quality=q, subsample=sub, successive=succ, restart_interval=ri
+                )
+            )
+            assert np.array_equal(dec, base), (img.shape, q, sub, succ, ri)
