@@ -47,9 +47,10 @@ def _driver_covered() -> frozenset[str]:
 
 # Names that went driver-red in a past round and were since fixed: they must
 # re-enter the driver's first-50 check window before anything else, so the
-# fix is proven on the driver's own gate (r04: DuckDB HUGEINT hash defect,
-# fixed by BIGINT casts + integer-grid fill_bp).
-_REFIXED_FIRST = ("shard_balance_stats", "pack_sequences_512")
+# fix is proven on the driver's own gate (r05: list-typed postings_head
+# crashed the driver's pandas canonicalizer; now a comma-joined string on
+# both sides).
+_REFIXED_FIRST = ("inverted_index_postings",)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5292,7 +5292,7 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS df,
            CAST(SUM(f) AS BIGINT) AS total_tf,
-           (list(doc_id ORDER BY doc_id))[1:20] AS postings_head
+           array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings_head
     FROM tf
     GROUP BY term
     ORDER BY term
@@ -5306,7 +5306,9 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer — partition by term, so posting lists build in parallel and no
     reducer holds more than its terms' lists. Posting heads are capped at
     20 ids to keep the oracle compare bounded; production writes the full
-    lists sharded by term hash."""
+    lists sharded by term hash. The head is emitted as a comma-joined STRING
+    (not an array): the driver's canonicalizer sorts the result frame on
+    every column, and list-typed cells are unhashable there (r05 red)."""
     docs = load_table(spark, "documents", sf_dir)
     tf = (
         docs.select("doc_id", F.explode(text_ops.tokens_col("text")).alias("term"))
@@ -5318,7 +5320,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("f").alias("total_tf"),
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20).alias("postings_head"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20).cast(
+                    "array<string>"
+                ),
+            ).alias("postings_head"),
         )
         .orderBy("term")
     )

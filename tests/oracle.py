@@ -65,12 +65,14 @@ ORACLE_TYPE_WHITELIST = frozenset(
 
 
 def oracle_type_ok(duckdb_type: str) -> bool:
-    """True iff a DuckDB DESCRIBE type string is driver-hash portable
-    (whitelisted scalar, or a list of a whitelisted scalar)."""
-    t = duckdb_type.strip().upper()
-    if t.endswith("[]"):
-        t = t[:-2].strip()
-    return t in ORACLE_TYPE_WHITELIST
+    """True iff a DuckDB DESCRIBE type string is driver-hash portable:
+    a whitelisted SCALAR only. Lists/structs/maps are rejected outright —
+    the r04 whitelist allowed "list-of-those", and r05 falsified it: a
+    list column survives Arrow but crashes the driver's pandas
+    canonicalizer (sort_values/factorize -> TypeError: unhashable type:
+    'list'). Nested types must be serialized (e.g. concat_ws /
+    array_to_string) before they reach the wire."""
+    return duckdb_type.strip().upper() in ORACLE_TYPE_WHITELIST
 
 
 def _connect(sf_dir: str):
@@ -97,8 +99,32 @@ def duckdb_run(sql: str, sf_dir: str):
     tbl = con.sql(sql).arrow()
     con.close()
     cols = tbl.column_names
-    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    # Positional rebuild: to_pylist() returns name-keyed dicts, which would
+    # silently collapse duplicate column names instead of erroring.
+    assert len(set(cols)) == len(cols), f"duplicate oracle column names: {cols}"
+    rows = list(zip(*(col.to_pylist() for col in tbl.columns))) if cols else []
     return cols, rows
+
+
+def driver_canon_simulate(cols, rows):
+    """Run a result frame through the driver's observed canonicalization
+    procedure (r05 post-mortem): build a pandas DataFrame and sort_values
+    over EVERY column. The driver does this before hashing; cells pandas
+    cannot factorize (lists, dicts, sets) raise TypeError there — which
+    surfaced as the r05 ``inverted_index_postings`` gate error even though
+    every value was correct. Raises whatever pandas raises; callers assert
+    it doesn't."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=list(cols))
+    df = df.reindex(sorted(df.columns), axis=1)
+    # The observed r05 traceback died in ObjectHashTable._unique (factorize),
+    # which multi-column sort_values uses per column; a single-column frame
+    # takes a comparison-sort path instead, so factorize explicitly too.
+    for c in df.columns:
+        pd.factorize(df[c])
+    df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return True
 
 
 def _norm(v):
@@ -149,6 +175,16 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = "?
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column names differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     )
+    # Both frames must survive the driver's canonicalization procedure
+    # (pandas sort/factorize over every column) — values being equal is not
+    # enough if the wire format crashes the gate (r05 lesson).
+    for side, cols, rows in (("spark", s_cols, s_rows), ("duckdb", d_cols, d_rows)):
+        try:
+            driver_canon_simulate(cols, rows)
+        except TypeError as e:
+            raise AssertionError(
+                f"{name}: {side} result is not driver-canon-safe: {e}"
+            ) from e
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
     )

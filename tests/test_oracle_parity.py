@@ -7,22 +7,30 @@ import pytest
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_CORRECT
-from tests.oracle import assert_matches_oracle, duckdb_describe, oracle_type_ok
+from tests.oracle import (
+    assert_matches_oracle,
+    driver_canon_simulate,
+    duckdb_describe,
+    duckdb_run,
+    oracle_type_ok,
+)
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
 def test_oracle_types_driver_portable():
-    """Registry-wide oracle type-audit (r04 post-mortem): every oracle
-    column must DESCRIBE in DuckDB to a type that survives pandas/arrow
-    conversion losslessly — {BIGINT, INTEGER, SMALLINT, TINYINT, DOUBLE,
-    FLOAT, VARCHAR, DATE, TIMESTAMP, BOOLEAN, list-of-those}. DuckDB
-    widens SUM(int) to HUGEINT (-> float64 via .df(), decimal128 via
-    arrow), which the driver's type-sensitive hash rejects even when every
-    value equals Spark's BIGINT — exactly the r04 shard_balance_stats /
-    pack_sequences_512 failures. A HUGEINT/DECIMAL oracle can never be
-    registered again."""
+    """Registry-wide oracle type-audit (r04+r05 post-mortems): every oracle
+    column must DESCRIBE in DuckDB to a SCALAR type that survives both
+    pandas/arrow conversion and the driver's pandas canonicalization —
+    {BIGINT, INTEGER, SMALLINT, TINYINT, DOUBLE, FLOAT, VARCHAR, DATE,
+    TIMESTAMP, BOOLEAN}. DuckDB widens SUM(int) to HUGEINT (-> float64 via
+    .df(), decimal128 via arrow), which the driver's type-sensitive hash
+    rejects even when every value equals Spark's BIGINT — the r04
+    shard_balance_stats / pack_sequences_512 failures. Lists (the r04
+    whitelist allowed them) crash the driver's sort/factorize canon — the
+    r05 inverted_index_postings failure. Neither class can be registered
+    again."""
     bad = []
     for name, sql in sorted(ORACLES.items()):
         for col, typ in duckdb_describe(sql, SF_CORRECT):
@@ -40,6 +48,56 @@ def test_oracle_type_audit_catches_planted_hugeint():
     planted_dec = "SELECT CAST(1.5 AS DECIMAL(18,2)) AS x FROM documents LIMIT 1"
     types = duckdb_describe(planted_dec, SF_CORRECT)
     assert any(not oracle_type_ok(t) for _, t in types), types
+
+
+def test_oracle_type_audit_rejects_planted_list():
+    """Self-test for the r05 failure shape: a BIGINT[] result column passed
+    the r04 'list-of-those' whitelist but crashes the driver's pandas
+    canonicalizer. The tightened audit must reject it."""
+    planted = "SELECT (list(doc_id ORDER BY doc_id))[1:3] AS head FROM documents"
+    types = duckdb_describe(planted, SF_CORRECT)
+    assert any(not oracle_type_ok(t) for _, t in types), types
+
+
+def test_canon_simulation_catches_planted_list_column():
+    """Self-test for the canon simulation itself: a frame with a list-typed
+    cell must raise TypeError exactly as the driver's canonicalizer did in
+    r05 (pandas ObjectHashTable._unique: unhashable type 'list'), and a
+    scalar frame of every whitelisted type must pass."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    ok_rows = [
+        (1, 1.5, "a", dt.date(2024, 1, 1), dt.datetime(2024, 1, 1, 2), True),
+        (2, float("nan"), None, None, None, False),
+    ]
+    assert driver_canon_simulate(list("abcdef"), ok_rows)
+
+    bad_rows = [("t1", [1, 2, 3]), ("t2", [4])]
+    with _pytest.raises(TypeError):
+        driver_canon_simulate(["term", "postings_head"], bad_rows)
+    # Single-column list frame must ALSO raise (the factorize leg; pandas'
+    # one-column sort takes a comparison path that lists can survive).
+    with _pytest.raises(TypeError):
+        driver_canon_simulate(["postings_head"], [([1, 2],), ([3],)])
+
+
+def test_all_oracles_survive_driver_canon():
+    """Driver-canon simulation sweep (r05 generalization of the r04 type
+    audit): every registered oracle's RESULT FRAME — not just its DESCRIBE
+    types — must survive the driver's canonicalization procedure at
+    sf0.001. The Spark side is canon-simulated per query inside
+    assert_matches_oracle; this covers the DuckDB wire format cheaply."""
+    sf_small = "/root/testdata/sf0.001"
+    bad = []
+    for name, sql in sorted(ORACLES.items()):
+        cols, rows = duckdb_run(sql, sf_small)
+        try:
+            driver_canon_simulate(cols, rows)
+        except TypeError as e:
+            bad.append((name, str(e)))
+    assert not bad, f"oracles whose result frame crashes driver canon: {bad}"
 
 
 def test_entry_smoke(spark):
