@@ -1603,6 +1603,8 @@ def mp4_probe(payload: bytes) -> dict:
     codec = payload[entry + 4 : entry + 8].decode("latin1")
     width, height = struct.unpack(">HH", payload[entry + 32 : entry + 36])
     stsz_s, stsz_e = _find_box(payload, [b"stsz"], stbl_s, stbl_e)
+    if stsz_e - stsz_s < 12:
+        raise ValueError("mp4: truncated stsz")
     _, n_samples = struct.unpack(">II", payload[stsz_s + 4 : stsz_s + 12])
     # mdhd of the VIDEO track (not just the first trak) holds the media
     # timescale/duration
@@ -1628,6 +1630,8 @@ def _sample_ranges(payload: bytes) -> list[tuple[int, int]]:
     stbl_s, stbl_e = _video_stbl(payload)
 
     stsz_s, stsz_e = _find_box(payload, [b"stsz"], stbl_s, stbl_e)
+    if stsz_e - stsz_s < 12:
+        raise ValueError("mp4: truncated stsz")
     fixed, n = struct.unpack(">II", payload[stsz_s + 4 : stsz_s + 12])
     if fixed:
         sizes = [fixed] * n
@@ -1636,17 +1640,30 @@ def _sample_ranges(payload: bytes) -> list[tuple[int, int]]:
             raise ValueError("mp4: truncated stsz")
         sizes = list(struct.unpack(f">{n}I", payload[stsz_s + 12 : stsz_s + 12 + 4 * n]))
 
+    # Count fields are bounds-checked against the box payload end before
+    # unpacking (like stsz's per-sample sizes above): truncated/malformed
+    # tables raise ValueError per the codec contract, never struct.error.
     try:
         stco_s, stco_e = _find_box(payload, [b"stco"], stbl_s, stbl_e)
-        (nc,) = struct.unpack(">I", payload[stco_s + 4 : stco_s + 8])
-        offs = list(struct.unpack(f">{nc}I", payload[stco_s + 8 : stco_s + 8 + 4 * nc]))
+        off_w, off_fmt = 4, "I"
     except ValueError:
         stco_s, stco_e = _find_box(payload, [b"co64"], stbl_s, stbl_e)
-        (nc,) = struct.unpack(">I", payload[stco_s + 4 : stco_s + 8])
-        offs = list(struct.unpack(f">{nc}Q", payload[stco_s + 8 : stco_s + 8 + 8 * nc]))
+        off_w, off_fmt = 8, "Q"
+    if stco_e - stco_s < 8:
+        raise ValueError("mp4: truncated stco/co64")
+    (nc,) = struct.unpack(">I", payload[stco_s + 4 : stco_s + 8])
+    if stco_s + 8 + off_w * nc > stco_e:
+        raise ValueError("mp4: truncated stco/co64")
+    offs = list(
+        struct.unpack(f">{nc}{off_fmt}", payload[stco_s + 8 : stco_s + 8 + off_w * nc])
+    )
 
     stsc_s, stsc_e = _find_box(payload, [b"stsc"], stbl_s, stbl_e)
+    if stsc_e - stsc_s < 8:
+        raise ValueError("mp4: truncated stsc")
     (ne,) = struct.unpack(">I", payload[stsc_s + 4 : stsc_s + 8])
+    if stsc_s + 8 + 12 * ne > stsc_e:
+        raise ValueError("mp4: truncated stsc")
     runs = [
         struct.unpack(">III", payload[stsc_s + 8 + 12 * k : stsc_s + 20 + 12 * k])
         for k in range(ne)

@@ -52,11 +52,12 @@ def pagerank(
     anyway for the change count, so this knob is specific to fixed-count
     iteration. ``localCheckpoint``
     stores to executor memory/disk — fast, but lost with an executor.
-    ``checkpoint_mode="reliable"`` swaps every round's truncation for a
-    reliable ``checkpoint()`` into ``sparkContext.setCheckpointDir`` (call
-    it first): identical plan shape and results, survives executor
-    preemption mid-computation at the cost of a write+read per round —
-    the right default on spot/preemptible clusters.
+    ``checkpoint_mode="reliable"`` makes each interval truncation (every
+    ``checkpoint_every`` rounds, plus the final round) a reliable
+    ``checkpoint()`` into ``sparkContext.setCheckpointDir`` (call it
+    first): identical plan shape and results, survives executor preemption
+    mid-computation at the cost of a write+read per truncation — the
+    right default on spot/preemptible clusters.
     """
     from kafkasparkstream_spark.util import LocalCheckpointer, checkpoint_tracked, free_rdd_ids
 

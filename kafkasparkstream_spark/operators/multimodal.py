@@ -106,8 +106,13 @@ def _decode_image(raw: bytes):
             return codecs.gif_decode_frames(raw)[0]
         if kind == "mp4":
             # Motion-JPEG demux (codecs.py): first frame, the thumbnail
-            # convention. Non-MJPEG codecs raise -> digest fallback.
-            return codecs.mp4_decode_frames(raw)[0]
+            # convention. The stbl sample tables give exact per-sample byte
+            # ranges, so only sample 0 is JPEG-decoded — a long clip must
+            # not pay N full decodes for its thumbnail. Non-MJPEG codecs
+            # raise -> digest fallback.
+            if codecs.mp4_probe(raw)["codec"] not in ("jpeg", "mjpa"):
+                return None
+            return codecs.jpeg_decode(codecs.mp4_demux(raw)[0])
         if kind == "jpeg":
             if _HAS_PIL:
                 import io
@@ -196,6 +201,32 @@ def image_features(assets: DataFrame, embedding_dim: int = 8) -> DataFrame:
     )
 
 
+def _sample_media_frames(raw: bytes, kind: str, every_n: int, max_frames: int):
+    """Strided (frame_index, pixels) picks for a multi-frame payload.
+
+    GIF frames composite onto the previous canvas (LZW + disposal), so the
+    full decode is inherent and sampling happens after. MJPEG mp4 samples
+    are independent and the stbl tables give exact byte ranges: demux is
+    byte slicing, and ONLY the strided sample indices (≤ max_frames) pay a
+    JPEG decode — a long clip never pays N full decodes for 3 frames.
+    Raises on malformed/out-of-scope payloads (callers chunk-fallback)."""
+    if kind == "gif":
+        frames = codecs.gif_decode_frames(raw)
+        return [
+            (fi, frames[fi])
+            for i, fi in enumerate(range(0, len(frames), every_n))
+            if i < max_frames
+        ]
+    if codecs.mp4_probe(raw)["codec"] not in ("jpeg", "mjpa"):
+        raise ValueError("mp4: non-MJPEG codec")
+    samples = codecs.mp4_demux(raw)
+    return [
+        (fi, codecs.jpeg_decode(samples[fi]))
+        for i, fi in enumerate(range(0, len(samples), every_n))
+        if i < max_frames
+    ]
+
+
 def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> DataFrame:
     """Frame-sample multi-frame media (1 output row per sampled frame).
 
@@ -218,20 +249,14 @@ def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> D
                 kind = codecs.sniff(raw)
                 if kind in ("gif", "mp4"):
                     try:
-                        frames = (
-                            codecs.gif_decode_frames(raw)
-                            if kind == "gif"
-                            else codecs.mp4_decode_frames(raw)
-                        )
+                        picks = _sample_media_frames(raw, kind, every_n, max_frames)
                     except Exception:  # malformed/out-of-scope -> chunk fallback
-                        frames = None
-                    if frames is not None:
-                        for i, fi in enumerate(range(0, len(frames), every_n)):
-                            if i >= max_frames:
-                                break
+                        picks = None
+                    if picks is not None:
+                        for fi, img in picks:
                             rows["asset_id"].append(asset_id)
                             rows["frame_index"].append(fi)
-                            rows["frame"].append(codecs.png_encode(frames[fi]))
+                            rows["frame"].append(codecs.png_encode(img))
                         continue
                 n_frames = max(len(raw) // frame_bytes, 0)
                 for i, fi in enumerate(range(0, n_frames, every_n)):

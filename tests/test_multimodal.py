@@ -621,6 +621,82 @@ def test_mp4_malformed_and_out_of_scope_raise_valueerror():
         mp4_demux(cut)
 
 
+def test_mp4_truncated_sample_tables_raise_valueerror_not_struct_error():
+    """Codec contract: malformed COUNT FIELDS in stsz/stsc/stco must raise
+    ValueError (like the JPEG side), never struct.error — direct
+    mp4_demux/mp4_probe callers get a documented exception type."""
+    import numpy as np
+    import pytest
+
+    from kafkasparkstream_spark.operators.codecs import (
+        mp4_demux,
+        mp4_encode_mjpeg,
+        mp4_probe,
+    )
+
+    rng = np.random.default_rng(53)
+    mp4 = mp4_encode_mjpeg([rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)] * 3)
+
+    def corrupt_count(box: bytes, count: int) -> bytes:
+        """Return the file with the box's 4-byte count field set huge."""
+        k = mp4.find(box)
+        assert k > 0, box
+        out = bytearray(mp4)
+        # fullbox: size(4) type(4) version/flags(4) then the count field —
+        # except stsz where the count is at offset 8 after version/flags
+        # (sample_size first).
+        off = k + 4 + 4 + (4 if box == b"stsz" else 0)
+        out[off : off + 4] = count.to_bytes(4, "big")
+        return bytes(out)
+
+    # huge ne in stsc -> 12*ne runs past the box payload
+    with pytest.raises(ValueError, match="truncated stsc"):
+        mp4_demux(corrupt_count(b"stsc", 1 << 24))
+    # huge nc in stco -> 4*nc offsets past the box payload
+    with pytest.raises(ValueError, match="truncated stco"):
+        mp4_demux(corrupt_count(b"stco", 1 << 24))
+    # huge n in stsz (variable sizes) -> 4*n sizes past the box payload
+    with pytest.raises(ValueError, match="truncated stsz"):
+        mp4_demux(corrupt_count(b"stsz", 1 << 24))
+    # stsz box whose SIZE field says the payload is smaller than its own
+    # 12-byte fixed header -> probe must refuse before unpacking
+    k = mp4.find(b"stsz")
+    shrunk = bytearray(mp4)
+    shrunk[k - 4 : k] = (10).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated stsz"):
+        mp4_probe(bytes(shrunk))
+
+
+def test_mp4_lazy_decode_only_sampled_frames(monkeypatch):
+    """Scale contract (r5 ADVICE): a long MJPEG clip pays a JPEG decode only
+    for the frames actually emitted — image_features' first frame and
+    sample_frames' strided picks — never one per sample."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators import codecs, multimodal
+
+    rng = np.random.default_rng(59)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(12)]
+    mp4 = codecs.mp4_encode_mjpeg(frames, fps=10, quality=90)
+
+    calls = {"n": 0}
+    real = codecs.jpeg_decode
+
+    def counting(raw):
+        calls["n"] += 1
+        return real(raw)
+
+    monkeypatch.setattr(codecs, "jpeg_decode", counting)
+
+    img = multimodal._decode_image(mp4)
+    assert img is not None and calls["n"] == 1  # thumbnail = 1 decode, not 12
+
+    calls["n"] = 0
+    picks = multimodal._sample_media_frames(mp4, "mp4", every_n=4, max_frames=3)
+    assert [fi for fi, _ in picks] == [0, 4, 8]
+    assert calls["n"] == 3  # only the strided indices, not all 12
+
+
 def test_real_mp4_frame_sampling_and_features(spark):
     """A Motion-JPEG mp4 payload fans out to ACTUAL decoded frames through
     sample_frames (stride + cap on the real sample sequence, PNG
