@@ -61,12 +61,14 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples per pixel
 
 
 def sniff(payload: bytes) -> str | None:
-    """Media container by magic bytes: 'png', 'wav', 'gif', 'jpeg', 'mp4',
-    or None."""
+    """Media container by magic bytes: 'png', 'wav', 'flac', 'gif', 'jpeg',
+    'mp4', or None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if payload[:3] == b"\xff\xd8\xff":
@@ -1798,3 +1800,579 @@ def mp4_encode_mjpeg(
     moov = moov_for(first_sample)
     mdat = _box(b"mdat", b"".join(samples))
     return ftyp + moov + mdat
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639) — pure-stdlib lossless audio codec.
+#
+# Decoder scope: STREAMINFO + skipped metadata blocks; fixed-blocking frames;
+# constant / verbatim / fixed(0-4) / LPC subframes; partitioned Rice residuals
+# (4- and 5-bit parameters + escape-to-raw); wasted bits; all four channel
+# layouts (independent, left-side, right-side, mid-side); CRC-8 header and
+# CRC-16 frame checks enforced; STREAMINFO MD5 verified for byte-aligned bit
+# depths. The fixture encoder below emits a conformant subset (fixed
+# predictors or a forced-LPC twin, single-partition Rice or raw escape,
+# wasted-bit extraction) so every decoder path round-trips under tests.
+# Errors are ValueError per the codec contract (like JPEG/PNG/MP4 above).
+
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_SSIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    top, mask = 1 << (width - 1), (1 << width) - 1
+    tbl = []
+    for b in range(256):
+        r = b << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) & mask if r & top else (r << 1) & mask
+        tbl.append(r)
+    return tbl
+
+
+_CRC8_TBL = _crc_table(0x07, 8)
+_CRC16_TBL = _crc_table(0x8005, 16)
+
+
+def _flac_crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8_TBL[c ^ b]
+    return c
+
+
+def _flac_crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFF) ^ _CRC16_TBL[(c >> 8) ^ b]
+    return c
+
+
+class _MsbBitReader:
+    """Plain MSB-first bit reader (no JPEG byte-stuffing). Overruns raise
+    ValueError so truncated streams fail loudly per the codec contract."""
+
+    __slots__ = ("d", "bitpos")
+
+    def __init__(self, d: bytes, bitpos: int = 0):
+        self.d = d
+        self.bitpos = bitpos
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.bitpos + n
+        if end > 8 * len(self.d):
+            raise ValueError("flac: truncated stream")
+        first = self.bitpos >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self.d[first:last], "big")
+        self.bitpos = end
+        return (chunk >> ((last << 3) - end)) & ((1 << n) - 1)
+
+    def sread(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        d, pos = self.d, self.bitpos
+        total = 8 * len(d)
+        q = 0
+        while True:
+            if pos >= total:
+                raise ValueError("flac: truncated unary code")
+            rem = 8 - (pos & 7)
+            bits = d[pos >> 3] & ((1 << rem) - 1)
+            if bits == 0:
+                q += rem
+                pos += rem
+                continue
+            lead = rem - bits.bit_length()
+            self.bitpos = pos + lead + 1
+            return q + lead
+
+    @property
+    def byte_pos(self) -> int:
+        return (self.bitpos + 7) >> 3
+
+    def align(self) -> None:
+        self.bitpos = self.byte_pos << 3
+
+
+class _MsbBitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def unary(self, q: int) -> None:
+        # q zero bits then a one — exactly the integer 1 in q+1 bits.
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        assert self.nbits == 0, "unaligned"
+        return bytes(self.buf)
+
+
+def _read_coded_number(r: _MsbBitReader) -> int:
+    """UTF-8-style variable-length frame/sample number (up to 36 bits)."""
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("flac: bad coded number")
+    val = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        b = r.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("flac: bad coded number continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+def _write_coded_number(val: int) -> bytes:
+    if val < 0x80:
+        return bytes([val])
+    for n in range(2, 8):
+        if val < (1 << (5 * n + 1)):
+            break
+    out = [((0xFF << (8 - n)) & 0xFF) | (val >> (6 * (n - 1)))]
+    for k in range(n - 2, -1, -1):
+        out.append(0x80 | ((val >> (6 * k)) & 0x3F))
+    return bytes(out)
+
+
+def _flac_residual(r: _MsbBitReader, bs: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual coding method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    if bs % nparts:
+        raise ValueError("flac: partition order does not divide block size")
+    out: list[int] = []
+    for p in range(nparts):
+        count = (bs >> po) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("flac: partition smaller than predictor order")
+        param = r.read(pbits)
+        if param == escape:
+            nb = r.read(5)
+            out.extend(r.sread(nb) for _ in range(count))
+        else:
+            for _ in range(count):
+                q = r.unary()
+                v = (q << param) | r.read(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe(r: _MsbBitReader, bs: int, bps: int) -> list[int]:
+    if r.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.unary() + 1
+        bps -= wasted
+        if bps <= 0:
+            raise ValueError("flac: wasted bits exceed sample size")
+    if t == 0:  # constant
+        out = [r.sread(bps)] * bs
+    elif t == 1:  # verbatim
+        out = [r.sread(bps) for _ in range(bs)]
+    elif 8 <= t <= 12:  # fixed predictor
+        order = t - 8
+        if order > bs:
+            raise ValueError("flac: predictor order exceeds block size")
+        out = [r.sread(bps) for _ in range(order)]
+        res = _flac_residual(r, bs, order)
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, bs):
+            p = 0
+            for j, c in enumerate(coefs):
+                p += c * out[i - 1 - j]
+            out.append(res[i - order] + p)
+    elif t >= 32:  # LPC
+        order = (t & 31) + 1
+        if order > bs:
+            raise ValueError("flac: predictor order exceeds block size")
+        out = [r.sread(bps) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid lpc precision")
+        shift = r.sread(5)
+        if shift < 0:
+            raise ValueError("flac: negative lpc shift")
+        coefs = [r.sread(prec) for _ in range(order)]
+        res = _flac_residual(r, bs, order)
+        for i in range(order, bs):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * out[i - 1 - j]
+            out.append(res[i - order] + (acc >> shift))
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def flac_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream to ``((n, channels) int64, sample_rate)`` —
+    int64 like :func:`wav_decode`, so downstream exact-integer energy sums
+    cannot overflow.
+
+    Enforces the frame-header CRC-8, whole-frame CRC-16, and (for
+    byte-aligned bit depths) the STREAMINFO MD5 of the decoded PCM.
+    ValueError on anything malformed, truncated, or reserved."""
+    import hashlib as _hashlib
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("flac: missing fLaC magic")
+    r = _MsbBitReader(payload, 32)
+    info = None
+    last = False
+    while not last:
+        last = bool(r.read(1))
+        btype = r.read(7)
+        blen = r.read(24)
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("flac: bad STREAMINFO length")
+            r.read(16), r.read(16), r.read(24), r.read(24)
+            rate = r.read(20)
+            nch = r.read(3) + 1
+            bps = r.read(5) + 1
+            total = r.read(36)
+            md5 = b"".join(r.read(8).to_bytes(1, "big") for _ in range(16))
+            info = (rate, nch, bps, total, md5)
+        else:
+            if btype == 127:
+                raise ValueError("flac: invalid metadata block type")
+            if r.bitpos + 8 * blen > 8 * len(payload):
+                raise ValueError("flac: truncated metadata block")
+            r.bitpos += 8 * blen
+    if info is None:
+        raise ValueError("flac: missing STREAMINFO")
+    rate, nch, bps, total, md5 = info
+    if rate == 0:
+        raise ValueError("flac: zero sample rate")
+
+    frames: list[list[list[int]]] = []
+    ndec = 0
+    while (ndec < total) if total else (r.byte_pos < len(payload)):
+        r.align()
+        fstart = r.byte_pos
+        if r.read(14) != 0x3FFE:
+            raise ValueError("flac: bad frame sync")
+        r.read(1)  # reserved (blocking-strategy-must-match left to players)
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        if r.read(1):
+            raise ValueError("flac: reserved frame header bit")
+        _read_coded_number(r)
+        if bs_code == 0:
+            raise ValueError("flac: reserved block size code")
+        elif bs_code == 1:
+            bs = 192
+        elif bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bs = r.read(8) + 1
+        elif bs_code == 7:
+            bs = r.read(16) + 1
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 15:
+            raise ValueError("flac: invalid sample rate code")
+        elif sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        if ss_code == 0:
+            fbps = bps
+        elif ss_code == 3:
+            raise ValueError("flac: reserved sample size code")
+        else:
+            fbps = _FLAC_SSIZE[ss_code]
+        crc8 = r.read(8)
+        if _flac_crc8(payload[fstart : r.byte_pos - 1]) != crc8:
+            raise ValueError("flac: frame header crc mismatch")
+
+        if ch_code <= 7:
+            fch = ch_code + 1
+            side = None
+        elif ch_code <= 10:
+            fch = 2
+            side = ("left", "right", "mid")[ch_code - 8]
+        else:
+            raise ValueError("flac: reserved channel assignment")
+        if fch != nch:
+            raise ValueError("flac: frame channel count differs from STREAMINFO")
+
+        chans = []
+        for c in range(fch):
+            extra = 1 if (
+                (side == "left" and c == 1)
+                or (side == "right" and c == 0)
+                or (side == "mid" and c == 1)
+            ) else 0
+            chans.append(_flac_subframe(r, bs, fbps + extra))
+        if side == "left":  # ch0=left, ch1=side -> right = left - side
+            chans = [chans[0], [l - s for l, s in zip(chans[0], chans[1])]]
+        elif side == "right":  # ch0=side, ch1=right -> left = right + side
+            chans = [[rt + s for s, rt in zip(chans[0], chans[1])], chans[1]]
+        elif side == "mid":
+            mids, sides = chans
+            left, right = [], []
+            for m, s in zip(mids, sides):
+                m2 = (m << 1) | (s & 1)
+                left.append((m2 + s) >> 1)
+                right.append((m2 - s) >> 1)
+            chans = [left, right]
+        r.align()
+        crc16 = r.read(16)
+        if _flac_crc16(payload[fstart : r.byte_pos - 2]) != crc16:
+            raise ValueError("flac: frame crc mismatch")
+        frames.append(chans)
+        ndec += bs
+
+    n = total or ndec
+    out = np.empty((n, nch), dtype=np.int64)
+    row = 0
+    for chans in frames:
+        bs = len(chans[0])
+        take = min(bs, n - row)
+        for c in range(nch):
+            out[row : row + take, c] = chans[c][:take]
+        row += take
+    if md5 != b"\x00" * 16 and bps % 8 == 0:
+        width = bps // 8
+        pcm = bytearray()
+        for i in range(n):
+            for c in range(nch):
+                pcm += int(out[i, c]).to_bytes(width, "little", signed=True)
+        if _hashlib.md5(bytes(pcm)).digest() != md5:
+            raise ValueError("flac: decoded PCM fails STREAMINFO md5")
+    return out, rate
+
+
+def _rice_cost(us: list[int], param: int) -> int:
+    return len(us) * (param + 1) + sum(u >> param for u in us)
+
+
+def _encode_residual(w: _MsbBitWriter, res: list[int], pbits: int = 4) -> None:
+    """Single-partition Rice (or escape-to-raw when cheaper/necessary)."""
+    w.write(pbits - 4, 2)  # method: 0=rice4, 1=rice5
+    w.write(0, 4)  # partition order 0
+    escape = (1 << pbits) - 1
+    us = [(v << 1) ^ (v >> 63) for v in res]
+    best_p, best_cost = 0, None
+    for p in range(escape):
+        c = _rice_cost(us, p)
+        if best_cost is None or c < best_cost:
+            best_p, best_cost = p, c
+    nb = max((v.bit_length() + 1 for v in res), default=1)
+    nb = min(nb, 31)
+    if res and (nb * len(res) < best_cost or max(us).bit_length() > 40):
+        w.write(escape, pbits)
+        w.write(nb, 5)
+        for v in res:
+            w.write(v, nb)
+        return
+    w.write(best_p, pbits)
+    for u in us:
+        w.unary(u >> best_p)
+        w.write(u, best_p)
+
+
+def _encode_subframe(w: _MsbBitWriter, xs: list[int], bps: int, force_lpc: bool) -> None:
+    w.write(0, 1)  # padding
+    wasted = 0
+    if any(xs):
+        tz = min((v & -v).bit_length() - 1 for v in xs if v)
+        if all(v == 0 or (v & ((1 << tz) - 1)) == 0 for v in xs):
+            wasted = tz
+    if wasted:
+        xs = [v >> wasted for v in xs]
+        bps -= wasted
+    if all(v == xs[0] for v in xs):
+        w.write(0, 6)  # constant
+        w.write(1 if wasted else 0, 1)
+        if wasted:
+            w.unary(wasted - 1)
+        w.write(xs[0], bps)
+        return
+    # pick the fixed order 0-2 with the smallest |residual| sum
+    cands = []
+    for order in (0, 1, 2):
+        if order >= len(xs):
+            break
+        coefs = _FIXED_COEFS[order]
+        res = [
+            xs[i] - sum(c * xs[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(xs))
+        ]
+        cands.append((sum(abs(v) for v in res), order, res))
+    _, order, res = min(cands)
+    if force_lpc and order == 2:
+        w.write(32 + (order - 1), 6)  # LPC, order 2
+        w.write(1 if wasted else 0, 1)
+        if wasted:
+            w.unary(wasted - 1)
+        for v in xs[:order]:
+            w.write(v, bps)
+        w.write(12 - 1, 4)  # precision 12
+        w.write(0, 5)  # shift 0
+        w.write(2, 12)
+        w.write(-1, 12)
+    else:
+        w.write(8 + order, 6)
+        w.write(1 if wasted else 0, 1)
+        if wasted:
+            w.unary(wasted - 1)
+        for v in xs[:order]:
+            w.write(v, bps)
+    _encode_residual(w, res, pbits=4 if bps <= 17 else 5)
+
+
+def flac_encode(
+    samples: np.ndarray,
+    rate: int = 16000,
+    block_size: int = 4096,
+    stereo_mode: str = "indep",
+    force_lpc: bool = False,
+) -> bytes:
+    """Encode int PCM ``(n,)`` or ``(n, channels)`` as a conformant FLAC
+    stream (16-bit). ``stereo_mode`` picks the channel decorrelation
+    (``indep``/``left_side``/``right_side``/``mid_side``; stereo input
+    only); ``force_lpc`` emits order-2 subframes through the LPC layout
+    (coefs [2,-1], shift 0 — bit-identical output to the fixed predictor)
+    so decoder LPC paths are exercisable from pure fixtures."""
+    import hashlib as _hashlib
+
+    x = np.asarray(samples)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    if not (1 <= nch <= 8):
+        raise ValueError("flac: 1-8 channels")
+    bps = 16
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if x.size and (x.min() < lo or x.max() > hi):
+        raise ValueError("flac: samples exceed 16-bit range")
+    if stereo_mode != "indep" and nch != 2:
+        raise ValueError("flac: stereo_mode needs 2 channels")
+    if not (16 <= block_size <= 65535):
+        raise ValueError("flac: block_size out of range")
+
+    pcm = bytearray()
+    for i in range(n):
+        for c in range(nch):
+            pcm += int(x[i, c]).to_bytes(2, "little", signed=True)
+    md5 = _hashlib.md5(bytes(pcm)).digest()
+
+    hdr = _MsbBitWriter()
+    hdr.write(1, 1)  # last metadata block
+    hdr.write(0, 7)  # STREAMINFO
+    hdr.write(34, 24)
+    bs_field = min(block_size, max(n, 16)) if n else block_size
+    hdr.write(bs_field, 16)
+    hdr.write(bs_field, 16)
+    hdr.write(0, 24)
+    hdr.write(0, 24)
+    hdr.write(rate, 20)
+    hdr.write(nch - 1, 3)
+    hdr.write(bps - 1, 5)
+    hdr.write(n, 36)
+    for b in md5:
+        hdr.write(b, 8)
+
+    ch_code = {"indep": nch - 1, "left_side": 8, "right_side": 9, "mid_side": 10}[
+        stereo_mode
+    ]
+    body = bytearray()
+    for fi, start in enumerate(range(0, max(n, 1), block_size)):
+        blk = x[start : start + block_size]
+        bs = len(blk)
+        if bs == 0:
+            break
+        w = _MsbBitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocking
+        w.write(7, 4)  # explicit 16-bit block size
+        w.write(13, 4) if rate <= 65535 else w.write(12, 4)
+        w.write(ch_code, 4)
+        w.write(4, 3)  # 16 bps
+        w.write(0, 1)
+        for b in _write_coded_number(fi):
+            w.write(b, 8)
+        w.write(bs - 1, 16)
+        if rate <= 65535:
+            w.write(rate, 16)
+        elif rate % 1000 == 0 and rate // 1000 <= 255:
+            w.write(rate // 1000, 8)
+        else:
+            raise ValueError("flac: unrepresentable sample rate")
+        head = w
+        head.align()
+        hb = bytearray(head.getvalue())
+        hb.append(_flac_crc8(bytes(hb)))
+        fw = _MsbBitWriter()
+        for b in hb:
+            fw.write(b, 8)
+        cols = [blk[:, c].astype(np.int64).tolist() for c in range(nch)]
+        if stereo_mode == "left_side":
+            chans = [(cols[0], bps), ([l - r for l, r in zip(*cols)], bps + 1)]
+        elif stereo_mode == "right_side":
+            chans = [([l - r for l, r in zip(*cols)], bps + 1), (cols[1], bps)]
+        elif stereo_mode == "mid_side":
+            chans = [
+                ([(l + r) >> 1 for l, r in zip(*cols)], bps),
+                ([l - r for l, r in zip(*cols)], bps + 1),
+            ]
+        else:
+            chans = [(col, bps) for col in cols]
+        for xs, cbps in chans:
+            _encode_subframe(fw, xs, cbps, force_lpc)
+        fw.align()
+        fb = bytearray(fw.getvalue())
+        fb += _flac_crc16(bytes(fb)).to_bytes(2, "big")
+        body += fb
+
+    hdr.align()
+    return b"fLaC" + hdr.getvalue() + bytes(body)

@@ -300,8 +300,11 @@ def audio_features(assets: DataFrame) -> DataFrame:
 
     RIFF/WAVE payloads are REALLY decoded (stdlib ``wave``): n_samples,
     energy and RMS come from the actual PCM samples (8-bit centered,
-    16-bit native). Non-WAV payloads keep the deterministic byte-as-sample
-    fallback (each byte − 128). Energy is an exact integer sum
+    16-bit native). FLAC payloads are REALLY decoded too (pure-stdlib
+    RFC 9639 decoder, codecs.py: Rice residuals, fixed/LPC predictors,
+    stereo decorrelation, CRC+MD5 verified). Other payloads keep the
+    deterministic byte-as-sample fallback
+    (each byte − 128). Energy is an exact integer sum
     (engine-order-independent) and RMS is one IEEE sqrt of an exact ratio,
     so the oracle matches bit-for-bit — the same determinism-by-construction
     discipline as the image kernel.
@@ -316,9 +319,11 @@ def audio_features(assets: DataFrame) -> DataFrame:
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 x = None
-                if codecs.sniff(raw) == "wav":
+                kind = codecs.sniff(raw)
+                if kind in ("wav", "flac"):
                     try:
-                        x = codecs.wav_decode(raw)[0].reshape(-1)
+                        dec = codecs.wav_decode if kind == "wav" else codecs.flac_decode
+                        x = dec(raw)[0].reshape(-1)
                     except Exception:  # malformed/truncated container -> fallback
                         x = None
                 if x is None:

@@ -181,6 +181,148 @@ def test_real_wav_audio_features(spark):
     assert rows[1].n_samples == 1000 and rows[1].energy == 2 * e_mono
 
 
+def test_flac_roundtrip_all_paths():
+    """FLAC encode→decode identity across every decoder path: fixed and
+    forced-LPC predictors, all four stereo decorrelation modes, constant
+    and wasted-bits subframes, Rice and raw-escape residuals, multi-frame
+    streams, and the empty stream."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.codecs import flac_decode, flac_encode
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 3000, 10000).astype(np.int16)
+
+    # mono, multiple frames
+    dec, rate = flac_decode(flac_encode(x, rate=16000, block_size=4096))
+    assert rate == 16000 and np.array_equal(dec[:, 0], x.astype(np.int64))
+
+    # stereo, all channel layouts
+    st2 = np.stack(
+        [rng.normal(0, 5000, 5000).astype(np.int16),
+         rng.normal(0, 5000, 5000).astype(np.int16)],
+        axis=1,
+    )
+    for mode in ("indep", "left_side", "right_side", "mid_side"):
+        dec, rate = flac_decode(
+            flac_encode(st2, rate=44100, block_size=1024, stereo_mode=mode)
+        )
+        assert rate == 44100 and np.array_equal(dec, st2.astype(np.int64)), mode
+
+    # LPC subframe layout (bit-identical predictor expressed through LPC)
+    dec, _ = flac_decode(flac_encode(x, rate=8000, force_lpc=True))
+    assert np.array_equal(dec[:, 0], x.astype(np.int64))
+
+    # constant subframe + wasted-bits extraction
+    const = np.full(3000, 640, dtype=np.int16)
+    dec, _ = flac_decode(flac_encode(const, rate=16000))
+    assert np.array_equal(dec[:, 0], const.astype(np.int64))
+    shifted = (rng.integers(-400, 400, 2000) * 64).astype(np.int16)
+    dec, _ = flac_decode(flac_encode(shifted, rate=16000))
+    assert np.array_equal(dec[:, 0], shifted.astype(np.int64))
+
+    # raw-escape residuals on max-entropy noise (rice would expand)
+    noise = rng.integers(-(2**15), 2**15, 4096).astype(np.int16)
+    dec, _ = flac_decode(flac_encode(noise, rate=16000))
+    assert np.array_equal(dec[:, 0], noise.astype(np.int64))
+
+    # empty stream
+    dec, _ = flac_decode(flac_encode(np.zeros((0,), dtype=np.int16)))
+    assert dec.shape == (0, 1)
+
+
+def test_flac_crc_anchors_and_error_contract():
+    """The CRC polynomials match the FLAC spec via published check values
+    (CRC-8 poly 0x07 -> 0xF4, CRC-16/BUYPASS poly 0x8005 -> 0xFEE8 over
+    b'123456789') — an anchor independent of our own encoder. Malformed
+    streams raise ValueError: bad magic, truncation, a flipped payload
+    byte (frame CRC-16), and a corrupted STREAMINFO MD5."""
+    import numpy as np
+    import pytest
+
+    from kafkasparkstream_spark.operators.codecs import (
+        _flac_crc8,
+        _flac_crc16,
+        flac_decode,
+        flac_encode,
+    )
+
+    assert _flac_crc8(b"123456789") == 0xF4
+    assert _flac_crc16(b"123456789") == 0xFEE8
+
+    x = np.arange(-1000, 1000, dtype=np.int16)
+    enc = flac_encode(x, rate=16000)
+    with pytest.raises(ValueError, match="magic"):
+        flac_decode(b"XLAC" + enc[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        flac_decode(enc[: len(enc) - 6])
+    with pytest.raises(ValueError, match="crc"):
+        flac_decode(enc[:-1] + bytes([enc[-1] ^ 0xFF]))
+    # corrupt one MD5 byte in STREAMINFO (offset: 4 magic + 4 block header
+    # + 18 fixed fields; md5 is the last 16 bytes of the 34-byte block)
+    bad = bytearray(enc)
+    bad[8 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="md5"):
+        flac_decode(bytes(bad))
+
+
+def test_flac_roundtrip_property():
+    """Property: any int16 signal, mono or stereo, any stereo mode,
+    round-trips bit-exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkasparkstream_spark.operators.codecs import flac_decode, flac_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 600),
+        mode=st.sampled_from(["mono", "indep", "left_side", "right_side", "mid_side"]),
+        scale=st.sampled_from([1, 40, 32000]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(n, mode, scale, seed):
+        rng = np.random.default_rng(seed)
+        x = np.clip(
+            rng.normal(0, scale, (n, 1 if mode == "mono" else 2)), -32768, 32767
+        ).astype(np.int16)
+        enc = flac_encode(
+            x, rate=8000, block_size=256,
+            stereo_mode="indep" if mode == "mono" else mode,
+        )
+        dec, rate = flac_decode(enc)
+        assert rate == 8000 and np.array_equal(dec, x.astype(np.int64))
+
+    roundtrip()
+
+
+def test_real_flac_audio_features(spark):
+    """FLAC payloads must yield sample counts/energy from the decoded PCM,
+    matching the same signal shipped as WAV."""
+    import numpy as np
+
+    from kafkasparkstream_spark.operators.codecs import flac_encode, wav_encode
+    from kafkasparkstream_spark.operators.multimodal import audio_features
+
+    x = (np.sin(np.arange(700) / 5.0) * 11000).astype(np.int16)
+    stereo = np.stack([x, -x], axis=1)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(flac_encode(x, rate=16000))),
+            (1, bytearray(flac_encode(stereo, rate=16000, stereo_mode="mid_side"))),
+            (2, bytearray(wav_encode(x))),
+        ],
+        "asset_id long, payload binary",
+    )
+    rows = {r.asset_id: r for r in audio_features(df).collect()}
+    e_mono = int((x.astype(np.int64) ** 2).sum())
+    assert rows[0].n_samples == 700 and rows[0].energy == e_mono
+    assert rows[1].n_samples == 1400 and rows[1].energy == 2 * e_mono
+    # FLAC and WAV of the same signal agree exactly
+    assert rows[0].energy == rows[2].energy and rows[0].rms == rows[2].rms
+
+
 def test_mixed_real_and_fallback_assets(spark):
     """One DataFrame mixing a real PNG, a truncated PNG, and garbage bytes:
     the real one decodes, the malformed ones fall back deterministically —
