@@ -1,0 +1,110 @@
+"""Two-decade scaling probe for the dedup/ANN families (VERDICT r5 item 7).
+
+Runs the document-dedup and embedding-ANN registry queries Spark-side (no
+oracle) at sf0.1, sf1.0 (make_sf1.py) and sf10 (make_sf10.py), and records
+per-query wall seconds plus decade ratios in SCALE_DECADES.json. The claim
+under test: the banded/tiled/bucketed plans scale ~linearly in input size
+across TWO decades — a quadratic plan would show a ~100x second-decade
+ratio, linear shows ~10x (documents) / ~4x-ish supra-linear only where
+output size itself grows (pair queries over replicated corpora).
+
+Each query runs once cold (these are scale probes, not minima hunts) with
+deep_release between queries so no pinned storage bleeds across
+measurements (session-pinned-storage hazard, r4).
+
+Usage:
+    python scripts/make_sf1.py && python scripts/make_sf10.py
+    python scripts/scale_decades.py [--only name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
+# Spark-side probe set: every registry query whose only inputs are the two
+# sf10-generated tables. Pair-enumerating queries over a replicated corpus
+# legitimately grow output supra-linearly; they are annotated so the
+# artifact separates plan cost from output growth.
+PROBE = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_source_matrix",
+    "dedup_edit_distance_blocked",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "embedding_neardup",
+    "embedding_norm_stats",
+    "kmeans_embeddings",
+    "semdedup_clusters",
+    "knn_graph",
+    "pagerank_knn_graph",
+]
+PAIR_OUTPUT = {
+    "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_containment", "embedding_neardup", "dedup_edit_distance_blocked",
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--sf-dirs", nargs="*",
+        default=["/root/testdata/sf0.1", str(_ROOT / ".scratch/sf1.0"),
+                 str(_ROOT / ".scratch/sf10")],
+    )
+    args = ap.parse_args()
+    names = args.only or PROBE
+
+    from kafkasparkstream_spark.session import get_spark
+    from kafkasparkstream_spark.operators.dedup import deep_release
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="scale-decades")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    result: dict = {"sf_dirs": args.sf_dirs, "queries": {}}
+    for sf_dir in args.sf_dirs:
+        label = os.path.basename(sf_dir.rstrip("/"))
+        for name in names:
+            t0 = time.perf_counter()
+            n = len(queries[name](spark, sf_dir).collect())
+            dt = round(time.perf_counter() - t0, 2)
+            deep_release(spark)
+            result["queries"].setdefault(name, {})[label] = {"sec": dt, "rows": n}
+            print(f"{label} {name}: {dt}s ({n} rows)", flush=True)
+
+    labels = [os.path.basename(d.rstrip("/")) for d in args.sf_dirs]
+    for name, per in result["queries"].items():
+        ratios = []
+        for a, b in zip(labels, labels[1:]):
+            if a in per and b in per and per[a]["sec"] > 0:
+                ratios.append(round(per[b]["sec"] / per[a]["sec"], 2))
+        per["decade_ratios"] = ratios
+        per["pair_output"] = name in PAIR_OUTPUT
+    with open(_ROOT / "SCALE_DECADES.json", "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print("wrote SCALE_DECADES.json")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
