@@ -2449,7 +2449,55 @@ EVENT_WIRE_SCHEMA = StructType(
 )
 
 
+import atexit  # noqa: E402
 import contextlib  # noqa: E402
+import os  # noqa: E402
+import shutil  # noqa: E402
+import tempfile  # noqa: E402
+import time  # noqa: E402
+
+_STREAM_WORKDIRS: list[str] = []
+_STALE_WORKDIR_S = 1800.0  # a live streaming registry query holds its dir for seconds
+
+
+def _reap_stream_workdirs() -> None:
+    for d in _STREAM_WORKDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_WORKDIRS.clear()
+
+
+atexit.register(_reap_stream_workdirs)
+
+
+def _stream_workdir(prefix: str) -> str:
+    """mkdtemp for a streaming query's wire copy / checkpoint / sink, with
+    two leak guards the bare ``tempfile.mkdtemp`` lacked. Every dir this
+    process creates is rmtree'd at exit — the returned result DataFrame
+    reads the sink lazily, so the dir must outlive the caller's collect,
+    and process exit is the only point that is guaranteed. And stale
+    same-prefix dirs from earlier *crashed* processes (atexit never ran)
+    are reaped on sight once older than 30 minutes. Without both guards,
+    every bench/sweep/test invocation of a streaming registry query leaked
+    its ~250 MB workdir forever: 81 GB had accumulated by round 6, enough
+    to fail concurrent Spark shuffles with ENOSPC."""
+    root = tempfile.gettempdir()
+    now = time.time()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        entries = []
+    for entry in entries:
+        if not entry.startswith(prefix):
+            continue
+        path = os.path.join(root, entry)
+        try:
+            if now - os.path.getmtime(path) > _STALE_WORKDIR_S:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
+    d = tempfile.mkdtemp(prefix=prefix)
+    _STREAM_WORKDIRS.append(d)
+    return d
 
 
 @contextlib.contextmanager
@@ -2589,7 +2637,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.streaming.sinks import latest_state
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_stream_")
+    workdir = _stream_workdir("kss_stream_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
     _events_to_wire(events, src)
 
@@ -2664,7 +2712,7 @@ def streaming_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_upsert_")
+    workdir = _stream_workdir("kss_upsert_")
     src, tbl, ckpt = f"{workdir}/src", f"{workdir}/tbl", f"{workdir}/ckpt"
     _events_to_wire(events, src)
 
@@ -3987,7 +4035,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.streaming.stateful import running_user_totals
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_state_")
+    workdir = _stream_workdir("kss_state_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
     _events_to_wire(events, src, n_files=2)
 
@@ -4532,7 +4580,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_ssjoin_")
+    workdir = _stream_workdir("kss_ssjoin_")
 
     src_c, src_e = f"{workdir}/clicks", f"{workdir}/errors"
     _events_to_wire(events.filter(F.col("event_type") == "click"), src_c)
@@ -4622,7 +4670,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_sesswin_")
+    workdir = _stream_workdir("kss_sesswin_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
     _wire_with_flush_sentinel(events, src)
 
@@ -5238,7 +5286,7 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_chain_")
+    workdir = _stream_workdir("kss_chain_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
     _wire_with_flush_sentinel(events, src)
 
@@ -5548,7 +5596,7 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_enrich_")
+    workdir = _stream_workdir("kss_enrich_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
     _events_to_wire(events, src)
 
@@ -5993,7 +6041,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_ddr_")
+    workdir = _stream_workdir("kss_ddr_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
     doubled = events.unionByName(events)  # the re-delivered topic
     _events_to_wire(doubled, src)
@@ -6623,7 +6671,7 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.streaming.sinks import foreach_batch_parquet_sink
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_lojoin_")
+    workdir = _stream_workdir("kss_lojoin_")
 
     src_c, src_e = f"{workdir}/clicks", f"{workdir}/errors"
     # anchor both sentinels on the PARENT table's max ts: the global
@@ -6873,7 +6921,7 @@ def python_stream_source_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(SensorGenDataSource)
     except Exception:
         pass
-    workdir = tempfile.mkdtemp(prefix="kss_pysrc_")
+    workdir = _stream_workdir("kss_pysrc_")
     sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
     stream = (
         spark.readStream.format("sensor_gen")
@@ -8177,7 +8225,7 @@ def streaming_batch_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.streaming.sinks import latest_state
 
     events = load_table(spark, "events", sf_dir)
-    workdir = tempfile.mkdtemp(prefix="kss_parity_")
+    workdir = _stream_workdir("kss_parity_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
     _events_to_wire(events, src)
     cfg = PipelineConfig(

@@ -31,7 +31,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -44,6 +43,7 @@ def run_mode(spark, events, mode: str, n_files: int) -> dict:
         EVENT_WIRE_SCHEMA,
         _clamped_shuffle_partitions,
         _events_to_wire,
+        _stream_workdir,
         _wire_projection,
     )
     from kafkasparkstream_spark.sources.streams import file_json_stream
@@ -57,7 +57,7 @@ def run_mode(spark, events, mode: str, n_files: int) -> dict:
         latest_state,
     )
 
-    workdir = tempfile.mkdtemp(prefix=f"kss_tput_{mode}_")
+    workdir = _stream_workdir(f"kss_tput_{mode}_")
     src, sink, ckpt = f"{workdir}/src", f"{workdir}/sink", f"{workdir}/ckpt"
     if mode == "bulk":
         _events_to_wire(events, src, n_files=n_files)

@@ -1271,3 +1271,47 @@ def test_clamped_shuffle_partitions_is_scale_aware(spark):
             min(int(old), 8)
         )
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_stream_workdir_reaps_stale_and_registers_for_exit(tmp_path, monkeypatch):
+    """The streaming workdir leak guards (round 6): a crashed earlier
+    process's stale same-prefix dir is reaped on the next call, a fresh
+    (recent) dir is left alone, and every dir created by THIS process is
+    registered so the atexit hook removes it. Before the guards, each
+    streaming registry query leaked its ~250 MB workdir permanently —
+    81 GB had accumulated by round 6 and failed Spark shuffles with
+    ENOSPC."""
+    import os
+    import time as _time
+
+    from kafkasparkstream_spark import queries as q
+
+    monkeypatch.setattr(q.tempfile, "gettempdir", lambda: str(tmp_path))
+
+    stale = tmp_path / "kss_t_stale"
+    stale.mkdir()
+    (stale / "payload").write_text("x")
+    old = _time.time() - q._STALE_WORKDIR_S - 60
+    os.utime(stale, (old, old))
+    fresh = tmp_path / "kss_t_fresh"
+    fresh.mkdir()
+    other = tmp_path / "kss_other_stale"
+    other.mkdir()
+    os.utime(other, (old, old))
+
+    created = tmp_path / "kss_t_new"
+    created.mkdir()
+    monkeypatch.setattr(q.tempfile, "mkdtemp", lambda prefix: str(created))
+
+    before = list(q._STREAM_WORKDIRS)
+    got = q._stream_workdir("kss_t_")
+    assert got == str(created)
+    assert not stale.exists(), "stale same-prefix dir must be reaped"
+    assert fresh.exists(), "recent same-prefix dir must survive"
+    assert other.exists(), "other-prefix dirs are not this call's business"
+    assert q._STREAM_WORKDIRS[-1] == str(created)
+
+    q._reap_stream_workdirs()
+    assert not created.exists(), "atexit hook must remove registered dirs"
+    assert q._STREAM_WORKDIRS == []
+    q._STREAM_WORKDIRS.extend(d for d in before if os.path.isdir(d))
