@@ -86,7 +86,10 @@ def main() -> int:
         label = os.path.basename(sf_dir.rstrip("/"))
         for name in names:
             t0 = time.perf_counter()
-            n = len(queries[name](spark, sf_dir).collect())
+            # count(), not collect(): pair queries at sf10 emit ~15M rows
+            # (the replicated corpus forms 10-clique near-dup groups), and
+            # collect() would measure driver materialization, not plan cost.
+            n = queries[name](spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 2)
             deep_release(spark)
             result["queries"].setdefault(name, {})[label] = {"sec": dt, "rows": n}
