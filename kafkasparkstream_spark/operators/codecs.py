@@ -5,10 +5,11 @@ scanlines, WAV is raw PCM behind a RIFF header, GIF is LZW, and baseline
 JPEG is Huffman + 8×8 DCT — all decodable with the standard library plus
 numpy. These codecs make the multimodal operators' decode path REAL for the
 three dominant web-crawl image containers (PNG/GIF/JPEG), WAV audio, and
-Motion-JPEG MP4 video (real ISO-BMFF moov/stbl demux; the fixture muxer
-below produces conformant files), with the deterministic fakes in
+Motion-JPEG and avc1 MP4 video (real ISO-BMFF moov/stbl demux; baseline
+I-frame H.264 decode via :mod:`operators.h264`; the fixture muxers below
+produce conformant files), with the deterministic fakes in
 :mod:`multimodal` remaining the fallback only for payloads that genuinely
-need external libraries (H.264/HEVC video, arithmetic-coded JPEG).
+need external libraries (HEVC video, arithmetic-coded JPEG).
 
 Scope (honest partial codec, errors loudly outside it):
 
@@ -62,7 +63,7 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples per pixel
 
 def sniff(payload: bytes) -> str | None:
     """Media container by magic bytes: 'png', 'wav', 'flac', 'gif', 'jpeg',
-    'mp4', or None."""
+    'mp4', 'h264' (Annex B elementary stream), or None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -75,6 +76,13 @@ def sniff(payload: bytes) -> str | None:
         return "jpeg"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    # Annex B H.264 elementary stream: start code then a NAL header with
+    # forbidden_zero_bit clear and a plausible type (SPS/PPS/IDR/AUD/SEI)
+    for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+        if payload[: len(sc)] == sc and len(payload) > len(sc):
+            hdr = payload[len(sc)]
+            if not hdr & 0x80 and (hdr & 0x1F) in (1, 5, 6, 7, 8, 9):
+                return "h264"
     return None
 
 
@@ -1520,7 +1528,7 @@ def jpeg_encode_progressive(
 # exact per-sample byte ranges out of mdat — the container layer a frame-
 # sampling stage actually needs. Codec scope: Motion-JPEG ('jpeg' sample
 # entries), every sample a complete baseline JPEG that jpeg_decode handles;
-# other codecs (avc1/hev1...) probe fine but demux-decode is out of scope
+# other codecs (hev1...) probe fine but demux-decode is out of scope
 # and rejected loudly, falling back to the digest path in the kernels.
 # Mirrors the reference's opaque-payload treatment of media columns
 # (spark-processor/processor.py treats values as bytes end-to-end).
@@ -1704,14 +1712,99 @@ def mp4_demux(payload: bytes) -> list[bytes]:
 
 
 def mp4_decode_frames(payload: bytes) -> list[np.ndarray]:
-    """Decode a Motion-JPEG mp4 to ``(h, w, 3) uint8`` frames via the
-    baseline JPEG decoder. ValueError for non-MJPEG codecs (avc1...) —
+    """Decode an mp4's video track to ``(h, w, 3) uint8`` frames: MJPEG
+    samples via the baseline JPEG decoder, avc1 samples via the baseline
+    I-frame H.264 decoder (operators/h264.py; all-IDR streams — the shape
+    this repo's muxer writes). ValueError for other codecs (hev1...) —
     callers fall back to the digest path, same contract as progressive
     JPEG."""
     meta = mp4_probe(payload)
-    if meta["codec"] not in ("jpeg", "mjpa"):
-        raise ValueError(f"mp4: codec {meta['codec']!r} decode not supported (MJPEG only)")
-    return [jpeg_decode(s) for s in mp4_demux(payload)]
+    if meta["codec"] in ("jpeg", "mjpa"):
+        return [jpeg_decode(s) for s in mp4_demux(payload)]
+    if meta["codec"] == "avc1":
+        n = meta["n_samples"]
+        return mp4_decode_avc_samples(payload, list(range(n)))
+    raise ValueError(f"mp4: codec {meta['codec']!r} decode not supported")
+
+
+def _avc_config(payload: bytes) -> tuple[int, bytes]:
+    """(nal_length_size, annexb parameter-set prefix) from the avc1 sample
+    entry's avcC box."""
+    stbl_s, stbl_e = _video_stbl(payload)
+    stsd_s, stsd_e = _find_box(payload, [b"stsd"], stbl_s, stbl_e)
+    entry = stsd_s + 8  # skip version/flags + entry_count
+    if payload[entry + 4 : entry + 8] != b"avc1":
+        raise ValueError("mp4: not an avc1 sample entry")
+    (entry_size,) = struct.unpack(">I", payload[entry : entry + 4])
+    entry_end = min(entry + entry_size, stsd_e)
+    # children of a visual sample entry start after its 86 fixed bytes
+    avcc_s = avcc_e = None
+    for btype, ps, pe in _walk_boxes(payload, entry + 86, entry_end):
+        if btype == b"avcC":
+            avcc_s, avcc_e = ps, pe
+            break
+    if avcc_s is None:
+        raise ValueError("mp4: avc1 entry without avcC")
+    cfg = payload[avcc_s:avcc_e]
+    if len(cfg) < 7 or cfg[0] != 1:
+        raise ValueError("mp4: bad avcC")
+    length_size = (cfg[4] & 3) + 1
+    prefix = bytearray()
+    pos = 5
+    n_sps = cfg[pos] & 0x1F
+    pos += 1
+    for _ in range(n_sps):
+        if pos + 2 > len(cfg):
+            raise ValueError("mp4: truncated avcC")
+        (ln,) = struct.unpack(">H", cfg[pos : pos + 2])
+        pos += 2
+        prefix += b"\x00\x00\x00\x01" + cfg[pos : pos + ln]
+        pos += ln
+    if pos >= len(cfg):
+        raise ValueError("mp4: truncated avcC")
+    n_pps = cfg[pos]
+    pos += 1
+    for _ in range(n_pps):
+        if pos + 2 > len(cfg):
+            raise ValueError("mp4: truncated avcC")
+        (ln,) = struct.unpack(">H", cfg[pos : pos + 2])
+        pos += 2
+        prefix += b"\x00\x00\x00\x01" + cfg[pos : pos + ln]
+        pos += ln
+    return length_size, bytes(prefix)
+
+
+def _avc_sample_to_annexb(sample: bytes, length_size: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos + length_size <= len(sample):
+        ln = int.from_bytes(sample[pos : pos + length_size], "big")
+        pos += length_size
+        if pos + ln > len(sample):
+            raise ValueError("mp4: truncated avc sample")
+        out += b"\x00\x00\x00\x01" + sample[pos : pos + ln]
+        pos += ln
+    if pos != len(sample):
+        raise ValueError("mp4: trailing bytes in avc sample")
+    return bytes(out)
+
+
+def mp4_decode_avc_samples(payload: bytes, indices: list[int]) -> list[np.ndarray]:
+    """Decode only the given sample indices of an avc1 track (each sample
+    an IDR access unit — random access, so a strided thumbnail/sample pass
+    never decodes the whole clip)."""
+    from kafkasparkstream_spark.operators.h264 import h264_decode_annexb
+
+    length_size, prefix = _avc_config(payload)
+    ranges = _sample_ranges(payload)
+    out = []
+    for i in indices:
+        if not 0 <= i < len(ranges):
+            raise ValueError("mp4: sample index out of range")
+        o, s = ranges[i]
+        annexb = prefix + _avc_sample_to_annexb(payload[o : o + s], length_size)
+        out.append(h264_decode_annexb(annexb)[0])
+    return out
 
 
 def mp4_encode_mjpeg(
@@ -1723,7 +1816,68 @@ def mp4_encode_mjpeg(
     if not frames:
         raise ValueError("mp4: need at least one frame")
     h, w = frames[0].shape[:2]
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x0bMotion-JPEG" + b"\x00" * 20  # 32-byte compressorname
+        + struct.pack(">Hh", 24, -1)
+    )
     samples = [jpeg_encode(f, quality=quality) for f in frames]
+    return _mux_mp4_video(samples, w, h, fps, _box(b"jpeg", entry))
+
+
+def mp4_encode_h264(
+    frames: list[np.ndarray], fps: int = 10, qp: int = 28, mode: str = "i4x4"
+) -> bytes:
+    """Fixture-grade AVC mp4 muxer: frames encoded as all-IDR baseline
+    H.264 (operators/h264.py), SPS/PPS carried in the avcC configuration
+    box, each access unit stored as one length-prefixed sample."""
+    from kafkasparkstream_spark.operators import h264 as _h264
+
+    if not frames:
+        raise ValueError("mp4: need at least one frame")
+    h, w = frames[0].shape[:2]
+    stream = _h264.h264_encode_annexb(frames, qp=qp, mode=mode)
+    sps = pps = None
+    samples = []
+    for nal in _h264.split_annexb(stream):
+        typ = nal[0] & 0x1F
+        if typ == 7:
+            sps = nal
+        elif typ == 8:
+            pps = nal
+        elif typ == 5:
+            samples.append(struct.pack(">I", len(nal)) + nal)
+    assert sps is not None and pps is not None
+    avcc = _box(
+        b"avcC",
+        bytes([1, sps[1], sps[2], sps[3], 0xFC | 3, 0xE0 | 1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps,
+    )
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x04AVC\x00" + b"\x00" * 27  # 32-byte compressorname
+        + struct.pack(">Hh", 24, -1)
+    )
+    return _mux_mp4_video(samples, w, h, fps, _box(b"avc1", entry + avcc))
+
+
+def _mux_mp4_video(samples: list[bytes], w: int, h: int, fps: int,
+                   stsd_entry: bytes) -> bytes:
+    """Shared single-track video muxer core: correct ftyp/moov/mdat with
+    real sample tables (single chunk, per-sample stsz)."""
     n = len(samples)
     timescale = 1000
     delta = timescale // fps
@@ -1761,18 +1915,7 @@ def mp4_encode_mjpeg(
         hdlr = _full_box(
             b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
         )
-        entry = (
-            b"\x00" * 6
-            + struct.pack(">H", 1)  # data_reference_index
-            + b"\x00" * 16
-            + struct.pack(">HH", w, h)
-            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-            + b"\x00" * 4
-            + struct.pack(">H", 1)  # frame_count
-            + b"\x0bMotion-JPEG" + b"\x00" * 20  # 32-byte compressorname
-            + struct.pack(">Hh", 24, -1)
-        )
-        stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry))
+        stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
         stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
         stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
         stsz = _full_box(

@@ -1726,3 +1726,38 @@ def h264_probe(payload: bytes) -> dict:
         "n_idr": n_idr,
         "codec": "h264-baseline-cavlc-i",
     }
+
+
+def h264_decode_frames_at(payload: bytes, indices: list[int]) -> list[np.ndarray]:
+    """Decode only the given frame indices of an Annex B stream. Every
+    frame in this subset is an IDR (random access), so a strided
+    thumbnail/sample pass never pays for the full clip."""
+    sps = pps = None
+    slices: list[tuple[dict, dict, bytes]] = []
+    for nal in split_annexb(payload):
+        if not nal:
+            continue
+        typ = nal[0] & 0x1F
+        if typ == 7:
+            sps = _parse_sps(ebsp_to_rbsp(nal[1:]))
+        elif typ == 8:
+            pps = _parse_pps(ebsp_to_rbsp(nal[1:]))
+        elif typ == 5:
+            if sps is None or pps is None:
+                raise ValueError("h264: IDR slice before SPS/PPS")
+            slices.append((sps, pps, ebsp_to_rbsp(nal[1:])))
+    out = []
+    for i in indices:
+        if not 0 <= i < len(slices):
+            raise ValueError("h264: frame index out of range")
+        s, p, rbsp = slices[i]
+        st = _decode_slice(rbsp, s, p)
+        cl, cr_, ct, cb_ = s["crop"]
+        h = st.mb_h * 16 - 2 * (ct + cb_)
+        w = st.mb_w * 16 - 2 * (cl + cr_)
+        out.append(_ycbcr420_to_rgb(
+            st.y[2 * ct : 2 * ct + h, 2 * cl : 2 * cl + w],
+            st.cb[ct : ct + h // 2, cl : cl + w // 2],
+            st.cr[ct : ct + h // 2, cl : cl + w // 2],
+        ))
+    return out

@@ -18,8 +18,9 @@ all five PNG filters; RIFF/PCM parse; LZW frames; Huffman+IDCT; ISO-BMFF
 moov/stbl sample-table demux) — kernels sniff magic bytes per asset,
 decode real media for real payloads, and fall back to deterministic
 digest-derived fakes for payloads outside codec scope (synthetic
-fixtures, H.264/HEVC video, arithmetic-coded JPEG; ``_HAS_PIL`` upgrades
-the JPEG branch when PIL exists). The fallback keeps every output column
+fixtures, HEVC video, arithmetic-coded JPEG; ``_HAS_PIL`` upgrades
+the JPEG branch when PIL exists). Baseline I-frame H.264 — raw Annex B
+or in avc1 mp4 — is REALLY decoded (operators/h264.py). The fallback keeps every output column
 well-defined and oracle-reproducible for any byte string.
 
 Scale notes: repartition by asset id before mapInPandas so media bytes spread
@@ -105,14 +106,23 @@ def _decode_image(raw: bytes):
         if kind == "gif":
             return codecs.gif_decode_frames(raw)[0]
         if kind == "mp4":
-            # Motion-JPEG demux (codecs.py): first frame, the thumbnail
-            # convention. The stbl sample tables give exact per-sample byte
-            # ranges, so only sample 0 is JPEG-decoded — a long clip must
-            # not pay N full decodes for its thumbnail. Non-MJPEG codecs
-            # raise -> digest fallback.
-            if codecs.mp4_probe(raw)["codec"] not in ("jpeg", "mjpa"):
-                return None
-            return codecs.jpeg_decode(codecs.mp4_demux(raw)[0])
+            # Demux (codecs.py): first frame, the thumbnail convention.
+            # The stbl sample tables give exact per-sample byte ranges, so
+            # only sample 0 is decoded — a long clip must not pay N full
+            # decodes for its thumbnail. MJPEG goes through the baseline
+            # JPEG decoder, avc1 through the baseline I-frame H.264
+            # decoder (operators/h264.py); other codecs raise -> digest
+            # fallback.
+            codec = codecs.mp4_probe(raw)["codec"]
+            if codec in ("jpeg", "mjpa"):
+                return codecs.jpeg_decode(codecs.mp4_demux(raw)[0])
+            if codec == "avc1":
+                return codecs.mp4_decode_avc_samples(raw, [0])[0]
+            return None
+        if kind == "h264":
+            from kafkasparkstream_spark.operators.h264 import h264_decode_frames_at
+
+            return h264_decode_frames_at(raw, [0])[0]
         if kind == "jpeg":
             if _HAS_PIL:
                 import io
@@ -217,8 +227,19 @@ def _sample_media_frames(raw: bytes, kind: str, every_n: int, max_frames: int):
             for i, fi in enumerate(range(0, len(frames), every_n))
             if i < max_frames
         ]
-    if codecs.mp4_probe(raw)["codec"] not in ("jpeg", "mjpa"):
-        raise ValueError("mp4: non-MJPEG codec")
+    if kind == "h264":
+        from kafkasparkstream_spark.operators.h264 import h264_decode_frames_at, h264_probe
+
+        n = h264_probe(raw)["n_idr"]
+        picks = [fi for i, fi in enumerate(range(0, n, every_n)) if i < max_frames]
+        return list(zip(picks, h264_decode_frames_at(raw, picks)))
+    codec = codecs.mp4_probe(raw)["codec"]
+    if codec == "avc1":
+        n = codecs.mp4_probe(raw)["n_samples"]
+        picks = [fi for i, fi in enumerate(range(0, n, every_n)) if i < max_frames]
+        return list(zip(picks, codecs.mp4_decode_avc_samples(raw, picks)))
+    if codec not in ("jpeg", "mjpa"):
+        raise ValueError("mp4: unsupported video codec")
     samples = codecs.mp4_demux(raw)
     return [
         (fi, codecs.jpeg_decode(samples[fi]))
@@ -230,11 +251,12 @@ def _sample_media_frames(raw: bytes, kind: str, every_n: int, max_frames: int):
 def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> DataFrame:
     """Frame-sample multi-frame media (1 output row per sampled frame).
 
-    GIF and Motion-JPEG MP4 payloads are REALLY demuxed (stdlib LZW decode
-    / ISO-BMFF moov+stbl sample tables, codecs.py): every ``every_n``-th
-    actual frame is decoded and re-emitted as a PNG binary — the true
+    GIF, Motion-JPEG MP4, avc1 MP4 and raw Annex B H.264 payloads are
+    REALLY demuxed (stdlib LZW decode / ISO-BMFF moov+stbl sample tables /
+    NAL parse, codecs.py + h264.py): every ``every_n``-th actual frame is
+    decoded and re-emitted as a PNG binary — the true
     decode→sample→re-encode pipeline shape. Payloads outside codec scope
-    (H.264 mp4, malformed containers) fall back to slicing the payload
+    (HEVC mp4, malformed containers) fall back to slicing the payload
     into fixed-size chunks as deterministic stand-in frames. The Spark
     shape — one input row fanning out to N output rows through
     mapInPandas — is identical on all paths.
@@ -247,7 +269,7 @@ def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> D
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 kind = codecs.sniff(raw)
-                if kind in ("gif", "mp4"):
+                if kind in ("gif", "mp4", "h264"):
                     try:
                         picks = _sample_media_frames(raw, kind, every_n, max_frames)
                     except Exception:  # malformed/out-of-scope -> chunk fallback
