@@ -61,6 +61,21 @@ PAIR_OUTPUT = {
     "dedup_containment", "embedding_neardup", "dedup_edit_distance_blocked",
 }
 
+# Queries excluded at a given scale, with the MEASURED reason. The sf10
+# corpus (make_sf10.py over make_sf1.py) has ~100-replica near-dup cliques,
+# and the exact shingle self-join's row count is sum(df^2) over shingles:
+# measured via DuckDB on the actual corpora, 279.5M rows at sf1.0 vs
+# 28.0B at sf10 (~670 GB through the join exchange) — quadratic in clique
+# size, exceeding local disk ~8x (two ENOSPC-killed runs confirm). This is
+# exactly the regime ngram_jaccard_pairs's docstring prescribes LSH-first
+# for; the probe records the exclusion instead of thrashing the box.
+EXCLUDE = {
+    ("sf10", "dedup_ngram_jaccard"):
+        "sum(df^2)=28.0B join rows measured (sf1.0: 279.5M); exact "
+        "shingle self-join is quadratic in the ~100-replica cliques — "
+        "run minhash_lsh first at this dup density (operator docstring)",
+}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -85,11 +100,29 @@ def main() -> int:
     for sf_dir in args.sf_dirs:
         label = os.path.basename(sf_dir.rstrip("/"))
         for name in names:
+            if (label, name) in EXCLUDE:
+                result["queries"].setdefault(name, {})[label] = {
+                    "excluded": EXCLUDE[(label, name)]
+                }
+                print(f"{label} {name}: EXCLUDED ({EXCLUDE[(label, name)][:60]}...)",
+                      flush=True)
+                continue
             t0 = time.perf_counter()
-            # count(), not collect(): pair queries at sf10 emit ~15M rows
-            # (the replicated corpus forms 10-clique near-dup groups), and
-            # collect() would measure driver materialization, not plan cost.
-            n = queries[name](spark, sf_dir).count()
+            try:
+                # count(), not collect(): pair queries at sf10 emit ~15M
+                # rows (the replicated corpus forms near-dup cliques), and
+                # collect() would measure driver materialization, not plan
+                # cost.
+                n = queries[name](spark, sf_dir).count()
+            except Exception as e:  # record the failure, keep probing
+                dt = round(time.perf_counter() - t0, 2)
+                err = str(e).splitlines()[0][:200] if str(e) else repr(e)[:200]
+                result["queries"].setdefault(name, {})[label] = {
+                    "sec": dt, "error": err
+                }
+                print(f"{label} {name}: ERROR after {dt}s ({err[:80]})", flush=True)
+                deep_release(spark)
+                continue
             dt = round(time.perf_counter() - t0, 2)
             deep_release(spark)
             result["queries"].setdefault(name, {})[label] = {"sec": dt, "rows": n}
@@ -99,8 +132,12 @@ def main() -> int:
     for name, per in result["queries"].items():
         ratios = []
         for a, b in zip(labels, labels[1:]):
-            if a in per and b in per and per[a]["sec"] > 0:
-                ratios.append(round(per[b]["sec"] / per[a]["sec"], 2))
+            sa = per.get(a, {}).get("sec")
+            sb = per.get(b, {}).get("sec")
+            if sa and sb and "error" not in per[a] and "error" not in per[b]:
+                ratios.append(round(sb / sa, 2))
+            else:
+                ratios.append(None)
         per["decade_ratios"] = ratios
         per["pair_output"] = name in PAIR_OUTPUT
     with open(_ROOT / "SCALE_DECADES.json", "w") as f:
