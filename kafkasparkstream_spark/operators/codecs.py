@@ -63,7 +63,8 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples per pixel
 
 def sniff(payload: bytes) -> str | None:
     """Media container by magic bytes: 'png', 'wav', 'flac', 'gif', 'jpeg',
-    'mp4', 'h264' (Annex B elementary stream), or None."""
+    'mp4', 'h264' (Annex B elementary stream), 'mp3' (MPEG audio frame
+    sync or ID3v2 tag), or None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -83,6 +84,21 @@ def sniff(payload: bytes) -> str | None:
             hdr = payload[len(sc)]
             if not hdr & 0x80 and (hdr & 0x1F) in (1, 5, 6, 7, 8, 9):
                 return "h264"
+    # MPEG audio: ID3v2-tagged, or a frame sync whose version/layer/bitrate/
+    # rate fields are all non-reserved (checked after JPEG — a JPEG SOI also
+    # starts 0xFF but its third byte 0xFF fails the bitrate==0xF check).
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        return "mp3"
+    if (
+        len(payload) >= 4
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and (payload[1] >> 3) & 0x3 != 1      # version not reserved
+        and (payload[1] >> 1) & 0x3 != 0      # layer not reserved
+        and (payload[2] >> 4) & 0xF not in (0, 0xF)  # bitrate valid
+        and (payload[2] >> 2) & 0x3 != 3      # sample rate not reserved
+    ):
+        return "mp3"
     return None
 
 
@@ -2519,3 +2535,159 @@ def flac_encode(
 
     hdr.align()
     return b"fLaC" + hdr.getvalue() + bytes(body)
+
+
+# --------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio) frame-header probe
+# --------------------------------------------------------------------------
+#
+# Metadata extraction without a synthesis decoder: walk the frame headers
+# (ISO/IEC 11172-3 / 13818-3 framing) and report version, layer, bitrate,
+# sample rate, channel mode, frame/sample counts and duration. A crawl
+# pipeline needs exactly this to filter/route audio (drop <16 kHz, split by
+# duration, detect CBR/VBR) — the subband synthesis itself adds nothing to
+# those decisions, so full MP3 PCM decode is intentionally out of scope
+# (WAV and FLAC cover the real-PCM paths).
+
+_MP3_BITRATE_V1 = {
+    1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_MP3_BITRATE_V2 = {
+    1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {"1": (44100, 48000, 32000), "2": (22050, 24000, 16000),
+              "2.5": (11025, 12000, 8000)}
+_MP3_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+
+def _mp3_skip_id3v2(payload: bytes) -> int:
+    """Byte offset past a leading ID3v2 tag (syncsafe length), else 0."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    if any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("mp3: corrupt ID3v2 syncsafe size")
+    size = (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+    return 10 + size
+
+
+def _mp3_frame_header(payload: bytes, off: int):
+    """Parse one frame header at ``off`` -> (frame_len, meta dict).
+
+    Raises ValueError on anything that is not a valid MPEG audio frame
+    header (the codec contract: malformed input errors loudly)."""
+    if off + 4 > len(payload):
+        raise ValueError("mp3: truncated frame header")
+    b0, b1, b2, b3 = payload[off : off + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError("mp3: lost frame sync")
+    ver_bits = (b1 >> 3) & 0x3
+    version = {0: "2.5", 2: "2", 3: "1"}.get(ver_bits)
+    if version is None:
+        raise ValueError("mp3: reserved MPEG version")
+    layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 0x3)
+    if layer is None:
+        raise ValueError("mp3: reserved layer")
+    br_idx = (b2 >> 4) & 0xF
+    if br_idx in (0, 0xF):
+        raise ValueError("mp3: free-format or invalid bitrate index")
+    table = _MP3_BITRATE_V1 if version == "1" else _MP3_BITRATE_V2
+    bitrate = table[layer][br_idx] * 1000
+    sr_idx = (b2 >> 2) & 0x3
+    if sr_idx == 3:
+        raise ValueError("mp3: reserved sample-rate index")
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (b2 >> 1) & 0x1
+    mode = _MP3_MODES[(b3 >> 6) & 0x3]
+    if layer == 1:
+        spf = 384
+        frame_len = (12 * bitrate // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or version == "1") else 576
+        frame_len = spf // 8 * bitrate // rate + padding
+    return frame_len, {
+        "version": version, "layer": layer, "bitrate_kbps": bitrate // 1000,
+        "sample_rate": rate, "mode": mode, "samples_per_frame": spf,
+    }
+
+
+def mp3_probe(payload: bytes) -> dict:
+    """Walk every MPEG audio frame and report stream metadata:
+
+    ``{version, layer, sample_rate, mode, n_frames, n_samples,
+    duration_ms, bitrate_kbps (first frame), vbr (bitrate varies),
+    id3v2 (tag present)}``
+
+    Truncation mid-frame and header corruption raise ValueError; a final
+    partial frame of < 4 bytes of trailing junk also errors (codec
+    contract). Duration is exact integer math: sum(samples)*1000 // rate.
+    """
+    off = _mp3_skip_id3v2(payload)
+    had_id3 = off > 0
+    if off >= len(payload):
+        raise ValueError("mp3: no frames after ID3v2 tag")
+    first = None
+    n_frames = n_samples = 0
+    bitrates = set()
+    while off < len(payload):
+        frame_len, meta = _mp3_frame_header(payload, off)
+        if off + frame_len > len(payload):
+            raise ValueError("mp3: truncated final frame")
+        if first is None:
+            first = meta
+        elif (meta["version"], meta["layer"], meta["sample_rate"]) != (
+            first["version"], first["layer"], first["sample_rate"]
+        ):
+            raise ValueError("mp3: mid-stream format change")
+        bitrates.add(meta["bitrate_kbps"])
+        n_frames += 1
+        n_samples += meta["samples_per_frame"]
+        off += frame_len
+    if first is None:
+        raise ValueError("mp3: no frames")
+    return {
+        "version": first["version"], "layer": first["layer"],
+        "sample_rate": first["sample_rate"], "mode": first["mode"],
+        "n_frames": n_frames, "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // first["sample_rate"],
+        "bitrate_kbps": first["bitrate_kbps"], "vbr": len(bitrates) > 1,
+        "id3v2": had_id3,
+    }
+
+
+def mp3_frames_fixture(
+    n_frames: int = 4,
+    bitrate_kbps: int | list[int] = 128,
+    sample_rate: int = 44100,
+    mono: bool = False,
+    id3v2: bool = False,
+) -> bytes:
+    """Deterministic MPEG-1 Layer III fixture stream: valid frame headers
+    with a counter-pattern payload (the probe only reads headers). A list
+    of per-frame bitrates produces a VBR stream."""
+    rates = {44100: 0, 48000: 1, 32000: 2}
+    if sample_rate not in rates:
+        raise ValueError("fixture supports MPEG-1 rates only")
+    brs = bitrate_kbps if isinstance(bitrate_kbps, list) else [bitrate_kbps] * n_frames
+    if len(brs) != n_frames:
+        raise ValueError("per-frame bitrate list length mismatch")
+    out = bytearray()
+    if id3v2:
+        tag_body = b"\x00" * 17
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(len(tag_body) >> 21) & 0x7F, (len(tag_body) >> 14) & 0x7F,
+             (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
+        ) + tag_body
+    for i, kbps in enumerate(brs):
+        br_idx = _MP3_BITRATE_V1[3].index(kbps)
+        b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG-1, Layer III, no CRC
+        b2 = (br_idx << 4) | (rates[sample_rate] << 2)
+        b3 = (0x3 << 6) if mono else 0x00
+        frame_len = 144 * kbps * 1000 // sample_rate
+        frame = bytearray([0xFF, b1, b2, b3])
+        frame += bytes((7 * i + j) % 251 for j in range(frame_len - 4))
+        out += frame
+    return bytes(out)

@@ -419,3 +419,172 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+DHASH_SCHEMA = (
+    "asset_id long, dhash long, width int, height int, decoded boolean"
+)
+
+
+def _dhash_from_pixels(img) -> int:
+    """64-bit difference hash: luma (integer BT.601 coefficients, exact on
+    every platform), box-resample to 9x8, bit (y,x) = luma[y][x] > luma[y][x+1].
+    The canonical perceptual near-dup signature — robust to re-encoding,
+    resizing, and mild color shifts, cheap enough to run inline with decode."""
+    import numpy as np
+
+    px = img.astype(np.int64)
+    if px.ndim == 3:
+        if px.shape[2] >= 3:
+            luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+        else:
+            luma = px[:, :, 0]
+    else:
+        luma = px
+    small = codecs.box_resize(
+        luma.astype(np.uint8)[:, :, None].repeat(3, axis=2), 9, 8
+    )[:, :, 0].astype(np.int64)
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if small[y, x] > small[y, x + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _dhash_fallback(raw: bytes) -> int:
+    """Total-function fallback for undecodable payloads: the first 8 bytes
+    of sha256(payload) as a signed big-endian int64 — identical payloads
+    still land in the same group, so exact-dup detection keeps working on
+    garbage bytes."""
+    v = int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Per-asset perceptual dHash via Arrow-batched mapInPandas: real
+    pixels (PNG/GIF/JPEG/H.264/MP4 through the stdlib codecs) get the
+    pixel dHash; anything undecodable gets the sha256-prefix fallback so
+    the kernel is total. Downstream grouping on the 8-byte hash is the
+    standard image-dedup scale shape: one map-side-combined aggregate,
+    no pixel ever crosses the shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "dhash": [], "width": [], "height": [],
+                   "decoded": []}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                img = _decode_image(raw)
+                if img is not None:
+                    h, w = int(img.shape[0]), int(img.shape[1])
+                    dh, dec = _dhash_from_pixels(img), True
+                else:
+                    w, h = _fake_decode_dims(raw)
+                    dh, dec = _dhash_fallback(raw), False
+                out["asset_id"].append(asset_id)
+                out["dhash"].append(dh)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["decoded"].append(dec)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def image_dhash_dedup(assets: DataFrame) -> DataFrame:
+    """Corpus-level image near-dup report over :func:`image_dhash` groups:
+    asset count, distinct-signature count, duplicate-group count, largest
+    group, and how many assets took the real pixel path. The group-by key
+    is 8 bytes, so at 100 TB the aggregate is a narrow hash rollup of a
+    (id, hash) projection — the images themselves never shuffle."""
+    sigs = image_dhash(assets)
+    groups = sigs.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decoded").cast("long")).alias("n_dec"),
+    )
+    return groups.agg(
+        F.sum("n").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_groups"),
+        F.max("n").alias("max_group"),
+        F.sum("n_dec").alias("n_decoded"),
+    )
+
+
+MEDIA_PROBE_SCHEMA = (
+    "asset_id long, kind string, sample_rate int, channels int, "
+    "n_units long, duration_ms long, detail string"
+)
+
+
+def media_probe(assets: DataFrame) -> DataFrame:
+    """Container metadata for every asset without a full decode — the
+    routing/filtering station of a multimodal crawl pipeline (drop low
+    sample rates, split by duration, send each codec to its decode fleet).
+
+    Per payload: sniff the container, then read only its header/index
+    structures — WAV fmt chunk, FLAC STREAMINFO, MP3 frame-header walk,
+    MP4 moov/stbl, H.264 NAL scan, PNG/GIF/JPEG dimensions. ``n_units`` is
+    the natural count (audio samples, video frames/samples, pixels);
+    ``detail`` is a small deterministic tag (codec/mode/layer). Unknown or
+    malformed payloads probe as kind='unknown' with zeroed fields — the
+    kernel is total, per the multimodal contract. Arrow-batched
+    mapInPandas; only header bytes are touched, so probing a 100 TB asset
+    table is scan-bound, not decode-bound."""
+
+    def _probe(raw: bytes) -> tuple[str, int, int, int, int, str]:
+        kind = codecs.sniff(raw)
+        if kind == "wav":
+            x, rate = codecs.wav_decode(raw)
+            n = int(x.shape[0])
+            ch = int(x.shape[1]) if x.ndim > 1 else 1
+            return "wav", rate, ch, n, n * 1000 // rate, "pcm"
+        if kind == "flac":
+            x, rate = codecs.flac_decode(raw)
+            n = int(x.shape[0])
+            ch = int(x.shape[1]) if x.ndim > 1 else 1
+            return "flac", rate, ch, n, n * 1000 // rate, "lossless"
+        if kind == "mp3":
+            m = codecs.mp3_probe(raw)
+            ch = 1 if m["mode"] == "mono" else 2
+            detail = f"v{m['version']}L{m['layer']}:" + (
+                "vbr" if m["vbr"] else f"{m['bitrate_kbps']}kbps"
+            )
+            return "mp3", m["sample_rate"], ch, m["n_samples"], m["duration_ms"], detail
+        if kind == "mp4":
+            m = codecs.mp4_probe(raw)
+            return "mp4", 0, 0, m["n_samples"], 0, m["codec"]
+        if kind == "h264":
+            from kafkasparkstream_spark.operators.h264 import h264_probe
+
+            m = h264_probe(raw)
+            return "h264", 0, 0, m["n_idr"], 0, "annexb"
+        if kind in ("png", "gif", "jpeg"):
+            img = _decode_image(raw)
+            if img is None:
+                return kind, 0, 0, 0, 0, "undecodable"
+            h, w = int(img.shape[0]), int(img.shape[1])
+            return kind, 0, int(img.shape[2]), h * w, 0, f"{w}x{h}"
+        return "unknown", 0, 0, 0, 0, ""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "kind", "sample_rate",
+                                   "channels", "n_units", "duration_ms",
+                                   "detail")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    kind, rate, ch, n, dur, detail = _probe(raw)
+                except Exception:  # malformed container: total, not fatal
+                    kind, rate, ch, n, dur, detail = "unknown", 0, 0, 0, 0, "malformed"
+                out["asset_id"].append(asset_id)
+                out["kind"].append(kind)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_units"].append(n)
+                out["duration_ms"].append(dur)
+                out["detail"].append(detail)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(kernel, MEDIA_PROBE_SCHEMA)

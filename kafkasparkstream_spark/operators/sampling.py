@@ -304,3 +304,67 @@ def weighted_reservoir_sample(
         .filter(F.col("_rnk") <= k)
         .drop("_rnk")
     )
+
+
+def mixture_epochs_plan(
+    df: DataFrame,
+    group_col: str = "source",
+    target_lang: str = "en",
+    budget_multiple: int = 2,
+) -> DataFrame:
+    """Static data-mixture plan: given a token budget of ``budget_multiple``
+    x the corpus, allocate it across sources in proportion to each source's
+    share of *target-language* tokens, and report the per-source epoch count
+    that allocation implies — the DoReMi-style "mixture weights -> repeat
+    factors" bookkeeping every pretraining run does before sharding.
+
+    Every number is BIGINT arithmetic (integer DIV, basis points, milli-
+    epochs), so the plan is bit-reproducible on any engine — a mixture plan
+    that drifts between the planner and the sharder silently re-weights the
+    corpus. One map-side-combined aggregate to |sources| rows, two 1-row
+    broadcasts; nothing here grows with the corpus.
+
+    Columns: ``src_tokens`` (all-language tokens in the source),
+    ``lang_tokens`` (target-language tokens), ``weight_bp`` (allocation in
+    basis points, floor), ``planned_tokens`` (budget x weight, floor),
+    ``epochs_milli`` (planned/src in milli-epochs: 1000 = one pass).
+    """
+    from kafkasparkstream_spark.operators.text import tokens_col
+
+    per_src = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.size(tokens_col("text")).cast("long").alias("n_tok"),
+            (F.col("lang") == target_lang).alias("is_t"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("n_tok").alias("src_tokens"),
+            F.sum(F.when(F.col("is_t"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "lang_tokens"
+            ),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum("lang_tokens").alias("total_lang"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("grp").alias(group_col),
+            "src_tokens",
+            "lang_tokens",
+            F.expr("lang_tokens * 10000 DIV total_lang").alias("weight_bp"),
+            F.expr(
+                f"(total_tokens * {int(budget_multiple)}) * "
+                "(lang_tokens * 10000 DIV total_lang) DIV 10000"
+            ).alias("planned_tokens"),
+            F.expr(
+                f"((total_tokens * {int(budget_multiple)}) * "
+                "(lang_tokens * 10000 DIV total_lang) DIV 10000) "
+                "* 1000 DIV src_tokens"
+            ).alias("epochs_milli"),
+        )
+        .orderBy(group_col)
+    )

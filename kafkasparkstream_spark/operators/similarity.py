@@ -993,3 +993,86 @@ def pca_variance_spectrum(
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, var_share double, cum_share double"
     )
+
+
+def pq_distortion(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    n_centroids: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook report: split each vector into
+    ``n_subspaces`` contiguous sub-vectors, assign every sub-vector to its
+    nearest codeword (deterministic codebook: the ``n_centroids``
+    lowest-``id_col`` vectors' sub-vectors — the seeding step of a PQ
+    trainer, before Lloyd iterations), and roll up per (subspace, codeword)
+    the assignment count and total squared-error distortion. This is the
+    measurement loop of IVF-PQ index building: distortion per codeword
+    tells you which subspaces need more centroids before you compress a
+    trillion-vector corpus 32x.
+
+    Plan: the codebook is a k-row driver pull (k = ``n_centroids``)
+    broadcast as literals into ONE fused JVM projection — per row,
+    subspaces x centroids squared-L2s via sequential ``aggregate`` folds
+    (deterministic summation order, so the 6dp-rounded distances are
+    reproducible across engines), argmin via ``array_sort`` on (distance,
+    codeword) structs, then a single map-side-combined aggregate to
+    |subspaces|x|codewords| rows. Distortion is summed in integer
+    micro-units (round first, then BIGINT) so the rollup is exact. No
+    shuffle of the vector table beyond the final tiny aggregate.
+    """
+    sub_d = dim // n_subspaces
+    seed = [
+        [float(v) for v in r[vec_col]]
+        for r in embeddings.orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+    def d2(off: int, cvals: list[float]) -> Column:
+        sub = F.slice(F.col(vec_col), off + 1, sub_d)
+        carr = F.array(*[F.lit(c) for c in cvals[off : off + sub_d]])
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                carr,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    per_sub = []
+    for s in range(n_subspaces):
+        off = s * sub_d
+        best = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(d2(off, seed[c]), 6).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(n_centroids)
+                ]
+            )
+        )[0]
+        per_sub.append(
+            F.struct(
+                F.lit(s).alias("subspace"),
+                best["c"].alias("centroid"),
+                best["d"].alias("d"),
+            )
+        )
+    assigned = embeddings.select(
+        F.explode(F.array(*per_sub)).alias("a")
+    ).select("a.subspace", "a.centroid", "a.d")
+    return (
+        assigned.groupBy("subspace", "centroid")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum(F.round(F.col("d") * 1000000, 0).cast("long")).alias(
+                "distortion_micro"
+            ),
+        )
+        .orderBy("subspace", "centroid")
+    )

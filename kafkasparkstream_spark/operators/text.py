@@ -1000,3 +1000,231 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> 
         )
         .orderBy("doc_id")
     )
+
+
+def dsir_importance(
+    df: DataFrame, text_col: str = "text", target_lang: str = "en"
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    weights under hashed-bigram bag-of-words models: per document, the mean
+    per-occurrence log2 likelihood ratio between a *target* distribution
+    (here: the ``target_lang`` slice of the corpus itself) and the *raw*
+    distribution (the whole corpus), both add-1 smoothed over the raw
+    bigram vocabulary. Documents whose n-gram profile looks like the target
+    get weight > 0 and survive importance resampling; off-distribution
+    documents score negative.
+
+    Shape at scale (same skeleton as :func:`unigram_logprob`): ONE explode
+    of 64-bit hashed bigrams → (doc, bigram) tf aggregate (the only
+    fact-sized shuffle, map-side combined), a vocabulary-sized rollup with
+    a conditional target-count (never a second corpus scan), a 1-row totals
+    broadcast, and a broadcast join of tf against the vocab — Zipf keeps
+    the bigram vocabulary broadcastable while the corpus is not. Keying
+    counts on 64-bit shingle hashes instead of bigram strings halves the
+    exchange width; collision odds ~|V|²/2⁶⁵ (see shingle_hashes_col).
+    """
+    from kafkasparkstream_spark.util import fanout
+
+    base = (
+        fanout(df.select("doc_id", "lang", F.col(text_col)))
+        .withColumn("_th", token_hashes_col(text_col))
+        .withColumn("_bg", shingle_hashes_col(F.col("_th"), 2))
+        .drop(text_col, "_th")
+    )
+    tf = (
+        base.select("doc_id", (F.col("lang") == target_lang).alias("is_t"),
+                    F.explode("_bg").alias("g"))
+        .groupBy("doc_id", "is_t", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = tf.groupBy("g").agg(
+        F.sum("c").alias("rc"),
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias("tc"),
+    )
+    totals = vocab.agg(
+        F.sum("rc").cast("double").alias("R"),
+        F.sum("tc").cast("double").alias("T"),
+        F.count(F.lit(1)).cast("double").alias("V"),
+    )
+    return (
+        tf.join(F.broadcast(vocab), "g")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("c")
+                    * (
+                        F.log2((F.col("tc") + 1) / (F.col("T") + F.col("V")))
+                        - F.log2((F.col("rc") + 1) / (F.col("R") + F.col("V")))
+                    )
+                )
+                / F.sum("c"),
+                4,
+            ).alias("dsir_weight"),
+            F.sum("c").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-unigram mean log2-probability (:func:`unigram_logprob`), then
+    split each language into head / middle / tail terciles by that score
+    (head = most fluent). CCNet buckets on a KenLM-perplexity percentile
+    per language; the corpus's own unigram LM is the external-model-free
+    analog, and the bucketing machinery — per-language ntile over a scored
+    corpus — is identical.
+
+    Scale: the scoring pass is unigram_logprob's plan; the tercile is one
+    window over (lang) ordered by the 4dp-rounded score (rounding first
+    makes the sort key reproducible across engines), then a 15-row rollup.
+    A per-language range partition of a 100 TB corpus sorts each language's
+    docs once — the same cost as any global ranking, and the result is a
+    constant-size report.
+    """
+    scored = unigram_logprob(df, text_col).join(
+        df.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("mean_logprob"), F.asc("doc_id"))
+    bucketed = scored.withColumn("_t", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.when(F.col("_t") == 1, F.lit("head"))
+        .when(F.col("_t") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("mean_logprob").alias("min_logprob"),
+            F.max("mean_logprob").alias("max_logprob"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def curriculum_difficulty_deciles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Curriculum-ordering report: rank documents by an integer-exact
+    difficulty proxy (token count × distinct-token count — long, lexically
+    diverse documents are "hard"; short repetitive ones are "easy") and
+    roll up each decile. Curriculum schedulers consume exactly this: a
+    difficulty-ordered manifest with per-decile token budgets.
+
+    The proxy is a BIGINT product of two counts, so the decile boundaries
+    are bit-reproducible on any engine — no float ordering anywhere. One
+    narrow projection (difficulty per doc), one ntile window over
+    (difficulty, doc_id), one 10-row rollup; at 100 TB the window is a
+    single range-partitioned sort of an 16-byte-wide table, not the corpus.
+    """
+    toks = tokens_col(text_col)
+    per_doc = df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks).cast("long") * F.size(F.array_distinct(toks)).cast("long")).alias(
+            "difficulty"
+        ),
+    )
+    w = Window.orderBy(F.asc("difficulty"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("difficulty").alias("min_difficulty"),
+            F.max("difficulty").alias("max_difficulty"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        )
+        .orderBy("decile")
+    )
+
+
+def bpe_train_merges(df: DataFrame, text_col: str = "text", merges: int = 10) -> DataFrame:
+    """Byte-Pair-Encoding merge training, the distributed way: learn the
+    top-``merges`` BPE merge rules from the corpus and return the merge
+    table (rank, left, right, pair_count) — the artifact a tokenizer
+    trainer ships. Classic BPE (Sennrich et al. 2016) counts symbol pairs
+    over word *types* weighted by word frequency, merges the most frequent
+    pair, and repeats.
+
+    Scale shape: the corpus collapses to the word-type frequency table in
+    ONE map-side-combined aggregate (the only fact-sized shuffle; Zipf
+    makes the type table ~millions of rows against trillions of corpus
+    tokens). Each merge round is then vocabulary-sized work: explode
+    adjacent symbol pairs weighted by type frequency, aggregate, and pull
+    exactly ONE row (the argmax pair) to the driver — never the table.
+    The merge itself is a left-fold over each word's symbol array (greedy
+    leftmost-first, the BPE contract: on "aaa" with rule (a,a) the fold
+    yields [aa, a]). Ten rounds = ten vocab-sized jobs with plans kept
+    flat by a per-round persist/unpersist ladder.
+
+    Ties break (count DESC, pair ASC) so the learned table is
+    deterministic on any engine and partitioning.
+    """
+    sep = " "  # never appears inside whitespace-tokenized symbols
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # split into single characters: zero-width split at INTERIOR
+        # positions only ((?!^)(?!$)) — a bare (?!^) also matches the
+        # end-of-string position and leaves a phantom '' symbol that would
+        # then win merges
+        .select(F.col("freq"), F.split(F.col("w"), "(?!^)(?!$)").alias("syms"))
+        .persist()
+    )
+    words.count()  # materialize before the loop
+    learned: list[tuple[int, str, str, int]] = []
+    for rank in range(1, merges + 1):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.zip_with(
+                            F.slice("syms", 1, F.size("syms") - 1),
+                            F.slice("syms", 2, F.size("syms") - 1),
+                            lambda a, b: F.concat(a, F.lit(sep), b),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+        if not top or top[0]["cnt"] <= 0:
+            break
+        left, right = top[0]["pair"].split(sep, 1)
+        learned.append((rank, left, right, int(top[0]["cnt"])))
+        merged_sym = left + right
+        # Greedy leftmost-first merge as a left fold over the symbol array:
+        # append, unless the accumulator's tail is `left` and the incoming
+        # symbol is `right` — then replace the tail with the merged symbol.
+        nxt = words.select(
+            "freq",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) >= 1)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged_sym))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+        ).persist()
+        nxt.count()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        learned, "rank int, left string, right string, pair_count bigint"
+    ).orderBy("rank")

@@ -8373,3 +8373,195 @@ def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 depth: DSIR importance resampling, CCNet perplexity buckets,
+# curriculum ordering, static mixture planning, PQ codebook seeding, BPE
+# merge training, and perceptual image dedup — the remaining standard
+# stations of a pretraining-data pipeline.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dsir_importance_weights",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+               FROM documents),
+    b AS (SELECT doc_id, lang,
+                 unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM t),
+    tf AS (SELECT doc_id, g, COUNT(*) AS c,
+                  MAX(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_t
+           FROM b GROUP BY doc_id, g),
+    vocab AS (SELECT g, SUM(c) AS rc,
+                     SUM(CASE WHEN is_t = 1 THEN c ELSE 0 END) AS tc
+              FROM tf GROUP BY g),
+    tot AS (SELECT CAST(SUM(rc) AS DOUBLE) AS R, CAST(SUM(tc) AS DOUBLE) AS T,
+                   CAST(COUNT(*) AS DOUBLE) AS V
+            FROM vocab)
+    SELECT doc_id,
+           ROUND(SUM(c * (LOG2((tc + 1) / (T + V)) - LOG2((rc + 1) / (R + V))))
+                 / SUM(c), 4) AS dsir_weight,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams
+    FROM tf JOIN vocab USING (g) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) per-document importance weights under
+    hashed-bigram models — target = the corpus's English slice, raw = the
+    whole corpus; see operators/text.py:dsir_importance for the plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.dsir_importance(docs, target_lang="en")
+
+
+@register(
+    "perplexity_buckets_ccnet",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+                 FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT tok, SUM(c) AS vc FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(vc) AS DOUBLE) AS n FROM vocab),
+    scored AS (SELECT doc_id, ROUND(SUM(c * LOG2(vc / n)) / SUM(c), 4) AS lp,
+                      SUM(c) AS n_tokens
+               FROM tf JOIN vocab USING (tok) CROSS JOIN tot GROUP BY doc_id),
+    lab AS (SELECT s.doc_id, d.lang, s.lp, s.n_tokens,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.lp DESC, s.doc_id) AS t
+            FROM scored s JOIN documents d USING (doc_id))
+    SELECT lang,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(lp) AS min_logprob,
+           MAX(lp) AS max_logprob,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def perplexity_buckets_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail per-language perplexity terciles under
+    the corpus's own unigram LM (operators/text.py:perplexity_buckets)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.perplexity_buckets(docs)
+
+
+@register(
+    "curriculum_difficulty_deciles",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+               FROM documents),
+    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(toks) AS BIGINT)
+                   * CAST(len(list_distinct(toks)) AS BIGINT) AS difficulty
+          FROM t),
+    n AS (SELECT *, ntile(10) OVER (ORDER BY difficulty, doc_id) AS decile FROM d)
+    SELECT decile, COUNT(*) AS n_docs,
+           MIN(difficulty) AS min_difficulty,
+           MAX(difficulty) AS max_difficulty,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+    FROM n GROUP BY 1 ORDER BY 1
+    """,
+)
+def curriculum_difficulty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact difficulty deciles (token count x distinct tokens) for
+    curriculum scheduling (operators/text.py:curriculum_difficulty_deciles)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.curriculum_difficulty_deciles(docs)
+
+
+@register(
+    "mixture_epochs_plan",
+    oracle="""
+    WITH d AS (SELECT source,
+                      CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok,
+                      (lang = 'en') AS is_t
+               FROM documents),
+    s AS (SELECT source, SUM(n_tok) AS src_tokens,
+                 SUM(CASE WHEN is_t THEN n_tok ELSE 0 END) AS lang_tokens
+          FROM d GROUP BY source),
+    t AS (SELECT SUM(src_tokens) AS total_tokens, SUM(lang_tokens) AS total_lang
+          FROM s)
+    SELECT source,
+           CAST(src_tokens AS BIGINT) AS src_tokens,
+           CAST(lang_tokens AS BIGINT) AS lang_tokens,
+           CAST(lang_tokens * 10000 // total_lang AS BIGINT) AS weight_bp,
+           CAST((total_tokens * 2) * (lang_tokens * 10000 // total_lang) // 10000
+                AS BIGINT) AS planned_tokens,
+           CAST(((total_tokens * 2) * (lang_tokens * 10000 // total_lang) // 10000)
+                * 1000 // src_tokens AS BIGINT) AS epochs_milli
+    FROM s CROSS JOIN t ORDER BY source
+    """,
+)
+def mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style static mixture plan in exact BIGINT arithmetic
+    (operators/sampling.py:mixture_epochs_plan)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.mixture_epochs_plan(docs, budget_multiple=2)
+
+
+@register(
+    "pq_codebook_distortion",
+    oracle="""
+    WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                      embedding AS cemb
+               FROM (SELECT vec_id, embedding FROM embeddings
+                     ORDER BY vec_id LIMIT 16)),
+    p AS (SELECT e.vec_id, CAST(ss.s AS INT) AS subspace, c.cid,
+                 list_sum(list_transform(range(1, 17),
+                   i -> (CAST(e.embedding[CAST(ss.s * 16 + i AS INT)] AS DOUBLE)
+                         - CAST(c.cemb[CAST(ss.s * 16 + i AS INT)] AS DOUBLE)) ^ 2))
+                 AS d2
+          FROM embeddings e CROSS JOIN range(0, 4) ss(s) CROSS JOIN c),
+    a AS (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                       ORDER BY ROUND(d2, 6), cid) AS rn
+          FROM p)
+    SELECT subspace, cid AS centroid, COUNT(*) AS n_assigned,
+           CAST(SUM(CAST(ROUND(ROUND(d2, 6) * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS distortion_micro
+    FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def pq_codebook_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook seeding report: 4 subspaces x 16
+    codewords (the 16 lowest-vec_id vectors), per-codeword assignment
+    counts and integer-exact squared-error distortion
+    (operators/similarity.py:pq_distortion)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.pq_distortion(emb, n_subspaces=4, n_centroids=16, dim=64)
+
+
+@register("bpe_merge_table")
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (8 rounds) over the corpus's word-type
+    frequency table — iterative argmax-per-round, so rows-only on the gate;
+    the greedy-fold merge semantics are pinned by unit tests
+    (operators/text.py:bpe_train_merges)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.bpe_train_merges(docs, merges=8)
+
+
+@register(
+    "image_dhash_dedup",
+    oracle="""
+    WITH a AS (SELECT sha256(sha256(text)) AS sig FROM documents),
+    g AS (SELECT sig, COUNT(*) AS n FROM a GROUP BY sig)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_assets,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(MAX(n) AS BIGINT) AS max_group,
+           CAST(0 AS BIGINT) AS n_decoded
+    FROM g
+    """,
+)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the asset table: per-asset 64-bit dHash
+    (real pixel path for decodable payloads, sha-prefix fallback for the
+    synthetic digest payloads — so the oracle mirrors the grouping in hash
+    space), rolled up to corpus dup-group stats
+    (operators/multimodal.py:image_dhash_dedup). The pixel path's dHash is
+    pinned against a pure-Python reference in tests/test_multimodal.py."""
+    return multimodal.image_dhash_dedup(_doc_assets(spark, sf_dir))

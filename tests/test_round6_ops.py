@@ -1,0 +1,185 @@
+"""Round-6 operator semantics: BPE merge training (greedy-fold contract vs a
+pure-Python reference), perceptual dHash (exact pins on constructed pixels +
+codec round-trips), DSIR importance direction, PQ codebook invariants, and
+mixture-plan conservation laws."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kafkasparkstream_spark.operators import codecs, multimodal
+from kafkasparkstream_spark.operators.text import bpe_train_merges, dsir_importance
+
+
+# --- BPE ------------------------------------------------------------------
+
+
+def _ref_bpe(word_freqs: dict[str, int], merges: int):
+    """Independent reference BPE (Sennrich et al. 2016): count adjacent
+    symbol pairs over word types weighted by frequency; merge the argmax
+    (count DESC, 'left right' ASC) greedily leftmost-first; repeat."""
+    words = [(list(w), f) for w, f in sorted(word_freqs.items())]
+    out = []
+    for rank in range(1, merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        (l, r), c = best
+        out.append((rank, l, r, c))
+        merged = l + r
+        new_words = []
+        for syms, f in words:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            new_words.append((ns, f))
+        words = new_words
+    return out
+
+
+def test_bpe_matches_reference(spark):
+    corpus = [
+        ("low " * 5).strip(),
+        ("lower " * 2).strip(),
+        ("newest " * 6).strip(),
+        ("widest " * 3).strip(),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, merges=6).collect()
+    ]
+    freqs: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    assert got == _ref_bpe(freqs, 6)
+
+
+def test_bpe_greedy_overlap(spark):
+    """On 'aaa' with rule (a,a) greedy leftmost-first yields [aa, a] — the
+    second pair must NOT re-merge across the already-consumed symbol."""
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    rows = bpe_train_merges(df, merges=2).collect()
+    # round 1: pairs of 'aaa' = (a,a) x2 per word x2 words = 4
+    assert (rows[0]["left"], rows[0]["right"], rows[0]["pair_count"]) == ("a", "a", 4)
+    # after merge each word is [aa, a]: best pair is (aa, a), count 2
+    assert (rows[1]["left"], rows[1]["right"], rows[1]["pair_count"]) == ("aa", "a", 2)
+
+
+# --- dHash ----------------------------------------------------------------
+
+
+def test_dhash_monotone_gradients_exact():
+    # luma strictly decreasing in x -> every left>right bit set -> -1 signed
+    dec = np.tile(np.arange(255, 255 - 32 * 4, -4, dtype=np.uint8), (16, 1))
+    img = dec[:, :, None].repeat(3, axis=2)
+    assert multimodal._dhash_from_pixels(img) == -1
+    # strictly increasing -> all bits clear -> 0
+    inc = img[:, ::-1, :].copy()
+    assert multimodal._dhash_from_pixels(inc) == 0
+
+
+def test_dhash_stable_across_scale_and_codec():
+    """Box-resampling a monotone gradient preserves monotonicity, so the
+    dHash survives both a 2x upscale and a PNG encode->decode round-trip."""
+    base = np.tile(np.arange(0, 128, 4, dtype=np.uint8), (16, 1))
+    img = base[:, :, None].repeat(3, axis=2)
+    h0 = multimodal._dhash_from_pixels(img)
+    big = img.repeat(2, axis=0).repeat(2, axis=1)
+    assert multimodal._dhash_from_pixels(big) == h0
+    rt = codecs.png_decode(codecs.png_encode(img))
+    assert multimodal._dhash_from_pixels(rt) == h0
+
+
+def test_image_dhash_kernel_real_and_fallback(spark):
+    grad = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (8, 1))
+    png = codecs.png_encode(grad[:, :, None].repeat(3, axis=2))
+    rows = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(png)), (3, bytearray(b"garbage-bytes")),
+         (4, bytearray(b"garbage-bytes")), (5, bytearray(b"other"))],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in multimodal.image_dhash(rows).collect()}
+    assert got[1]["decoded"] and got[2]["decoded"] and not got[3]["decoded"]
+    assert got[1]["dhash"] == got[2]["dhash"]          # identical pixels
+    assert got[3]["dhash"] == got[4]["dhash"]          # identical fallback bytes
+    assert got[3]["dhash"] != got[5]["dhash"]          # distinct garbage separates
+    assert (got[1]["width"], got[1]["height"]) == (16, 8)
+
+    stats = multimodal.image_dhash_dedup(rows.select("asset_id", "payload")).collect()[0]
+    assert stats["n_assets"] == 5
+    assert stats["n_groups"] == 3
+    assert stats["n_dup_groups"] == 2
+    assert stats["max_group"] == 2
+    assert stats["n_decoded"] == 2
+
+
+# --- DSIR -----------------------------------------------------------------
+
+
+def test_dsir_target_scores_above_offtarget(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog ran", "en"),
+        (1, "the dog sat on the mat and the cat ran", "en"),
+        (2, "der hund sitzt auf der matte und der hund", "de"),
+        (3, "der katze auf der matte sitzt und der baum", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {r["doc_id"]: r["dsir_weight"] for r in dsir_importance(df).collect()}
+    assert min(w[0], w[1]) > max(w[2], w[3])
+
+
+# --- PQ -------------------------------------------------------------------
+
+
+def test_pq_distortion_invariants(spark):
+    from kafkasparkstream_spark.operators.similarity import pq_distortion
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=64).astype(np.float32)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = pq_distortion(df, n_subspaces=4, n_centroids=16, dim=64).collect()
+    per_sub: dict[int, int] = {}
+    for r in out:
+        per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n_assigned"]
+        assert r["distortion_micro"] >= 0
+    # every vector assigned exactly once per subspace
+    assert per_sub == {0: 40, 1: 40, 2: 40, 3: 40}
+    # seeds are their own codewords: total distortion of the 16 seed rows is 0,
+    # so summed distortion over all rows is strictly less than a one-centroid
+    # codebook's would be; cheap proxy: at least one zero-distance assignment
+    # per subspace exists (the seed itself).
+    seeds = pq_distortion(df.filter("vec_id < 16"), n_subspaces=4, n_centroids=16, dim=64)
+    assert all(r["distortion_micro"] == 0 for r in seeds.collect())
+
+
+# --- Mixture plan ---------------------------------------------------------
+
+
+def test_mixture_plan_conservation(spark):
+    from kafkasparkstream_spark.operators.sampling import mixture_epochs_plan
+
+    rows = [
+        (0, "a b c d e f g h", "en", "s0"),
+        (1, "a b c d", "en", "s0"),
+        (2, "x y z w q r", "de", "s1"),
+        (3, "a b c d e f", "en", "s1"),
+        (4, "m n o p q r s t u v", "fr", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = mixture_epochs_plan(df, budget_multiple=2).collect()
+    total = sum(r["src_tokens"] for r in out)
+    assert sum(r["weight_bp"] for r in out) <= 10000
+    assert sum(r["planned_tokens"] for r in out) <= 2 * total
+    s2 = [r for r in out if r["source"] == "s2"][0]
+    assert s2["lang_tokens"] == 0 and s2["weight_bp"] == 0 and s2["epochs_milli"] == 0
