@@ -1106,7 +1106,9 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def curriculum_difficulty_deciles(df: DataFrame, text_col: str = "text") -> DataFrame:
+def curriculum_difficulty_deciles(
+    df: DataFrame, text_col: str = "text", distributed_threshold: int = 250_000
+) -> DataFrame:
     """Curriculum-ordering report: rank documents by an integer-exact
     difficulty proxy (token count × distinct-token count — long, lexically
     diverse documents are "hard"; short repetitive ones are "easy") and
@@ -1115,10 +1117,13 @@ def curriculum_difficulty_deciles(df: DataFrame, text_col: str = "text") -> Data
 
     The proxy is a BIGINT product of two counts, so the decile boundaries
     are bit-reproducible on any engine — no float ordering anywhere. One
-    narrow projection (difficulty per doc), one ntile window over
-    (difficulty, doc_id), one 10-row rollup; at 100 TB the window is a
-    single range-partitioned sort of an 16-byte-wide table, not the corpus.
+    narrow projection (difficulty per doc), then the size-adaptive exact
+    global ntile (``windows.global_exact_ntile``: single window task below
+    250k rows, range-partitioned sort + broadcast offsets above it — never
+    a corpus-sized single-task sort), one 10-row rollup.
     """
+    from kafkasparkstream_spark.operators.windows import global_exact_ntile
+
     toks = tokens_col(text_col)
     per_doc = df.select(
         "doc_id",
@@ -1127,9 +1132,10 @@ def curriculum_difficulty_deciles(df: DataFrame, text_col: str = "text") -> Data
             "difficulty"
         ),
     )
-    w = Window.orderBy(F.asc("difficulty"), F.asc("doc_id"))
     return (
-        per_doc.withColumn("decile", F.ntile(10).over(w))
+        global_exact_ntile(
+            per_doc, ["difficulty", "doc_id"], 10, distributed_threshold
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -362,14 +362,16 @@ def pivot_counts(
     )
 
 
-def ntile_decile_stats(
-    df: DataFrame,
-    value_col: str = "value",
-    tiebreak: str = "event_id",
+def global_exact_ntile(
+    src: DataFrame,
+    order_cols: list[str],
     n: int = 10,
     distributed_threshold: int = 250_000,
+    out_col: str = "decile",
 ) -> DataFrame:
-    """NTILE(n) over a global value order, rolled up per tile.
+    """``src`` + an ``out_col`` column carrying exact global NTILE(``n``)
+    semantics over ``order_cols`` (all ascending; include a unique tiebreak
+    as the last column for determinism).
 
     Size-adaptive plan (same exact semantics either way — a pre-count picks
     the path, like a broadcast threshold):
@@ -388,32 +390,15 @@ def ntile_decile_stats(
       main job see identical partition boundaries (repartitionByRange
       samples its bounds — two executions could differ).
     """
-    # Exact decimal sum → division in double: summation-order-independent,
-    # so the 4dp grid can't straddle a float rounding boundary.
-    exact_sum = F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
-
-    def _rollup(tiled: DataFrame) -> DataFrame:
-        return (
-            tiled.groupBy("decile")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.round(F.min(value_col), 4).alias("min_value"),
-                F.round(F.max(value_col), 4).alias("max_value"),
-                F.round(exact_sum / F.count(F.lit(1)), 4).alias("avg_value"),
-            )
-            .orderBy("decile")
-        )
-
-    src = df.select(value_col, tiebreak)
+    order = [F.asc(c) for c in order_cols]
     total = src.count()
     if total <= distributed_threshold:
-        w = Window.orderBy(F.asc(value_col), F.asc(tiebreak))
-        return _rollup(src.select(value_col, F.ntile(n).over(w).alias("decile")))
+        return src.withColumn(out_col, F.ntile(n).over(Window.orderBy(*order)))
 
-    spark = df.sparkSession
+    spark = src.sparkSession
     p = max(2, spark.sparkContext.defaultParallelism)
     part = (
-        src.repartitionByRange(p, F.asc(value_col), F.asc(tiebreak))
+        src.repartitionByRange(p, *order)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -426,22 +411,51 @@ def ntile_decile_stats(
         offsets.append((pid, acc))
         acc += c
     off_df = spark.createDataFrame(offsets, ["_pid", "_off"])
-    wl = Window.partitionBy("_pid").orderBy(F.asc(value_col), F.asc(tiebreak))
+    wl = Window.partitionBy("_pid").orderBy(*order)
     q, m = divmod(acc, n)
     rank = F.col("_off") + F.row_number().over(wl)
     if q == 0:  # fewer rows than tiles: one row per bucket
-        decile = rank.cast("int")
+        tile = rank.cast("int")
     else:
         big = q + 1
         r0 = rank - 1
-        decile = F.when(
+        tile = F.when(
             rank <= m * big, (r0 - F.pmod(r0, F.lit(big))) / big + 1
         ).otherwise(
             m + ((r0 - m * big) - F.pmod(r0 - m * big, F.lit(q))) / q + 1
         ).cast("int")
-    return _rollup(
+    return (
         part.join(F.broadcast(off_df), "_pid")
-        .select(value_col, decile.alias("decile"))
+        .withColumn(out_col, tile)
+        .drop("_pid", "_off")
+    )
+
+
+def ntile_decile_stats(
+    df: DataFrame,
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    n: int = 10,
+    distributed_threshold: int = 250_000,
+) -> DataFrame:
+    """NTILE(n) over a global value order, rolled up per tile — the tiling
+    is :func:`global_exact_ntile` (size-adaptive exact plan)."""
+    # Exact decimal sum → division in double: summation-order-independent,
+    # so the 4dp grid can't straddle a float rounding boundary.
+    exact_sum = F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+    tiled = global_exact_ntile(
+        df.select(value_col, tiebreak), [value_col, tiebreak], n,
+        distributed_threshold,
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min(value_col), 4).alias("min_value"),
+            F.round(F.max(value_col), 4).alias("max_value"),
+            F.round(exact_sum / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+        .orderBy("decile")
     )
 
 

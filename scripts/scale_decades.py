@@ -74,6 +74,13 @@ EXCLUDE = {
         "sum(df^2)=28.0B join rows measured (sf1.0: 279.5M); exact "
         "shingle self-join is quadratic in the ~100-replica cliques — "
         "run minhash_lsh first at this dup density (operator docstring)",
+    ("sf10", "dedup_containment"):
+        "prefix filtering cannot prune the ~100-replica cliques (every "
+        "member shares every prefix token), so the verify join's exchange "
+        "is quadratic in clique size like ngram_jaccard's; two measured "
+        "kills: executor heap OOM at 8g/200s, local-disk ENOSPC at "
+        "48g/639s (~80 GB shuffle). Same prescription as ngram_jaccard: "
+        "LSH-first at this dup density (operator docstring)",
 }
 
 
@@ -87,6 +94,10 @@ def main() -> int:
     )
     args = ap.parse_args()
     names = args.only or PROBE
+
+    # The sf10 pair joins need real heap: the default 8g OOM'd mid-probe
+    # (dedup_containment, r6) and a dead JVM poisons every later query.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from kafkasparkstream_spark.session import get_spark
     from kafkasparkstream_spark.operators.dedup import deep_release
@@ -121,7 +132,15 @@ def main() -> int:
                     "sec": dt, "error": err
                 }
                 print(f"{label} {name}: ERROR after {dt}s ({err[:80]})", flush=True)
-                deep_release(spark)
+                # An executor OOM wedges the single local JVM and every
+                # later query dies with 'Connection refused' (r6 sf10
+                # post-mortem) — restart the session, don't just release.
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = get_spark(app_name="scale-decades")
+                spark.sparkContext.setLogLevel("ERROR")
                 continue
             dt = round(time.perf_counter() - t0, 2)
             deep_release(spark)

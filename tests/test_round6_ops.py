@@ -183,3 +183,16 @@ def test_mixture_plan_conservation(spark):
     assert sum(r["planned_tokens"] for r in out) <= 2 * total
     s2 = [r for r in out if r["source"] == "s2"][0]
     assert s2["lang_tokens"] == 0 and s2["weight_bp"] == 0 and s2["epochs_milli"] == 0
+
+
+def test_curriculum_distributed_path_matches_window_path(spark):
+    """global_exact_ntile's distributed leg (forced via threshold=0) must
+    reproduce the single-window plan row-for-row for the curriculum rollup."""
+    from kafkasparkstream_spark.operators.text import curriculum_difficulty_deciles
+    from kafkasparkstream_spark.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    a = [tuple(r) for r in curriculum_difficulty_deciles(docs).collect()]
+    b = [tuple(r) for r in
+         curriculum_difficulty_deciles(docs, distributed_threshold=0).collect()]
+    assert a == b and len(a) == 10
