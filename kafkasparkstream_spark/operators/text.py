@@ -940,6 +940,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         .select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        # Barrier: tf has TWO consumers (the vocab rollup and the scoring
+        # join probe) whose differing column pruning defeats exchange reuse
+        # — without it the explode+aggregate re-runs and the corpus is
+        # scanned twice (measured sf1.0: 7.1→3.4 s cold, 2.0→1.5 s warm).
+        .localCheckpoint(eager=False)
     )
     vocab = tf.groupBy("tok").agg(F.sum("c").alias("vc"))
     total = vocab.agg(F.sum("vc").cast("double").alias("n"))
@@ -1036,6 +1041,11 @@ def dsir_importance(
                     F.explode("_bg").alias("g"))
         .groupBy("doc_id", "is_t", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        # Same two-consumer barrier as unigram_logprob: vocab rollup +
+        # scoring join would otherwise each re-run the explode from the
+        # scan (wash at sf1.0 wall — 7.3 vs 7.2 s warm — but one corpus
+        # scan instead of two is the scale-governing term).
+        .localCheckpoint(eager=False)
     )
     vocab = tf.groupBy("g").agg(
         F.sum("c").alias("rc"),
