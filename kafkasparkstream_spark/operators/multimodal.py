@@ -588,3 +588,45 @@ def media_probe(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(kernel, MEDIA_PROBE_SCHEMA)
+
+
+def synthesize_media_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media fixtures per document — the generator half
+    of the media_probe gate: doc_id % 4 selects the container, the id
+    parameterizes its size, and the payload is produced by the actual
+    pure-stdlib ENCODERS (png_encode / wav_encode / mp3_frames_fixture /
+    flac_encode), so a downstream probe exercises the real parse paths on
+    every row. Arrow mapInPandas; encoding is per-row independent (scales
+    with splits)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"asset_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                sel = i % 4
+                if sel == 0:
+                    w = 8 + i % 8
+                    img = np.tile(
+                        np.arange(w, dtype=np.uint8)[None, :] * 7, (8, 1)
+                    )[:, :, None].repeat(3, axis=2)
+                    raw = codecs.png_encode(img)
+                elif sel == 1:
+                    n = 100 + i % 50
+                    pcm = ((np.arange(n) * 37 + i) % 997 - 498).astype(np.int16)
+                    raw = codecs.wav_encode(pcm, rate=16000)
+                elif sel == 2:
+                    raw = codecs.mp3_frames_fixture(
+                        n_frames=2 + i % 3, bitrate_kbps=128
+                    )
+                else:
+                    n = 64 + i % 32
+                    pcm = ((np.arange(n) * 53 + i) % 811 - 405).astype(np.int16)
+                    raw = codecs.flac_encode(pcm, rate=16000)
+                out["asset_id"].append(i)
+                out["payload"].append(raw)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(kernel, "asset_id long, payload binary")

@@ -1252,3 +1252,62 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text", merges: int = 10) ->
     return spark.createDataFrame(
         learned, "rank int, left string, right string, pair_count bigint"
     ).orderBy("rank")
+
+
+def quality_logreg_fit(
+    df: DataFrame, text_col: str = "text", iterations: int = 5, lr: float = 1.0
+) -> DataFrame:
+    """Distributed logistic-regression training — full-batch gradient
+    descent for a quality/language classifier (features: capped length,
+    lexical diversity, stopword density; label: is-English). This is the
+    fastText-style quality-filter trainer every curation pipeline runs,
+    expressed as the canonical distributed-ML loop: per iteration ONE
+    map-side-combined aggregate over the corpus produces the 4-component
+    gradient (a 1-row driver pull — the k-row pattern, never the data),
+    and the weight update is driver-side scalar arithmetic.
+
+    The feature projection is computed once and persisted — iterations + 1
+    passes over a 4-double-wide cached table, not the corpus. At 100 TB
+    the cache becomes DISK_ONLY storage or a parquet staging write; the
+    loop shape (aggregate → 1-row pull → broadcast-as-literals) is
+    unchanged and is exactly how a parameter-server-free distributed GD
+    works. Returns one row: the learned weights (4dp) and the final
+    training log-loss — deterministic across engines because every
+    per-row quantity is an exact ratio of integer counts and the gradient
+    means differ only by summation order (noise ~1e-12, six orders under
+    the 4dp grid)."""
+    toks = tokens_col(text_col)
+    sw = F.array([F.lit(w) for w in QUALITY_STOPWORDS])
+    n = F.size(toks)
+    feats = df.select(
+        (F.least(n, F.lit(128)) / F.lit(128.0)).alias("x1"),
+        (F.size(F.array_distinct(toks)) / n).alias("x2"),
+        (F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n).alias("x3"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    ).persist()
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iterations):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2") \
+            + F.lit(w[3]) * F.col("x3")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = feats.agg(
+            F.avg(p - F.col("y")).alias("g0"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+            F.avg((p - F.col("y")) * F.col("x3")).alias("g3"),
+        ).collect()[0]
+        w = [w[k] - lr * r[f"g{k}"] for k in range(4)]
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2") \
+        + F.lit(w[3]) * F.col("x3")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    loss = feats.agg(
+        F.round(
+            F.avg(-(F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p))), 4
+        ).alias("log_loss")
+    ).collect()[0]["log_loss"]
+    feats.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(iterations, *[round(v, 4) for v in w], float(loss))],
+        "iterations int, w0 double, w1 double, w2 double, w3 double, log_loss double",
+    )

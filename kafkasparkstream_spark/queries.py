@@ -8565,3 +8565,96 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py:image_dhash_dedup). The pixel path's dHash is
     pinned against a pure-Python reference in tests/test_multimodal.py."""
     return multimodal.image_dhash_dedup(_doc_assets(spark, sf_dir))
+
+
+def _logreg_oracle_sql(iterations: int, lr: float) -> str:
+    """Unrolled-CTE twin of operators/text.py:quality_logreg_fit (same
+    technique as _pagerank_oracle_sql: scalar weight CTE per iteration)."""
+    z = "(w0 + w1*x1 + w2*x2 + w3*x3)"
+    p = f"1/(1+EXP(-{z}))"
+    sw = "['the','a','of','and','is','to','in','that']"
+    parts = [f"""
+    WITH t AS (SELECT string_split_regex(trim(text), ' +') AS toks, lang
+               FROM documents),
+    f AS (SELECT LEAST(len(toks), 128) / 128.0 AS x1,
+                 len(list_distinct(toks)) / len(toks) AS x2,
+                 len(list_filter(toks, tk -> list_contains({sw}, tk)))
+                   / len(toks) AS x3,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM t),
+    i0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+    g{k} AS (SELECT AVG({p} - y) AS g0, AVG(({p} - y) * x1) AS g1,
+                    AVG(({p} - y) * x2) AS g2, AVG(({p} - y) * x3) AS g3
+             FROM f CROSS JOIN i{k-1}),
+    i{k} AS (SELECT w0 - {lr} * g0 AS w0, w1 - {lr} * g1 AS w1,
+                    w2 - {lr} * g2 AS w2, w3 - {lr} * g3 AS w3
+             FROM i{k-1} CROSS JOIN g{k})""")
+    parts.append(f"""
+    SELECT CAST({iterations} AS INT) AS iterations,
+           ROUND(w0, 4) AS w0, ROUND(w1, 4) AS w1,
+           ROUND(w2, 4) AS w2, ROUND(w3, 4) AS w3,
+           (SELECT ROUND(AVG(-(y * LN(pp) + (1 - y) * LN(1 - pp))), 4)
+            FROM (SELECT y, {p} AS pp FROM f CROSS JOIN i{iterations}) q)
+               AS log_loss
+    FROM i{iterations}
+    """)
+    return "".join(parts)
+
+
+@register("quality_logreg_fit", oracle=_logreg_oracle_sql(5, 1.0))
+def quality_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch GD for a fastText-style quality/language
+    classifier: 5 iterations, each one corpus-wide gradient aggregate and a
+    1-row driver pull; oracle is the unrolled-CTE twin
+    (operators/text.py:quality_logreg_fit)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.quality_logreg_fit(docs, iterations=5, lr=1.0)
+
+
+@register(
+    "media_probe_inventory",
+    oracle="""
+    WITH a AS (SELECT doc_id AS i, doc_id % 4 AS sel FROM documents),
+    k AS (SELECT CASE sel WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                          WHEN 2 THEN 'mp3' ELSE 'flac' END AS kind,
+                 CASE sel WHEN 0 THEN (8 + i % 8) * 8
+                          WHEN 1 THEN 100 + i % 50
+                          WHEN 2 THEN (2 + i % 3) * 1152
+                          ELSE 64 + i % 32 END AS n_units,
+                 CASE sel WHEN 1 THEN (100 + i % 50) * 1000 // 16000
+                          WHEN 2 THEN ((2 + i % 3) * 1152) * 1000 // 44100
+                          WHEN 3 THEN (64 + i % 32) * 1000 // 16000
+                          ELSE 0 END AS duration_ms,
+                 CASE sel WHEN 1 THEN 16000 WHEN 2 THEN 44100
+                          WHEN 3 THEN 16000 ELSE 0 END AS sample_rate
+          FROM a)
+    SELECT kind, COUNT(*) AS n_assets,
+           CAST(SUM(n_units) AS BIGINT) AS sum_units,
+           CAST(SUM(duration_ms) AS BIGINT) AS sum_duration_ms,
+           CAST(MAX(sample_rate) AS INT) AS max_sample_rate
+    FROM k GROUP BY kind ORDER BY kind
+    """,
+)
+def media_probe_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip inside the correctness gate: per document a
+    deterministic media fixture is ENCODED by the stdlib codecs
+    (PNG / WAV / MPEG-1-Layer-III / FLAC by doc_id % 4), then header-probed
+    by multimodal.media_probe, and the per-kind inventory (asset counts,
+    decoded unit sums, durations, rates) must match the oracle's closed-form
+    arithmetic on doc_id — any bit drift in encoder or parser breaks the
+    hash. Two Arrow kernels back-to-back; everything else is one 4-row
+    aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    probed = multimodal.media_probe(multimodal.synthesize_media_assets(docs))
+    return (
+        probed.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_units").alias("sum_units"),
+            F.sum("duration_ms").alias("sum_duration_ms"),
+            F.max("sample_rate").alias("max_sample_rate"),
+        )
+        .orderBy("kind")
+    )

@@ -196,3 +196,34 @@ def test_curriculum_distributed_path_matches_window_path(spark):
     b = [tuple(r) for r in
          curriculum_difficulty_deciles(docs, distributed_threshold=0).collect()]
     assert a == b and len(a) == 10
+
+
+# --- Logreg + media inventory ----------------------------------------------
+
+
+def test_logreg_learns_direction(spark):
+    """More iterations must not increase training loss, and the stopword
+    feature must get a positive weight when stopword-heavy docs are the
+    positive class (labels here: lang='en')."""
+    from kafkasparkstream_spark.operators.text import quality_logreg_fit
+    from kafkasparkstream_spark.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    l1 = quality_logreg_fit(docs, iterations=1).collect()[0]["log_loss"]
+    l5 = quality_logreg_fit(docs, iterations=5).collect()[0]["log_loss"]
+    import math
+    assert l5 <= l1 <= math.log(2) + 1e-9  # w=0 gives ln 2; GD must not regress
+
+
+def test_media_inventory_kinds(spark):
+    from kafkasparkstream_spark.operators import multimodal
+    from kafkasparkstream_spark.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(40)
+    probed = multimodal.media_probe(multimodal.synthesize_media_assets(docs))
+    rows = {r["asset_id"]: r for r in probed.collect()}
+    assert len(rows) == 40
+    for i, r in rows.items():
+        expect = ("png", "wav", "mp3", "flac")[i % 4]
+        assert r["kind"] == expect, (i, r)
+        assert r["n_units"] > 0
