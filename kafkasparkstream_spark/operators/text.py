@@ -1061,16 +1061,23 @@ def dsir_importance(
         .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("c")
-                    * (
-                        F.log2((F.col("tc") + 1) / (F.col("T") + F.col("V")))
-                        - F.log2((F.col("rc") + 1) / (F.col("R") + F.col("V")))
+            # + 0.0 normalizes IEEE -0.0 → +0.0: a doc whose weight is
+            # ~±1e-12 (pure summation noise around an exactly-balanced
+            # ratio) rounds to a SIGNED zero whose sign differs by engine
+            # — found by the sf0.1 sweep, invisible at the sf0.01 gate.
+            (
+                F.round(
+                    F.sum(
+                        F.col("c")
+                        * (
+                            F.log2((F.col("tc") + 1) / (F.col("T") + F.col("V")))
+                            - F.log2((F.col("rc") + 1) / (F.col("R") + F.col("V")))
+                        )
                     )
+                    / F.sum("c"),
+                    4,
                 )
-                / F.sum("c"),
-                4,
+                + F.lit(0.0)
             ).alias("dsir_weight"),
             F.sum("c").alias("n_bigrams"),
         )
@@ -1308,6 +1315,8 @@ def quality_logreg_fit(
     feats.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(iterations, *[round(v, 4) for v in w], float(loss))],
+        # + 0.0 normalizes IEEE -0.0 → +0.0 (signed-zero hash hazard — see
+        # dsir_importance)
+        [(iterations, *[round(v, 4) + 0.0 for v in w], float(loss) + 0.0)],
         "iterations int, w0 double, w1 double, w2 double, w3 double, log_loss double",
     )

@@ -8403,7 +8403,7 @@ def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM vocab)
     SELECT doc_id,
            ROUND(SUM(c * (LOG2((tc + 1) / (T + V)) - LOG2((rc + 1) / (R + V))))
-                 / SUM(c), 4) AS dsir_weight,
+                 / SUM(c), 4) + 0.0 AS dsir_weight,
            CAST(SUM(c) AS BIGINT) AS n_bigrams
     FROM tf JOIN vocab USING (g) CROSS JOIN tot
     GROUP BY doc_id ORDER BY doc_id
@@ -8593,9 +8593,9 @@ def _logreg_oracle_sql(iterations: int, lr: float) -> str:
              FROM i{k-1} CROSS JOIN g{k})""")
     parts.append(f"""
     SELECT CAST({iterations} AS INT) AS iterations,
-           ROUND(w0, 4) AS w0, ROUND(w1, 4) AS w1,
-           ROUND(w2, 4) AS w2, ROUND(w3, 4) AS w3,
-           (SELECT ROUND(AVG(-(y * LN(pp) + (1 - y) * LN(1 - pp))), 4)
+           ROUND(w0, 4) + 0.0 AS w0, ROUND(w1, 4) + 0.0 AS w1,
+           ROUND(w2, 4) + 0.0 AS w2, ROUND(w3, 4) + 0.0 AS w3,
+           (SELECT ROUND(AVG(-(y * LN(pp) + (1 - y) * LN(1 - pp))), 4) + 0.0
             FROM (SELECT y, {p} AS pp FROM f CROSS JOIN i{iterations}) q)
                AS log_loss
     FROM i{iterations}
