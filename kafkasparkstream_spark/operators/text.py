@@ -1320,3 +1320,67 @@ def quality_logreg_fit(
         [(iterations, *[round(v, 4) + 0.0 for v in w], float(loss) + 0.0)],
         "iterations int, w0 double, w1 double, w2 double, w3 double, log_loss double",
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact substring deduplication in the deduplicate-text-datasets
+    style (Lee et al. 2022): delete every token span that occurs at least
+    twice anywhere in the corpus (including within one document). Any
+    duplicated substring of >= n tokens contains a duplicated n-gram, so
+    marking the tokens covered by duplicated n-gram occurrences removes
+    exactly the >= n-token duplicated substrings — the n-gram table plays
+    the role of the paper's suffix array, with the same removal semantics
+    at span granularity n.
+
+    Plan (scale shape = duplicated_span_stats + a rebuild projection):
+    ONE explode of per-position 64-bit n-gram hashes, a map-side-combined
+    (hash -> occurrence count) aggregate, a shuffle_hash join back on the
+    8-byte key keeping only duplicated occurrences, a per-doc
+    sort_array(collect_list(start)) rollup (starts are a tiny fraction of
+    tokens), and a final per-row token filter: token i survives unless a
+    duplicated n-gram starts in (i-n, i]. The rebuild is pure column
+    lambdas — the corpus text never shuffles, only (doc_id, start)
+    pairs do.
+
+    Returns ``doc_id, n_tokens, n_removed, cleaned_md5`` — the md5 of the
+    space-rejoined surviving tokens, so an oracle can hash-match the
+    reconstruction without carrying the cleaned corpus through the
+    comparator.
+    """
+    from kafkasparkstream_spark.util import fanout
+
+    base = (
+        fanout(df.select("doc_id", F.col(text_col)))
+        .withColumn("_toks", tokens_col(text_col))
+        .withColumn("_th", F.transform("_toks", lambda t: F.xxhash64(t)))
+        .withColumn("_sh", shingle_hashes_col(F.col("_th"), n))
+        .drop(text_col, "_th")
+        .localCheckpoint(eager=False)  # two consumers: occurrence explode + rebuild
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("_sh").alias("s", "h")  # s: 0-based start
+    )
+    freq = occ.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_starts = (
+        occ.join(freq.hint("shuffle_hash"), "h")
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("_starts"))
+    )
+    joined = base.join(dup_starts, "doc_id", "left").withColumn(
+        "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_starts"), lambda s: (s <= i) & (s > i - n)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+    ).orderBy("doc_id")

@@ -8658,3 +8658,42 @@ def media_probe_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "exact_substring_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+               FROM documents),
+    g0 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> struct_pack(s := i - 1,
+                              gram := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                      AS u
+           FROM t),
+    g AS (SELECT doc_id, u.s AS s, u.gram AS gram FROM g0),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    sd AS (SELECT doc_id, list(s ORDER BY s) AS starts
+           FROM g JOIN d USING (gram) GROUP BY doc_id),
+    c AS (SELECT t.doc_id, toks, coalesce(starts, []) AS starts
+          FROM t LEFT JOIN sd USING (doc_id)),
+    k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 list_filter(list_transform(range(1, len(toks) + 1), i -> CASE
+                   WHEN len(list_filter(starts,
+                            s -> s <= i - 1 AND s > i - 1 - 3)) = 0
+                   THEN toks[i] END), x -> x IS NOT NULL) AS kept
+          FROM c)
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM k ORDER BY doc_id
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicate-text-datasets-style exact substring removal (Lee et al.
+    2022): every token span whose 3-gram occurs >= 2 times corpus-wide is
+    deleted, and the oracle hash-matches the md5 of each RECONSTRUCTED
+    document — reconstruction parity, not just counts
+    (operators/text.py:remove_duplicated_spans)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.remove_duplicated_spans(docs, n=3)

@@ -227,3 +227,26 @@ def test_media_inventory_kinds(spark):
         expect = ("png", "wav", "mp3", "flac")[i % 4]
         assert r["kind"] == expect, (i, r)
         assert r["n_units"] > 0
+
+
+def test_exact_substring_removal_semantics(spark):
+    """Hand-computed span removal: a trigram shared by two docs removes
+    exactly its covered tokens in both; within-doc repeats count toward the
+    >=2 threshold; overlapping duplicated trigrams merge their coverage."""
+    import hashlib
+    from kafkasparkstream_spark.operators.text import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(0, "a b c x y z"), (1, "a b c q r s"), (2, "p p p p")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=3).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # "a b c" occurs in docs 0 and 1 -> tokens 0..2 removed from both
+    assert got[0]["n_removed"] == 3 and got[0]["cleaned_md5"] == h("x y z")
+    assert got[1]["n_removed"] == 3 and got[1]["cleaned_md5"] == h("q r s")
+    # "p p p" occurs twice WITHIN doc 2 (starts 0 and 1) -> all 4 tokens go
+    assert got[2]["n_removed"] == 4 and got[2]["cleaned_md5"] == h("")
