@@ -1085,3 +1085,60 @@ def pq_distortion(
         )
         .orderBy("subspace", "centroid")
     )
+
+
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 10,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH approximate cosine top-k: each query probes its
+    own bucket AND every Hamming-distance-1 bucket (bits+1 probes). The
+    classic multi-probe LSH trade (Lv et al. 2007): ~(bits+1)x the
+    candidates of single-probe for a large recall jump (measured in
+    ann_recall_report: 0.14 single-probe → ~0.6+ multi-probe at 4 bits)
+    with the same index and no extra tables. Candidates still carry ONE
+    bucket each — only the tiny query side explodes, so the join stays
+    candidate-partitioned and broadcast-probed at any corpus size."""
+    from pyspark.sql.window import Window
+
+    bucketed = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+    )
+
+    def _flip(p: int) -> Column:  # 1-based bit position
+        flipped = F.when(
+            F.substring("bucket", p, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        return F.concat(
+            F.substring("bucket", 1, p - 1), flipped,
+            F.substring("bucket", p + 1, bits - p),
+        )
+
+    probes = F.array(F.col("bucket"), *[_flip(p) for p in range(1, bits + 1)])
+    q = (
+        bucketed.filter(F.col(id_col) < num_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"),
+                F.explode(probes).alias("bucket"))
+    )
+    c = fanout(
+        bucketed.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"), "bucket"
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("q_emb"), F.col("c_emb")).alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rnk")
+        .orderBy("query_id", "rnk")
+    )

@@ -1384,3 +1384,64 @@ def remove_duplicated_spans(
         (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
     ).orderBy("doc_id")
+
+
+def _bpe_merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Apply one learned BPE merge rule to a symbol array (greedy
+    leftmost-first left fold — the same semantics the trainer uses)."""
+    merged_sym = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) >= 1)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged_sym))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_encode_stats(
+    df: DataFrame, text_col: str = "text", merges: int = 8
+) -> DataFrame:
+    """Tokenizer APPLICATION: train ``merges`` BPE rules on the corpus
+    (:func:`bpe_train_merges`), encode the corpus with them, and report
+    per-language fertility — whitespace tokens vs BPE symbols vs
+    characters, plus the symbols-per-word compression ratio. This is the
+    fertility check every tokenizer change ships with.
+
+    Scale shape: encoding happens on the word-TYPE table (distinct tokens),
+    never the corpus — each type is split to characters and run through the
+    learned merge folds ONCE, then broadcast-joined back to the Zipfian
+    (lang, token, count) rollup. The corpus pays exactly one explode +
+    map-side-combined aggregate; the merge folds touch |vocab| rows.
+    """
+    learned = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(df, text_col, merges).collect()  # k-row pull
+    ]
+    tl = (
+        df.select("lang", F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = F.split(F.col("tok"), "(?!^)(?!$)")
+    for left, right in learned:
+        syms = _bpe_merge_fold(syms, left, right)
+    types = tl.select("tok").distinct().select(
+        "tok", F.size(syms).alias("bpe_len")
+    )
+    return (
+        tl.join(F.broadcast(types), "tok")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("ws_tokens"),
+            F.sum(F.col("cnt") * F.col("bpe_len")).alias("bpe_tokens"),
+            F.sum(F.col("cnt") * F.length("tok")).alias("n_chars"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("bpe_len")) / F.sum("cnt"), 4
+            ).alias("symbols_per_word"),
+        )
+        .orderBy("lang")
+    )

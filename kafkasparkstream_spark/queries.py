@@ -8697,3 +8697,127 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py:remove_duplicated_spans)."""
     docs = load_table(spark, "documents", sf_dir)
     return text_ops.remove_duplicated_spans(docs, n=3)
+
+
+@register("bpe_encode_stats")
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility under the corpus's own learned BPE (8 merges):
+    per-language whitespace-token / BPE-symbol / character counts and
+    symbols-per-word. Rows-only (training is iterative); the merge-fold
+    semantics are reference-pinned in tests
+    (operators/text.py:bpe_encode_stats)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text_ops.bpe_encode_stats(docs, merges=8)
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    ),
+    q0 AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM e
+           WHERE vec_id < 10),
+    q AS (SELECT query_id, q_emb,
+                 unnest([bucket,
+                         (CASE WHEN bucket[1] = '1' THEN '0' ELSE '1' END) || bucket[2:4],
+                         bucket[1] || (CASE WHEN bucket[2] = '1' THEN '0' ELSE '1' END) || bucket[3:4],
+                         bucket[1:2] || (CASE WHEN bucket[3] = '1' THEN '0' ELSE '1' END) || bucket[4],
+                         bucket[1:3] || (CASE WHEN bucket[4] = '1' THEN '0' ELSE '1' END)])
+                     AS bucket
+          FROM q0),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q_emb, e.emb) AS cos
+        FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-10: own bucket + every Hamming-1 bucket —
+    the Lv et al. 2007 recall/candidate trade on the same index
+    (operators/similarity.py:lsh_multiprobe_topk)."""
+    df = similarity.lsh_multiprobe_topk(load_table(spark, "embeddings", sf_dir))
+    return df.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Recall oracle composed from the existing ANN oracles: the
+    exact-cosine top-10 is ground truth; each approximate method's top-10
+    is intersected with it per query."""
+    ex = ORACLE_SQL["ann_cosine_topk"]
+    methods = {
+        "ivf": ORACLE_SQL["ann_ivf_topk"],
+        "lsh": ORACLE_SQL["ann_lsh_topk"],
+        "lsh_multiprobe": ORACLE_SQL["ann_lsh_multiprobe_topk"],
+        "quantized": ORACLE_SQL["ann_quantized_topk"],
+    }
+    arms = []
+    for name, sql in sorted(methods.items()):
+        arms.append(f"""
+    SELECT '{name}' AS method,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT query_id, neighbor_id FROM ({ex}) x) e
+            JOIN (SELECT query_id, neighbor_id FROM ({sql}) y) a
+            USING (query_id, neighbor_id)) AS n_matched,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ({ex}) z) AS n_possible""")
+    body = "\n    UNION ALL\n".join(arms)
+    return f"""
+    SELECT method, n_matched, n_possible,
+           ROUND(n_matched * 1.0 / n_possible, 4) AS recall
+    FROM ({body}) t
+    ORDER BY method
+    """
+
+
+@register("ann_recall_report", oracle=_ann_recall_oracle_sql())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of every approximate ANN path against the exact
+    cosine top-10 — the index-quality report an ANN deployment ships with.
+    The oracle is COMPOSED from the four existing ANN oracles (exact as
+    ground truth), so the recall arithmetic itself is gate-checked, not
+    just asserted in tests. All four method results are k x queries rows;
+    the intersections are tiny joins."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = similarity.brute_force_topk(emb).select("query_id", "neighbor_id")
+    methods = {
+        "ivf": similarity.ivf_topk(emb),
+        "lsh": similarity.lsh_bucketed_topk(emb),
+        "lsh_multiprobe": similarity.lsh_multiprobe_topk(emb),
+        "quantized": similarity.quantized_topk(emb),
+    }
+    possible = exact.agg(F.count(F.lit(1)).alias("n_possible"))
+    parts = []
+    for name in sorted(methods):
+        appx = methods[name].select("query_id", "neighbor_id")
+        matched = exact.join(appx, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_matched")
+        )
+        parts.append(
+            matched.crossJoin(possible).select(
+                F.lit(name).alias("method"), "n_matched", "n_possible"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "method",
+        "n_matched",
+        "n_possible",
+        F.round(F.col("n_matched") / F.col("n_possible"), 4).alias("recall"),
+    ).orderBy("method")

@@ -250,3 +250,28 @@ def test_exact_substring_removal_semantics(spark):
     assert got[1]["n_removed"] == 3 and got[1]["cleaned_md5"] == h("q r s")
     # "p p p" occurs twice WITHIN doc 2 (starts 0 and 1) -> all 4 tokens go
     assert got[2]["n_removed"] == 4 and got[2]["cleaned_md5"] == h("")
+
+
+def test_bpe_encode_fertility_bounds(spark):
+    """Encoding with merges can never go below 1 symbol/word or above the
+    character count; more merges must not increase total symbols."""
+    from kafkasparkstream_spark.operators.text import bpe_encode_stats
+    from kafkasparkstream_spark.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    r8 = {r["lang"]: r for r in bpe_encode_stats(docs, merges=8).collect()}
+    r0 = {r["lang"]: r for r in bpe_encode_stats(docs, merges=0).collect()}
+    for lang, row in r8.items():
+        assert row["ws_tokens"] <= row["bpe_tokens"] <= row["n_chars"]
+        assert row["bpe_tokens"] <= r0[lang]["bpe_tokens"]  # merges only shrink
+        assert r0[lang]["bpe_tokens"] == r0[lang]["n_chars"]  # 0 merges = chars
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    from kafkasparkstream_spark.tables import load_table
+    import __spark_entry__ as E
+
+    rows = {r["method"]: r for r in
+            E.queries()["ann_recall_report"](spark, "/root/testdata/sf0.001").collect()}
+    assert rows["lsh_multiprobe"]["recall"] >= rows["lsh"]["recall"]
+    assert rows["quantized"]["recall"] >= 0.9  # int8 on 64-dim barely degrades
