@@ -1142,3 +1142,52 @@ def lsh_multiprobe_topk(
         .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+def embedding_decontamination(
+    embeddings: DataFrame,
+    num_eval: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Benchmark-contamination screen in embedding space: treat the first
+    ``num_eval`` vectors as the held-out eval set and, for every other
+    corpus vector, compute its maximum cosine to ANY eval vector; report
+    per-label counts above the 0.95 / 0.99 near-duplicate thresholds plus
+    the per-label max. The embedding twin of hashed-n-gram
+    decontamination — catches paraphrased/reformatted eval leakage that
+    exact n-grams miss.
+
+    Plan: the eval set is a k-row pull broadcast as a pre-NORMALIZED 2-D
+    literal; per corpus row ONE fused transform computes all k dots, and
+    max-cosine = array_max(dots)/|v| (one norm per row). No shuffle until
+    the |labels|-row rollup — the corpus is scanned once, embarrassingly
+    parallel, the same shape at any scale. Threshold comparisons use the
+    4dp-rounded cosine so the counts are engine-reproducible."""
+    import math
+
+    seed = [
+        [float(v) for v in r[vec_col]]
+        for r in embeddings.orderBy(id_col).limit(num_eval).collect()
+    ]
+    normed = []
+    for vec in seed:
+        nrm = math.sqrt(sum(x * x for x in vec))
+        normed.append([x / nrm for x in vec])
+    ev2d = F.array(*[F.array(*[F.lit(x) for x in e]) for e in normed])
+    dots = F.transform(ev2d, lambda e: dot(F.col(vec_col), e))
+    mx = F.round(F.array_max(dots) / norm(F.col(vec_col)), 4)
+    scored = embeddings.filter(F.col(id_col) >= num_eval).select(
+        F.col(label_col).alias("label"), mx.alias("max_cos")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("max_cos") >= 0.95).cast("long")).alias("n_cos95"),
+            F.sum((F.col("max_cos") >= 0.99).cast("long")).alias("n_cos99"),
+            F.max("max_cos").alias("max_cosine"),
+        )
+        .orderBy("label")
+    )

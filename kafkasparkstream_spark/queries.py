@@ -8821,3 +8821,33 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_possible",
         F.round(F.col("n_matched") / F.col("n_possible"), 4).alias("recall"),
     ).orderBy("method")
+
+
+@register(
+    "embedding_decontamination",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    ev AS (SELECT emb AS ev_emb FROM e WHERE vec_id < 10),
+    mx AS (SELECT e.vec_id, e.label,
+                  ROUND(MAX(list_cosine_similarity(e.emb, ev.ev_emb)), 4)
+                      AS max_cos
+           FROM e CROSS JOIN ev
+           WHERE e.vec_id >= 10
+           GROUP BY e.vec_id, e.label)
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN max_cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cos95,
+           CAST(SUM(CASE WHEN max_cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cos99,
+           MAX(max_cos) AS max_cosine
+    FROM mx GROUP BY label ORDER BY label
+    """,
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-leakage screen: per-label counts of corpus
+    vectors whose max cosine to the 10-vector eval set crosses the
+    0.95/0.99 near-dup bars
+    (operators/similarity.py:embedding_decontamination)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.embedding_decontamination(emb)
