@@ -103,6 +103,10 @@ def test_no_degenerate_joins_anywhere(spark):
             "rfm_segment_counts",  # 1-row anchor-date + median-cuts broadcasts
             "revenue_rank_stability",  # 1-row mid-date broadcast + 100-row pair join
             "streaming_batch_parity_audit",  # 1-row count x 1-row mismatch-count combine
+            "dsir_importance_weights",  # 1-row corpus bigram-totals (R,T,V) broadcast
+            "perplexity_buckets_ccnet",  # 1-row corpus token-total broadcast (unigram LM)
+            "mixture_epochs_plan",  # 1-row corpus token-totals broadcast
+            "ann_recall_report",  # 1-row matched-count x 1-row possible-count combines
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"
