@@ -1191,3 +1191,169 @@ def embedding_decontamination(
         )
         .orderBy("label")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k with asymmetric distance computation — the
+    FAISS-workhorse index shape: a coarse quantizer routes each vector to
+    an inverted list, product-quantization codes compress it to
+    ``n_subspaces`` bytes, and at query time every probed candidate is
+    scored WITHOUT touching its original vector — the approximate inner
+    product is a sum of ``n_subspaces`` LUT entries (query-subvector x
+    codeword dot products).
+
+    Deterministic codebooks: the ``n_centroids`` lowest-id vectors serve as
+    both the coarse centroids and (sliced) the PQ codewords — the seeding
+    convention shared with ivf_topk / pq_distortion, swappable for k-means
+    output without changing the plan.
+
+    Scale shape: candidates carry only (coarse list id, PQ codes) through
+    the probe join — the 8-byte-per-vector compression IS the point: at a
+    trillion vectors the inverted lists + codes fit a fraction of the
+    original footprint, the probe join is partition pruning on a bucketed
+    coarse id, and scoring never rereads the raw embedding column. All
+    math is fused column expressions (6dp-rounded argmins, 4dp-rounded
+    ranking with id tie-breaks) so the DuckDB oracle reproduces every
+    assignment bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    sub_d = dim // n_subspaces
+    seed = [
+        [float(v) for v in r[vec_col]]
+        for r in embeddings.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    cent2d = F.array(*[F.array(*[F.lit(x) for x in c]) for c in seed])
+
+    def _coarse(vc: Column) -> Column:
+        """argmax-cosine centroid id (ties -> lowest id), 6dp-rounded."""
+        sims = F.zip_with(
+            cent2d,
+            F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+            lambda carr, cid: F.struct(
+                F.round(-cosine(vc, carr), 6).alias("d"),
+                cid.cast("int").alias("c"),
+            ),
+        )
+        return F.array_sort(sims)[0]["c"]
+
+    def _codes(vc: Column) -> Column:
+        """array of per-subspace nearest-codeword ids (6dp L2, ties -> low id)."""
+        def _sub_lambda(off: int, sub: Column):
+            def fn(carr: Column, cid: Column) -> Column:
+                return F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                sub,
+                                F.slice(carr, off + 1, sub_d),
+                                lambda a, b: (a.cast("double") - b)
+                                * (a.cast("double") - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ),
+                        6,
+                    ).alias("d"),
+                    cid.cast("int").alias("c"),
+                )
+
+            return fn
+
+        per = []
+        for s in range(n_subspaces):
+            off = s * sub_d
+            sub = F.slice(vc, off + 1, sub_d)
+            d2s = F.zip_with(
+                cent2d,
+                F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                _sub_lambda(off, sub),
+            )
+            per.append(F.array_sort(d2s)[0]["c"])
+        return F.array(*per)
+
+    cands = fanout(embeddings.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        _coarse(F.col(vec_col)).alias("coarse"),
+        F.posexplode(_codes(F.col(vec_col))).alias("s", "code"),
+    )
+
+    q = embeddings.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    # probe lists: each query's nprobe max-cosine coarse ids, ranked in-engine
+    probes = (
+        q.select(
+            "query_id",
+            F.explode(
+                F.zip_with(
+                    cent2d,
+                    F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                    lambda carr, cid: F.struct(
+                        F.round(-cosine(F.col("q_emb"), carr), 6).alias("d"),
+                        cid.cast("int").alias("c"),
+                    ),
+                )
+            ).alias("pc"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc(F.col("pc")["d"]), F.asc(F.col("pc")["c"])
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("pc")["c"].alias("coarse"))
+    )
+    # ADC lookup table: (query_id, s, code) -> q_sub . codeword_sub,
+    # one flat 64-struct literal-driven array exploded per query row
+    flat = []
+    for s in range(n_subspaces):
+        off = s * sub_d
+        qsub = F.slice(F.col("q_emb"), off + 1, sub_d)
+        for cid in range(n_centroids):
+            carr = F.array(*[F.lit(x) for x in seed[cid][off : off + sub_d]])
+            flat.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(cid).alias("code"),
+                    dot(qsub, carr).alias("pdot"),
+                )
+            )
+    lut = q.select("query_id", F.explode(F.array(*flat)).alias("e")).select(
+        "query_id", F.col("e")["s"].alias("s"), F.col("e")["code"].alias("code"),
+        F.col("e")["pdot"].alias("pdot"),
+    )
+
+    scored = (
+        cands.join(F.broadcast(probes), "coarse")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdot").alias("adot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("adot"), 4)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("adot", 4).alias("approx_dot"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -8766,6 +8766,10 @@ def _ann_recall_oracle_sql() -> str:
         "lsh_multiprobe": ORACLE_SQL["ann_lsh_multiprobe_topk"],
         "quantized": ORACLE_SQL["ann_quantized_topk"],
     }
+    # ivfpq registers later in the module; the final recomposition at the
+    # bottom of the file folds it in once its oracle exists.
+    if "ann_ivfpq_topk" in ORACLE_SQL:
+        methods["ivfpq"] = ORACLE_SQL["ann_ivfpq_topk"]
     arms = []
     for name, sql in sorted(methods.items()):
         arms.append(f"""
@@ -8796,6 +8800,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.brute_force_topk(emb).select("query_id", "neighbor_id")
     methods = {
         "ivf": similarity.ivf_topk(emb),
+        "ivfpq": similarity.ivfpq_topk(emb),
         "lsh": similarity.lsh_bucketed_topk(emb),
         "lsh_multiprobe": similarity.lsh_multiprobe_topk(emb),
         "quantized": similarity.quantized_topk(emb),
@@ -8851,3 +8856,78 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:embedding_decontamination)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.embedding_decontamination(emb)
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+    coarse AS (
+        SELECT vec_id, cid AS coarse FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.emb, c.cemb), 6)
+                                DESC, c.cid) AS rn
+            FROM e CROSS JOIN c) t
+        WHERE rn = 1),
+    pc AS (
+        SELECT e.vec_id, CAST(ss.s AS INT) AS s, c.cid AS code,
+               ROUND(list_sum(list_transform(range(1, 17),
+                 i -> (e.emb[CAST(ss.s * 16 + i AS INT)]
+                       - c.cemb[CAST(ss.s * 16 + i AS INT)]) ^ 2)), 6) AS d2
+        FROM e CROSS JOIN range(0, 4) ss(s) CROSS JOIN c),
+    codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d2, code) AS rn
+            FROM pc) t
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 10),
+    pr AS (
+        SELECT query_id, cid AS coarse FROM (
+            SELECT q.query_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qemb, c.cemb), 6)
+                                DESC, c.cid) AS rn
+            FROM q CROSS JOIN c) t
+        WHERE rn <= 2),
+    lut AS (
+        SELECT q.query_id, CAST(ss.s AS INT) AS s, c.cid AS code,
+               list_sum(list_transform(range(1, 17),
+                 i -> q.qemb[CAST(ss.s * 16 + i AS INT)]
+                      * c.cemb[CAST(ss.s * 16 + i AS INT)])) AS pdot
+        FROM q CROSS JOIN range(0, 4) ss(s) CROSS JOIN c),
+    sc AS (
+        SELECT pr.query_id, coarse.vec_id AS neighbor_id, SUM(lut.pdot) AS adot
+        FROM coarse
+        JOIN pr USING (coarse)
+        JOIN codes ON codes.vec_id = coarse.vec_id
+        JOIN lut ON lut.query_id = pr.query_id
+                AND lut.s = codes.s AND lut.code = codes.code
+        WHERE coarse.vec_id <> pr.query_id
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id, neighbor_id, ROUND(adot, 4) AS approx_dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(adot, 4) DESC, neighbor_id) AS rnk
+        FROM sc)
+    SELECT query_id, neighbor_id, approx_dot, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10 with asymmetric distance computation:
+    coarse routing + 4-byte PQ codes + per-query LUT scoring — candidates
+    are ranked without ever rereading their raw vectors
+    (operators/similarity.py:ivfpq_topk)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivfpq_topk(emb)
+
+
+# ann_ivfpq_topk registers after ann_recall_report; recompose the recall
+# oracle so the report covers every approximate method, ivfpq included.
+ORACLE_SQL["ann_recall_report"] = _ann_recall_oracle_sql()

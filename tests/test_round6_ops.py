@@ -275,3 +275,14 @@ def test_multiprobe_recall_dominates_single_probe(spark):
             E.queries()["ann_recall_report"](spark, "/root/testdata/sf0.001").collect()}
     assert rows["lsh_multiprobe"]["recall"] >= rows["lsh"]["recall"]
     assert rows["quantized"]["recall"] >= 0.9  # int8 on 64-dim barely degrades
+
+
+def test_ivfpq_recall_between_bounds(spark):
+    """IVF-PQ (4-byte codes, 2 probes) must beat single-probe LSH but can't
+    beat its own coarse router (uncompressed IVF at the same nprobe)."""
+    import __spark_entry__ as E
+
+    rows = {r["method"]: r for r in
+            E.queries()["ann_recall_report"](spark, "/root/testdata/sf0.001").collect()}
+    assert rows["ivfpq"]["recall"] >= rows["lsh"]["recall"]
+    assert rows["ivfpq"]["recall"] <= rows["ivf"]["recall"]
