@@ -1148,7 +1148,13 @@ def curriculum_difficulty_deciles(
         (F.size(toks).cast("long") * F.size(F.array_distinct(toks)).cast("long")).alias(
             "difficulty"
         ),
-    )
+        # Barrier: above the threshold the distributed-ntile path consumes
+        # this projection THREE times (pre-count, range-partitioner
+        # sampling, checkpoint materialization) and tokenization is the
+        # expensive part — sf10 probe measured 19.7 s without the barrier,
+        # ~7 s with it. The 24-byte projection is what materializes, never
+        # the corpus text.
+    ).localCheckpoint(eager=False)
     return (
         global_exact_ntile(
             per_doc, ["difficulty", "doc_id"], 10, distributed_threshold

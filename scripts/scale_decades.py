@@ -107,7 +107,20 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
+    # Merge into an existing artifact so a --only run extends the matrix
+    # instead of clobbering the full-probe record.
+    out_path = _ROOT / "SCALE_DECADES.json"
     result: dict = {"sf_dirs": args.sf_dirs, "queries": {}}
+    if out_path.exists():
+        try:
+            prior = json.load(open(out_path))
+            result["queries"].update(prior.get("queries", {}))
+            prior_dirs = prior.get("sf_dirs", [])
+            result["sf_dirs"] = prior_dirs + [
+                d for d in args.sf_dirs if d not in prior_dirs
+            ]
+        except ValueError:
+            pass
     for sf_dir in args.sf_dirs:
         label = os.path.basename(sf_dir.rstrip("/"))
         for name in names:
@@ -147,7 +160,7 @@ def main() -> int:
             result["queries"].setdefault(name, {})[label] = {"sec": dt, "rows": n}
             print(f"{label} {name}: {dt}s ({n} rows)", flush=True)
 
-    labels = [os.path.basename(d.rstrip("/")) for d in args.sf_dirs]
+    labels = [os.path.basename(d.rstrip("/")) for d in result["sf_dirs"]]
     for name, per in result["queries"].items():
         ratios = []
         for a, b in zip(labels, labels[1:]):
