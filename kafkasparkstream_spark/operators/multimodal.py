@@ -567,7 +567,7 @@ def media_probe(assets: DataFrame) -> DataFrame:
             return kind, 0, int(img.shape[2]), h * w, 0, f"{w}x{h}"
         return "unknown", 0, 0, 0, 0, ""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def probe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("asset_id", "kind", "sample_rate",
                                    "channels", "n_units", "duration_ms",
@@ -587,7 +587,7 @@ def media_probe(assets: DataFrame) -> DataFrame:
                 out["detail"].append(detail)
             yield pd.DataFrame(out)
 
-    return assets.select("asset_id", "payload").mapInPandas(kernel, MEDIA_PROBE_SCHEMA)
+    return assets.select("asset_id", "payload").mapInPandas(probe_kernel, MEDIA_PROBE_SCHEMA)
 
 
 def synthesize_media_assets(docs: DataFrame) -> DataFrame:
@@ -599,7 +599,7 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
     every row. Arrow mapInPandas; encoding is per-row independent (scales
     with splits)."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def synth_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
@@ -629,4 +629,4 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                 out["payload"].append(raw)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(kernel, "asset_id long, payload binary")
+    return docs.select("doc_id").mapInPandas(synth_kernel, "asset_id long, payload binary")

@@ -8797,7 +8797,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     just asserted in tests. All four method results are k x queries rows;
     the intersections are tiny joins."""
     emb = load_table(spark, "embeddings", sf_dir)
-    exact = similarity.brute_force_topk(emb).select("query_id", "neighbor_id")
+    # Barrier: `exact` has |methods|+1 consumers (one intersection join per
+    # method + the possible-count) and each would re-execute the GEMM
+    # kernel (recompute audit flagged 6 evaluations).
+    exact = (
+        similarity.brute_force_topk(emb)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     methods = {
         "ivf": similarity.ivf_topk(emb),
         "ivfpq": similarity.ivfpq_topk(emb),

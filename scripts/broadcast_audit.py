@@ -85,6 +85,14 @@ def flagged_broadcasts(plan: str) -> list[str]:
 SANCTIONED = {
     "dedup_incremental": "delta side broadcasts by contract "
     "(incremental_minhash_pairs: each crawl batch vs the corpus)",
+    "ann_lsh_multiprobe_topk": "the broadcast Generate is the 10-row "
+    "QUERY side exploding to (bits+1) probe buckets — bounded by "
+    "num_queries x 5, by design (candidates never explode)",
+    "ann_ivfpq_topk": "broadcast Generates are the 10-row query side's "
+    "probe lists (nprobe rows/query) and ADC LUT (64 rows/query) — both "
+    "bounded by num_queries, by design",
+    "ann_recall_report": "composes the ANN queries above; same bounded "
+    "query-side Generates",
 }
 
 
