@@ -8766,10 +8766,12 @@ def _ann_recall_oracle_sql() -> str:
         "lsh_multiprobe": ORACLE_SQL["ann_lsh_multiprobe_topk"],
         "quantized": ORACLE_SQL["ann_quantized_topk"],
     }
-    # ivfpq registers later in the module; the final recomposition at the
-    # bottom of the file folds it in once its oracle exists.
+    # ivfpq (+rerank) register later in the module; the final recomposition
+    # at the bottom of the file folds them in once their oracles exist.
     if "ann_ivfpq_topk" in ORACLE_SQL:
         methods["ivfpq"] = ORACLE_SQL["ann_ivfpq_topk"]
+    if "ann_ivfpq_rerank_topk" in ORACLE_SQL:
+        methods["ivfpq_rerank"] = ORACLE_SQL["ann_ivfpq_rerank_topk"]
     arms = []
     for name, sql in sorted(methods.items()):
         arms.append(f"""
@@ -8808,6 +8810,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         "ivf": similarity.ivf_topk(emb),
         "ivfpq": similarity.ivfpq_topk(emb),
+        "ivfpq_rerank": similarity.ivfpq_rerank_topk(emb),
         "lsh": similarity.lsh_bucketed_topk(emb),
         "lsh_multiprobe": similarity.lsh_multiprobe_topk(emb),
         "quantized": similarity.quantized_topk(emb),
@@ -8865,9 +8868,10 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_decontamination(emb)
 
 
-@register(
-    "ann_ivfpq_topk",
-    oracle="""
+def _ivfpq_oracle_sql(k: int) -> str:
+    """IVF-PQ ADC oracle, parameterized on the result depth so the
+    rerank query can reuse it as a shortlist CTE."""
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     c AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM e WHERE vec_id < 16),
     coarse AS (
@@ -8922,10 +8926,12 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY ROUND(adot, 4) DESC, neighbor_id) AS rnk
         FROM sc)
     SELECT query_id, neighbor_id, approx_dot, CAST(rnk AS INT) AS rnk
-    FROM ranked WHERE rnk <= 10
+    FROM ranked WHERE rnk <= {k}
     ORDER BY query_id, rnk
-    """,
-)
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle_sql(10))
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-10 with asymmetric distance computation:
     coarse routing + 4-byte PQ codes + per-query LUT scoring — candidates
@@ -8935,6 +8941,36 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(emb)
 
 
-# ann_ivfpq_topk registers after ann_recall_report; recompose the recall
-# oracle so the report covers every approximate method, ivfpq included.
+
+def _ivfpq_rerank_oracle_sql() -> str:
+    """Shortlist (ivfpq at depth 50) + exact-cosine re-rank."""
+    return f"""
+    WITH short AS (SELECT query_id, neighbor_id FROM ({_ivfpq_oracle_sql(50)}) t),
+    e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    rr AS (SELECT s.query_id, s.neighbor_id,
+                  list_cosine_similarity(qe.emb, ne.emb) AS cos
+           FROM short s
+           JOIN e2 qe ON qe.vec_id = s.query_id
+           JOIN e2 ne ON ne.vec_id = s.neighbor_id),
+    rranked AS (SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rnk
+                FROM rr)
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM rranked WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """
+
+
+@register("ann_ivfpq_rerank_topk", oracle=_ivfpq_rerank_oracle_sql())
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ shortlist-50 + exact cosine re-rank — the production ANN
+    topology that breaks the ADC quantization ceiling
+    (operators/similarity.py:ivfpq_rerank_topk)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivfpq_rerank_topk(emb)
+
+
+# Final recomposition: the recall report covers every approximate method
+# registered above, ivfpq + rerank included.
 ORACLE_SQL["ann_recall_report"] = _ann_recall_oracle_sql()

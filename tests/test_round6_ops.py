@@ -286,3 +286,14 @@ def test_ivfpq_recall_between_bounds(spark):
             E.queries()["ann_recall_report"](spark, "/root/testdata/sf0.001").collect()}
     assert rows["ivfpq"]["recall"] >= rows["lsh"]["recall"]
     assert rows["ivfpq"]["recall"] <= rows["ivf"]["recall"]
+
+
+def test_ivfpq_rerank_breaks_adc_ceiling(spark):
+    """The exact re-rank over a 50-deep shortlist must dominate ADC-only
+    IVF-PQ and approach (never exceed) the coarse router's own recall."""
+    import __spark_entry__ as E
+
+    rows = {r["method"]: r for r in
+            E.queries()["ann_recall_report"](spark, "/root/testdata/sf0.001").collect()}
+    assert rows["ivfpq_rerank"]["recall"] > rows["ivfpq"]["recall"]
+    assert rows["ivfpq_rerank"]["recall"] <= rows["ivf"]["recall"] + 1e-9
