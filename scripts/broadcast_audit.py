@@ -93,6 +93,10 @@ SANCTIONED = {
     "bounded by num_queries, by design",
     "ann_recall_report": "composes the ANN queries above; same bounded "
     "query-side Generates",
+    "ann_ivfpq_rerank_topk": "the broadcast subtree is the ADC shortlist "
+    "(num_queries x shortlist id pairs) whose plan contains ivfpq's "
+    "bounded query-side Generates — broadcasting the shortlist against "
+    "the vector table is the operator's design",
 }
 
 
