@@ -48,6 +48,72 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _spark_round(arr, decimals: int):
+    """Replicate Spark's ``Round`` on DoubleType in numpy, bit-for-bit.
+
+    Spark rounds a double via ``BigDecimal.valueOf(x)`` (shortest decimal
+    representation, same algorithm as Python's ``repr``) + ``HALF_UP``
+    (away from zero). The vectorized fast path —
+    ``floor(|x|·10^d + 0.5)·sign(x)`` — agrees except when ``x·10^d``
+    sits within float error of a ``.5`` boundary; those rare elements are
+    re-rounded through ``Decimal(repr(x))``, which IS the JVM semantics.
+    Needed so BLAS kernels reproduce the columnar/oracle tie-breaks that
+    hinge on 6dp-rounded distances.
+    """
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.float64)
+    scale = 10.0 ** decimals
+    finite = np.isfinite(arr)
+    y = np.where(finite, arr, 0.0) * scale
+    absy = np.abs(y)
+    fast = np.sign(y) * np.floor(absy + 0.5) / scale
+    frac = absy - np.floor(absy)
+    amb = finite & (np.abs(frac - 0.5) <= np.maximum(absy, 1.0) * 1e-12)
+    if amb.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-decimals)
+        flat = fast.ravel()
+        src = arr.ravel()
+        for i in np.nonzero(amb.ravel())[0]:
+            flat[i] = float(
+                Decimal(repr(float(src[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+        fast = flat.reshape(fast.shape)
+    # round(-inf) stays -inf (masked entries)
+    fast = np.where(finite, fast, arr)
+    return fast
+
+
+def _fold_dot(a, b):
+    """Sequential-fold dot of row-matrices ``a (n,d)`` x ``b (m,d)`` →
+    ``(n,m)``, accumulating dimension-by-dimension in the exact order
+    Spark's ``F.aggregate(zip_with(...))`` fold does, so every float64
+    intermediate is bit-identical to the columnar/oracle computation
+    (a BLAS GEMM's pairwise summation is ~1e-15 off — enough to flip a
+    6dp-rounded argmin once in ~10^7 roundings, which an exact integer
+    rollup like pq_distortion would surface as a hash mismatch)."""
+    import numpy as np
+
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j, None] * b[None, :, j]
+    return acc
+
+
+def _fold_sqdist(a, b):
+    """Sequential-fold squared L2 of ``a (n,d)`` x ``b (m,d)`` → ``(n,m)``
+    in Spark's fold order (see :func:`_fold_dot`)."""
+    import numpy as np
+
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for j in range(a.shape[1]):
+        d = a[:, j, None] - b[None, :, j]
+        acc = acc + d * d
+    return acc
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     num_queries: int = 10,
@@ -995,7 +1061,7 @@ def pca_variance_spectrum(
     )
 
 
-def pq_distortion(
+def pq_distortion_columnar(
     embeddings: DataFrame,
     n_subspaces: int = 4,
     n_centroids: int = 16,
@@ -1003,7 +1069,12 @@ def pq_distortion(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Product-quantization codebook report: split each vector into
+    """ORACLE CROSS-CHECK PATH — not the default. :func:`pq_distortion`
+    (the BLAS ``mapInPandas`` kernel) is the production implementation;
+    this Catalyst-expression variant is kept for the engine-side diff in
+    ``tests/test_ivfpq_blas.py``.
+
+    Product-quantization codebook report: split each vector into
     ``n_subspaces`` contiguous sub-vectors, assign every sub-vector to its
     nearest codeword (deterministic codebook: the ``n_centroids``
     lowest-``id_col`` vectors' sub-vectors — the seeding step of a PQ
@@ -1082,6 +1153,98 @@ def pq_distortion(
             F.sum(F.round(F.col("d") * 1000000, 0).cast("long")).alias(
                 "distortion_micro"
             ),
+        )
+        .orderBy("subspace", "centroid")
+    )
+
+
+def pq_distortion(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    n_centroids: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook distortion report, BLAS-kernel default (round-7
+    promotion; the Catalyst variant survives as
+    :func:`pq_distortion_columnar` for the engine-side cross-check).
+
+    Identical semantics to the columnar path / DuckDB oracle: nearest
+    codeword per (row, subspace) by 6dp-rounded squared-L2 (Spark fold
+    order via :func:`_fold_sqdist`, Spark rounding via
+    :func:`_spark_round`, ties → lowest codeword id), distortion summed in
+    exact integer micro-units. The integer rollup is why fold-order
+    replication matters here: ONE row whose GEMM-computed distance rounds
+    differently at 6dp would shift ``distortion_micro`` and break the
+    value hash.
+
+    Scale shape: codebook broadcast; one ``mapInPandas`` pass reduces each
+    partition to ≤ subspaces·centroids partial rows (count + micro-unit
+    sum), so the shuffle is O(S·C·partitions) regardless of corpus size —
+    map-side combine done explicitly inside the kernel.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    sub_d = dim // n_subspaces
+    cent = np.array(
+        [
+            [float(v) for v in r[vec_col]]
+            for r in embeddings.orderBy(id_col).limit(n_centroids).collect()
+        ],
+        dtype=np.float64,
+    )
+    bc = spark.sparkContext.broadcast(cent)
+
+    part_schema = StructType(
+        [
+            StructField("subspace", IntegerType(), False),
+            StructField("centroid", IntegerType(), False),
+            StructField("n", LongType(), False),
+            StructField("micro", LongType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value
+        counts = np.zeros((n_subspaces, n_centroids), dtype="int64")
+        micro = np.zeros((n_subspaces, n_centroids), dtype="int64")
+        for batch in batches:
+            if not len(batch):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            for s in range(n_subspaces):
+                off = s * sub_d
+                d6 = _spark_round(
+                    _fold_sqdist(x[:, off : off + sub_d], cb[:, off : off + sub_d]), 6
+                )
+                code = np.argmin(d6, axis=1)
+                best = d6[np.arange(len(x)), code]
+                m = _spark_round(best * 1000000.0, 0).astype("int64")
+                np.add.at(counts[s], code, 1)
+                np.add.at(micro[s], code, m)
+        s_idx, c_idx = np.nonzero(counts)
+        if len(s_idx):
+            yield pd.DataFrame(
+                {
+                    "subspace": s_idx.astype("int32"),
+                    "centroid": c_idx.astype("int32"),
+                    "n": counts[s_idx, c_idx],
+                    "micro": micro[s_idx, c_idx],
+                }
+            )
+
+    parts = fanout(embeddings.select(vec_col)).mapInPandas(kernel, part_schema)
+    return (
+        parts.groupBy("subspace", "centroid")
+        .agg(
+            F.sum("n").alias("n_assigned"),
+            F.sum("micro").alias("distortion_micro"),
         )
         .orderBy("subspace", "centroid")
     )
@@ -1193,7 +1356,7 @@ def embedding_decontamination(
     )
 
 
-def ivfpq_topk(
+def ivfpq_topk_columnar(
     embeddings: DataFrame,
     num_queries: int = 10,
     k: int = 10,
@@ -1204,7 +1367,16 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-PQ approximate top-k with asymmetric distance computation — the
+    """ORACLE CROSS-CHECK PATH — not the default. :func:`ivfpq_topk` (the
+    BLAS ``mapInPandas`` kernel) is the production implementation; this
+    column-expression variant exists so a pure-Catalyst engine-side
+    evaluation of the identical math can be diffed against the kernel
+    (``tests/test_ivfpq_blas.py``) and against the DuckDB oracle. Its cost
+    is dominated by whole-stage-codegen compilation of the huge fused
+    expressions (~0.5 ms/row at sf10 — SCALE_DECADES decade ratio 4.94),
+    which is why it was demoted in round 7.
+
+    IVF-PQ approximate top-k with asymmetric distance computation — the
     FAISS-workhorse index shape: a coarse quantizer routes each vector to
     an inverted list, product-quantization codes compress it to
     ``n_subspaces`` bytes, and at query time every probed candidate is
@@ -1344,6 +1516,164 @@ def ivfpq_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pdot").alias("adot"))
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("adot"), 4)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("adot", 4).alias("approx_dot"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k, BLAS-kernel default (round-7 promotion of
+    SCALING.md's named fix; the Catalyst-expression variant survives as
+    :func:`ivfpq_topk_columnar` for the engine-side cross-check).
+
+    Same semantics as the columnar path and the DuckDB oracle, bit-for-bit:
+    deterministic codebook (the ``n_centroids`` lowest-id vectors), coarse
+    routing by 6dp-rounded cosine argmax (ties → lowest centroid id),
+    per-subspace PQ codes by 6dp-rounded L2 argmin, and asymmetric distance
+    = Σ per-subspace LUT entries ranked at 4dp with id tie-breaks. All
+    distance folds replicate Spark's sequential ``aggregate`` summation
+    order (:func:`_fold_dot` / :func:`_fold_sqdist`) and Spark's
+    ``HALF_UP``-on-shortest-repr rounding (:func:`_spark_round`), so the
+    kernel, the columnar path, and the oracle agree exactly
+    (``tests/test_ivfpq_blas.py``).
+
+    Scale shape: codebook + query LUTs are O((C+Q·S·C)·d) driver-side and
+    broadcast; ONE ``mapInPandas`` pass over the candidate scan assigns
+    (coarse id, PQ codes) and scores every probed (query, candidate) pair
+    with vectorized table lookups — no explode, no probe join, no
+    LUT join, and none of the columnar path's ~0.5 ms/row codegen tax.
+    Each partition emits only its local top-(k+1) per query, so the
+    shuffle carries ≤ (k+1)·partitions rows regardless of corpus size —
+    the same partial-top-k contract as :func:`brute_force_topk` /
+    :func:`ivf_topk`. At a trillion vectors the assignment would be
+    precomputed and bucketed by coarse id; the kernel is unchanged.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    spark = embeddings.sparkSession
+    sub_d = dim // n_subspaces
+    cent = np.array(
+        [
+            [float(v) for v in r[vec_col]]
+            for r in embeddings.orderBy(id_col).limit(n_centroids).collect()
+        ],
+        dtype=np.float64,
+    )  # (C, dim)
+
+    def _sqnorm_rows(mat: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for j in range(mat.shape[1]):
+            acc = acc + mat[:, j] * mat[:, j]
+        return acc
+
+    cent_norm = np.sqrt(_sqnorm_rows(cent))
+
+    def _coarse_dist(mat: "np.ndarray") -> "np.ndarray":
+        """6dp-rounded −cosine to every centroid, Spark fold order."""
+        dots = _fold_dot(mat, cent)
+        denom = np.sqrt(_sqnorm_rows(mat))[:, None] * cent_norm[None, :]
+        return _spark_round(-(dots / denom), 6)
+
+    def _pq_codes(mat: "np.ndarray") -> "np.ndarray":
+        """(n, S) per-subspace nearest-codeword ids (6dp L2, ties → low id)."""
+        cols = []
+        for s in range(n_subspaces):
+            off = s * sub_d
+            d6 = _spark_round(
+                _fold_sqdist(mat[:, off : off + sub_d], cent[:, off : off + sub_d]), 6
+            )
+            cols.append(np.argmin(d6, axis=1))
+        return np.stack(cols, axis=1)
+
+    qrows = (
+        embeddings.filter(F.col(id_col) < num_queries).select(id_col, vec_col).collect()
+    )
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # Probe lists: nprobe lowest 6dp-rounded −cosine, ties → lowest id
+    # (stable argsort over ids already in ascending order).
+    qd = _coarse_dist(q_mat)
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+    # ADC LUT: lut[q, s, c] = q_subvector · codeword_subvector, fold order.
+    lut = np.stack(
+        [
+            _fold_dot(q_mat[:, s * sub_d : (s + 1) * sub_d],
+                      cent[:, s * sub_d : (s + 1) * sub_d])
+            for s in range(n_subspaces)
+        ],
+        axis=1,
+    )  # (Q, S, C)
+    bc = spark.sparkContext.broadcast((q_ids, probes, lut))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("adot", DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, probe_sets, lut_q = bc.value
+        n_q = len(ids_q)
+        for batch in batches:
+            if not len(batch):
+                continue
+            v_ids = batch[id_col].to_numpy()
+            v_mat = np.array([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            coarse = np.argmin(_coarse_dist(v_mat), axis=1)  # (n,)
+            codes = _pq_codes(v_mat)  # (n, S)
+            adot = np.zeros((len(v_ids), n_q), dtype=np.float64)
+            for s in range(n_subspaces):
+                adot = adot + lut_q[:, s, codes[:, s]].T  # (n, Q)
+            allowed = (coarse[:, None, None] == probe_sets[None, :, :]).any(-1)
+            adot[~allowed] = -np.inf
+            adot[v_ids[:, None] == ids_q[None, :]] = -np.inf
+            key = _spark_round(adot, 4)
+            take = min(k + 1, len(v_ids))
+            out_q, out_n, out_a = [], [], []
+            for qi in range(n_q):
+                sel = np.lexsort((v_ids, -key[:, qi]))[:take]
+                sel = sel[np.isfinite(adot[sel, qi])]
+                out_q.append(np.full(len(sel), ids_q[qi], dtype="int64"))
+                out_n.append(v_ids[sel].astype("int64"))
+                out_a.append(adot[sel, qi])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adot": np.concatenate(out_a),
+                    }
+                )
+
+    c = fanout(embeddings.select(F.col(id_col), F.col(vec_col)))
+    scored = c.mapInPandas(kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("adot"), 4)), F.asc("neighbor_id")
     )
