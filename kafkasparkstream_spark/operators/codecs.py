@@ -98,7 +98,18 @@ def sniff(payload: bytes) -> str | None:
         and (payload[2] >> 4) & 0xF not in (0, 0xF)  # bitrate valid
         and (payload[2] >> 2) & 0x3 != 3      # sample rate not reserved
     ):
-        return "mp3"
+        # One plausible 4-byte header still matches ~1 in 10^4 arbitrary
+        # payloads; confirm by walking to where the first frame ends and
+        # requiring either exact end-of-payload or a second valid header
+        # there (r6 ADVICE).
+        try:
+            flen, _ = _mp3_frame_header(payload, 0)
+            if len(payload) == flen:
+                return "mp3"
+            _mp3_frame_header(payload, flen)
+            return "mp3"
+        except ValueError:
+            return None
     return None
 
 
@@ -2571,6 +2582,12 @@ def _mp3_skip_id3v2(payload: bytes) -> int:
     if any(b & 0x80 for b in payload[6:10]):
         raise ValueError("mp3: corrupt ID3v2 syncsafe size")
     size = (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+    # ID3v2.4 footer flag (header byte 5 & 0x10): a 10-byte '3DI' footer
+    # follows the tag body and is NOT counted in the syncsafe size (r6
+    # ADVICE — without this the skip lands on the footer and a valid
+    # stream reports 'lost frame sync').
+    if payload[5] & 0x10:
+        size += 10
     return 10 + size
 
 

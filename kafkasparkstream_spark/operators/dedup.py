@@ -401,6 +401,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -411,8 +412,21 @@ def minhash_lsh_pairs(
     LSH S-curve (P[candidate] = 1-(1-s^rows)^bands).
 
     This is the 100 TB dedup path: candidate generation never compares
-    non-colliding docs, and bucket skew is bounded because identical docs
-    (the worst case) are already collapsed by :func:`exact_dedup`.
+    non-colliding docs. Identical docs (the worst skew case) are already
+    collapsed by :func:`exact_dedup` — but NEAR-identical clones (distinct
+    digests, ~equal shingle sets) survive that and collapse into one LSH
+    bucket, where all-pairs candidates are quadratic in the clone count
+    (measured: a planted 1k-clone clique → ~500k candidates,
+    SKEW_BENCH.json). ``max_bucket_size`` is the cap for that case: buckets
+    larger than the cap emit STAR candidates around the bucket's minimum
+    doc id (n−1 edges instead of n·(n−1)/2) — connected-components
+    clustering still merges the whole clique through the star, so
+    cluster-level dedup loses nothing, while pair-level recall inside hot
+    buckets is intentionally traded (dropped pairs are exactly the
+    non-star clique edges; count them as Σ (n−1)·(n−2)/2 over hot
+    buckets). Default None keeps exact all-pairs semantics (the oracle
+    contract); the planted-skew probe and the star/full cluster-parity
+    proof live in tests/test_lsh_skew.py + scripts/skew_lsh_probe.py.
     """
     rows = num_hashes // bands
     arr = _shingle_arrays(df, text_col, id_col, n)
@@ -442,11 +456,28 @@ def minhash_lsh_pairs(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        # Hot-bucket cap: one keyed window pass tags each bucket row with
+        # its bucket size and min id; oversized buckets contribute only
+        # star edges (probe side restricted to the bucket's min doc).
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .withColumn("_bmin", F.min(id_col).over(wb))
+        )
+        left = buckets.filter(
+            (F.col("_bn") <= max_bucket_size) | (F.col(id_col) == F.col("_bmin"))
+        ).drop("_bn", "_bmin")
+        buckets = buckets.drop("_bn", "_bmin")
+    else:
+        left = buckets
     # Bucket self-join: both sides are corpus-sized (one row per doc per
     # band) — merge hint because Catalyst's static estimate through the
     # cache would broadcast one side (hot buckets also make an SHJ build
     # side skew-prone; sort-merge spills instead).
-    ca = buckets.hint("merge").alias("a")
+    ca = left.hint("merge").alias("a")
     cb = buckets.alias("b")
     candidates = (
         ca.join(

@@ -355,15 +355,24 @@ def mixture_epochs_plan(
             F.col("grp").alias(group_col),
             "src_tokens",
             "lang_tokens",
-            F.expr("lang_tokens * 10000 DIV total_lang").alias("weight_bp"),
+            # total_lang = 0 (no target-language tokens anywhere) must be a
+            # deterministic all-zero plan on every engine, not Spark's
+            # silent NULL vs DuckDB's division error (r6 ADVICE) — the
+            # oracle carries the same CASE guard.
             F.expr(
+                "CASE WHEN total_lang = 0 THEN 0 "
+                "ELSE lang_tokens * 10000 DIV total_lang END"
+            ).alias("weight_bp"),
+            F.expr(
+                "CASE WHEN total_lang = 0 THEN 0 ELSE "
                 f"(total_tokens * {int(budget_multiple)}) * "
-                "(lang_tokens * 10000 DIV total_lang) DIV 10000"
+                "(lang_tokens * 10000 DIV total_lang) DIV 10000 END"
             ).alias("planned_tokens"),
             F.expr(
+                "CASE WHEN total_lang = 0 THEN 0 ELSE "
                 f"((total_tokens * {int(budget_multiple)}) * "
                 "(lang_tokens * 10000 DIV total_lang) DIV 10000) "
-                "* 1000 DIV src_tokens"
+                "* 1000 DIV src_tokens END"
             ).alias("epochs_milli"),
         )
         .orderBy(group_col)

@@ -989,22 +989,15 @@ def quantized_topk(
     )
 
 
-def pca_variance_spectrum(
-    embeddings: DataFrame,
-    vec_col: str = "embedding",
-    top_k: int = 10,
-) -> DataFrame:
-    """PCA variance spectrum of an embedding column — the intrinsic-
-    dimensionality report (how many directions carry the corpus, whether
-    embeddings have collapsed) — via ONE distributed pass.
+def _cov_one_pass(embeddings: DataFrame, vec_col: str = "embedding"):
+    """(n, covariance matrix) of an embedding column via ONE distributed
+    pass — the canonical "partial-aggregate your linear algebra" shape.
 
     Each partition reduces its rows to a d×d Gram partial plus a sum
     vector and count with a float64 BLAS GEMM (``X.T @ X``); partials are
     d²+d+1 numbers regardless of row count, so the merge is a tiny
     element-wise aggregation. Centering happens analytically on the merged
-    totals (``cov = (G − n·μμᵀ)/(n−1)``) — no second scan — and the d×d
-    eigendecomposition runs on the driver (d², not n, sized). This is the
-    canonical "partial-aggregate your linear algebra" shape: at 100 TB the
+    totals (``cov = (G − n·μμᵀ)/(n−1)``) — no second scan. At 100 TB the
     only data-sized cost is the scan.
     """
     from collections.abc import Iterator
@@ -1041,6 +1034,21 @@ def pca_variance_spectrum(
     d = s.shape[0]
     mu = s / n
     cov = (g.reshape(d, d) - n * np.outer(mu, mu)) / max(n - 1, 1)
+    return n, cov
+
+
+def pca_variance_spectrum(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    top_k: int = 10,
+) -> DataFrame:
+    """PCA variance spectrum of an embedding column — see
+    :func:`_cov_one_pass` for the single-scan distributed covariance; the
+    d×d eigendecomposition runs on the driver (d², not n, sized)."""
+    import numpy as np
+
+    _, cov = _cov_one_pass(embeddings, vec_col)
+    d = cov.shape[0]
     evals = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(evals.sum())
     rows = []
@@ -1058,6 +1066,52 @@ def pca_variance_spectrum(
     spark = embeddings.sparkSession
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, var_share double, cum_share double"
+    )
+
+
+def pca_spectrum_certificate(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    top_k: int = 10,
+) -> DataFrame:
+    """Hash-gatable PCA spectrum certificate (round-7 close of the
+    embedding_pca_variance no_oracle row, the ann_recall_report pattern):
+    the eigendecomposition itself is not SQL-expressible, so the hashed
+    payload is (a) the covariance TRACE in exact 1e-4 units — which a SQL
+    oracle recomputes independently as Σ per-dimension sample variances —
+    and (b) boolean certificates that the computed eigenpairs actually
+    diagonalize that covariance: max ‖cov·vᵢ − λᵢvᵢ‖∞ within 1e-8·scale,
+    eigenvector orthonormality within 1e-10, shares descending in [0, 1],
+    and Σλ equal to the trace within 1e-9 relative. LAPACK residuals are
+    ~1e-14, so the margins never flap; a wrong spectrum (or a covariance
+    pass that dropped rows) flips a boolean or shifts trace_units and
+    fails the gate. The numeric spectrum report stays available as
+    :func:`pca_variance_spectrum`."""
+    import numpy as np
+
+    n, cov = _cov_one_pass(embeddings, vec_col)
+    d = cov.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    evals, evecs = evals[::-1], evecs[:, ::-1]  # descending
+    trace = float(np.trace(cov))
+    scale = max(1.0, float(np.abs(evals).max()))
+    resid = float(np.abs(cov @ evecs - evecs * evals[None, :]).max())
+    ortho = float(np.abs(evecs.T @ evecs - np.eye(d)).max())
+    shares = evals / trace
+    certified = bool(resid <= 1e-8 * scale)
+    orthonormal = bool(ortho <= 1e-10)
+    descending = bool(
+        np.all(np.diff(evals) <= 1e-12 * scale)
+        and np.all(shares[: min(top_k, d)] >= -1e-12)
+        and np.all(shares[: min(top_k, d)] <= 1.0 + 1e-12)
+    )
+    sums_to_one = bool(abs(float(evals.sum()) - trace) <= 1e-9 * max(1.0, abs(trace)))
+    trace_units = int(_spark_round(np.array([trace * 10000.0]), 0)[0])
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(min(top_k, d), trace_units, certified and orthonormal, descending, sums_to_one)],
+        "n_components int, trace_units bigint, eigenpairs_certified boolean, "
+        "shares_descending boolean, shares_sum_to_one boolean",
     )
 
 
@@ -1335,8 +1389,15 @@ def embedding_decontamination(
         for r in embeddings.orderBy(id_col).limit(num_eval).collect()
     ]
     normed = []
-    for vec in seed:
+    for i, vec in enumerate(seed):
         nrm = math.sqrt(sum(x * x for x in vec))
+        if nrm == 0.0:
+            # r6 ADVICE: fail at plan-build time with a named culprit, not
+            # a bare ZeroDivisionError mid-comprehension.
+            raise ValueError(
+                f"embedding_decontamination: eval vector #{i} "
+                f"({id_col} < {num_eval}) has zero norm — cosine undefined"
+            )
         normed.append([x / nrm for x in vec])
     ev2d = F.array(*[F.array(*[F.lit(x) for x in e]) for e in normed])
     dots = F.transform(ev2d, lambda e: dot(F.col(vec_col), e))

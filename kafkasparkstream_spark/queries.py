@@ -1976,24 +1976,103 @@ def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.resample_ffill(events, unit="hour")
 
 
-@register("approx_distinct_user_count")  # engine-specific sketch → rows-only check
+@register(
+    "approx_distinct_user_count",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+           TRUE AS within_3rsd
+    FROM events
+    """,
+)
 def approx_distinct_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approx distinct (no oracle: sketch is engine-specific)."""
-    return win_ops.approx_distinct_user_count(load_table(spark, "events", sf_dir))
-
-
-@register("approx_value_percentiles")  # sketch-based → rows-only check
-def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL/GK-sketch approximate percentiles per group — the documented
-    at-scale swap for `value_distribution_stats`' exact percentiles (no
-    oracle: sketch internals are engine-specific; the exact twin is the
-    value-hash-checked query)."""
+    """HyperLogLog++ approx distinct, HASH-GATED (round-7 close of the
+    no_oracle row): the sketch estimate is engine-specific, so the hashed
+    output is the exact distinct count PLUS the bounded verdict that the
+    HLL++ estimate lies within 3·rsd (6% at rsd=0.02) of it — the sketch
+    still executes, and a broken sketch flips the boolean and fails the
+    gate. The exact side is one countDistinct the oracle recomputes; at
+    100 TB the sketch IS the product and the exact twin is the verifier
+    you run on a sample."""
     events = load_table(spark, "events", sf_dir)
+    approx = win_ops.approx_distinct_user_count(events)  # 1-row sketch
+    exact = events.agg(F.countDistinct("user_id").alias("exact_distinct_users"))
+    return approx.crossJoin(exact).select(  # sanctioned 1-row x 1-row combine
+        "exact_distinct_users",
+        (
+            F.abs(F.col("approx_distinct_users") - F.col("exact_distinct_users"))
+            <= F.lit(0.06) * F.col("exact_distinct_users")
+        ).alias("within_3rsd"),
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    oracle="""
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+    h AS (SELECT event_type, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+    n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    cum AS (SELECT event_type, cents,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+            FROM h)
+    SELECT event_type,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cents END) AS p50_cents,
+           MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN cents END) AS p95_cents,
+           TRUE AS p50_in_band, TRUE AS p95_in_band
+    FROM cum JOIN n USING (event_type)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch approximate percentiles per group, HASH-GATED (round-7
+    close of the no_oracle row): sketch internals are engine-specific, so
+    the hashed output is the exact p50/p95 order statistics (ceil(q·n)
+    rank on the integer-cents grid, computed as a value-histogram
+    cumulative — the 100 TB-exact-percentile shape: the heavy aggregate is
+    per (type, cents), the window runs over the ≤100k-row histogram) PLUS
+    bounded verdicts that the percentile_approx estimates land inside the
+    ±5%-rank band [p45, p55] / [p90, p99] — far wider than the sketch's
+    1e-4 rank error, so the booleans certify the sketch without exposing
+    its engine-specific values to the hash."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, "events", sf_dir)
+    v = events.select("event_type", aggregates.value_units("value").alias("cents"))
+    h = v.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    n = h.groupBy("event_type").agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cum = h.withColumn("cum", F.sum("c").over(w)).join(F.broadcast(n), "event_type")
+
+    def _ostat(q: float) -> Column:
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("cents"))
+        )
+
+    exact = cum.groupBy("event_type").agg(
+        _ostat(0.45).alias("p45_cents"),
+        _ostat(0.5).alias("p50_cents"),
+        _ostat(0.55).alias("p55_cents"),
+        _ostat(0.90).alias("p90_cents"),
+        _ostat(0.95).alias("p95_cents"),
+        _ostat(0.99).alias("p99_cents"),
+    )
+    approx = events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    )
     return (
-        events.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "p50_cents",
+            "p95_cents",
+            aggregates.value_units("p50_approx")
+            .between(F.col("p45_cents"), F.col("p55_cents"))
+            .alias("p50_in_band"),
+            aggregates.value_units("p95_approx")
+            .between(F.col("p90_cents"), F.col("p99_cents"))
+            .alias("p95_in_band"),
         )
         .orderBy("event_type")
     )
@@ -4062,15 +4141,26 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("user_id", "n_events", "sum_value").orderBy("user_id")
 
 
-@register("incremental_distinct_sketch")  # engine-specific sketch: rows-only check
+@register(
+    "incremental_distinct_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS merged_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental COUNT(DISTINCT) maintenance via mergeable Datasketches
-    HLL: per-batch sketch partials unioned with history — the only way a
-    year-scale distinct rollup avoids rescans (sum/count partials cover
-    every other aggregate; distinct needs a sketch). Estimates are
-    engine-specific, so the driver records a rows-only check; pytest
-    proves merge-losslessness and the error bound
-    (tests/test_semantics.py::test_hll_sketch_merge_equals_direct)."""
+    HLL, HASH-GATED (round-7 close of the no_oracle row): two batch
+    partials are unioned exactly as before (the incremental-view
+    machinery under test — merge-losslessness is additionally pinned by
+    tests/test_semantics.py::test_hll_sketch_merge_equals_direct), and the
+    hashed output is the exact per-type distinct + row counts PLUS the
+    bounded verdict that the MERGED estimate lands within 5% (≈3σ at
+    lg_k=12) of exact. A lossy merge or broken sketch flips the boolean
+    and fails the gate."""
     from kafkasparkstream_spark.operators.aggregates import (
         distinct_sketch_partials,
         merge_distinct_sketches,
@@ -4079,9 +4169,26 @@ def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     b1 = events.filter(F.col("event_id") % 2 == 0)
     b2 = events.filter(F.col("event_id") % 2 == 1)
-    return merge_distinct_sketches(
+    merged = merge_distinct_sketches(
         distinct_sketch_partials(b1), distinct_sketch_partials(b2)
-    ).orderBy("event_type")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        exact.join(merged.withColumnRenamed("n_rows", "_sk_rows"), "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "n_rows",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.lit(0.05) * F.col("exact_distinct")
+            ).alias("merged_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(
@@ -4446,26 +4553,89 @@ def session_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rolling_7d_active_sketch")  # engine-specific sketch: rows-only check
+@register(
+    "rolling_7d_active_sketch",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS aday FROM events),
+    d AS (SELECT DISTINCT aday AS report_day FROM a)
+    SELECT report_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_active_7d,
+           TRUE AS sketch_within_5pct
+    FROM d JOIN a ON a.aday BETWEEN report_day - 6 AND report_day
+    GROUP BY report_day ORDER BY report_day
+    """,
+)
 def rolling_7d_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based trailing-7-day active users: per-day HLL blobs unioned
-    over a day-range window — |days| sketch rows of state instead of the
-    users×days explode; pytest pins the curve to the exact twin within the
-    sketch error band (tests/test_semantics.py)."""
+    """Sketch-based trailing-7-day active users, HASH-GATED (round-7 close
+    of the no_oracle row): the per-day HLL blobs unioned over a day-range
+    window execute exactly as before — |days| sketch rows of state instead
+    of the users×days explode, the 100 TB shape — and the hashed output is
+    the exact trailing-7d distinct per observed day (the verifier: a
+    days×activity range join over the ALREADY-COLLAPSED distinct grain)
+    PLUS the bounded verdict that every day's sketch estimate is within 5%
+    (≈3σ at lg_k=12). The curve is additionally pinned to the exact twin
+    in tests/test_semantics.py."""
     from kafkasparkstream_spark.operators.aggregates import (
         rolling_active_users_sketch,
     )
 
-    return rolling_active_users_sketch(load_table(spark, "events", sf_dir))
+    events = load_table(spark, "events", sf_dir)
+    sk = rolling_active_users_sketch(events)
+    active = events.select(
+        "user_id", F.to_date("ts").alias("aday")
+    ).distinct()
+    days = active.select(F.col("aday").alias("report_day")).distinct()
+    exact = (
+        days.join(
+            active,
+            F.col("aday").between(
+                F.date_sub(F.col("report_day"), 6), F.col("report_day")
+            ),
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("exact_active_7d"))
+    )
+    return (
+        exact.join(sk, "report_day")
+        .select(
+            "report_day",
+            "exact_active_7d",
+            (
+                F.abs(F.col("approx_active_7d") - F.col("exact_active_7d"))
+                <= F.lit(0.05) * F.col("exact_active_7d")
+            ).alias("sketch_within_5pct"),
+        )
+        .orderBy("report_day")
+    )
 
 
-@register("embedding_pca_variance")  # eigendecomposition: rows-only check
+@register(
+    "embedding_pca_variance",
+    oracle="""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    d AS (SELECT unnest(range(1, 65)) AS j),
+    v AS (SELECT j, VAR_SAMP(emb[j]) AS vj FROM e, d GROUP BY j)
+    SELECT CAST(10 AS INT) AS n_components,
+           CAST(ROUND(SUM(vj) * 10000, 0) AS BIGINT) AS trace_units,
+           TRUE AS eigenpairs_certified,
+           TRUE AS shares_descending,
+           TRUE AS shares_sum_to_one
+    FROM v
+    """,
+)
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA variance spectrum (top-10 components) of the embedding corpus via
-    one distributed Gram-partial pass — the intrinsic-dimensionality /
-    embedding-collapse report; pytest pins it to a single-machine numpy
-    reference (tests/test_semantics.py)."""
-    return similarity.pca_variance_spectrum(load_table(spark, "embeddings", sf_dir))
+    """PCA spectrum certificate, HASH-GATED (round-7 close of the last
+    no_oracle row): the one-pass Gram-partial covariance runs as before,
+    the driver-side eigendecomposition is certified in-query (residual /
+    orthonormality / ordering / trace identities), and the hashed output
+    is the covariance trace in exact 1e-4 units — recomputed by the
+    oracle as Σ per-dimension VAR_SAMP — plus the certificate booleans.
+    The numeric top-10 spectrum report remains available via
+    operators/similarity.py:pca_variance_spectrum, which pytest pins to a
+    single-machine numpy reference (tests/test_semantics.py)."""
+    return similarity.pca_spectrum_certificate(
+        load_table(spark, "embeddings", sf_dir)
+    )
 
 
 def _pagerank_oracle_sql(iterations: int = 10) -> str:
@@ -8488,11 +8658,16 @@ def curriculum_difficulty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT source,
            CAST(src_tokens AS BIGINT) AS src_tokens,
            CAST(lang_tokens AS BIGINT) AS lang_tokens,
-           CAST(lang_tokens * 10000 // total_lang AS BIGINT) AS weight_bp,
-           CAST((total_tokens * 2) * (lang_tokens * 10000 // total_lang) // 10000
+           CAST(CASE WHEN total_lang = 0 THEN 0
+                     ELSE lang_tokens * 10000 // total_lang END
+                AS BIGINT) AS weight_bp,
+           CAST(CASE WHEN total_lang = 0 THEN 0
+                     ELSE (total_tokens * 2) * (lang_tokens * 10000 // total_lang) // 10000 END
                 AS BIGINT) AS planned_tokens,
-           CAST(((total_tokens * 2) * (lang_tokens * 10000 // total_lang) // 10000)
-                * 1000 // src_tokens AS BIGINT) AS epochs_milli
+           CAST(CASE WHEN total_lang = 0 THEN 0
+                     ELSE ((total_tokens * 2) * (lang_tokens * 10000 // total_lang) // 10000)
+                          * 1000 // src_tokens END
+                AS BIGINT) AS epochs_milli
     FROM s CROSS JOIN t ORDER BY source
     """,
 )
@@ -8534,12 +8709,72 @@ def pq_codebook_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_distortion(emb, n_subspaces=4, n_centroids=16, dim=64)
 
 
-@register("bpe_merge_table")
+def _bpe_oracle_ctes(merges: int = 8) -> str:
+    """Unrolled-CTE SQL twin of bpe_train_merges — the pagerank technique
+    applied to BPE (round-7 close of the no_oracle rows): each round is a
+    pair-count aggregate + deterministic argmax (cnt DESC, pair ASC) + a
+    merge applied via string REPLACE over a space-armored symbol encoding.
+
+    Encoding: a word's symbols are joined as ``' ' || join(syms, '  ')
+    || ' '`` — every symbol carries exactly one space on each side, so the
+    pattern ``' x  y '`` matches precisely adjacent symbol pairs, and SQL
+    REPLACE's simultaneous left-to-right non-overlapping scan reproduces
+    the greedy leftmost-first BPE fold exactly (on 'aaa' with rule (a,a):
+    '␣a␣␣a␣␣a␣' → '␣aa␣␣a␣' = [aa, a], matching the Spark fold).
+    ``[\\s\\S]`` (not '.') char-splits words that contain embedded
+    tabs/newlines; the coalesce guards DuckDB's array_to_string([]) → NULL
+    on the degenerate empty token."""
+    parts = [
+        """
+    WITH w0 AS (
+        SELECT ' ' || coalesce(array_to_string(regexp_extract_all(w, '[\\s\\S]'), '  '), '') || ' ' AS s,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+              FROM documents)
+        GROUP BY 1
+    )"""
+    ]
+    for r in range(1, merges + 1):
+        parts.append(f""",
+    p{r} AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(syms)),
+                                         i -> syms[i] || ' ' || syms[i+1])) AS pair
+            FROM (SELECT string_split(trim(s), '  ') AS syms, freq FROM w{r-1})
+        ) GROUP BY pair
+    ),
+    t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    w{r} AS (
+        SELECT replace(s,
+                       ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+                       ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS s,
+               freq
+        FROM w{r-1}, t{r}
+    )""")
+    return "".join(parts)
+
+
+def _bpe_merge_oracle_sql(merges: int = 8) -> str:
+    arms = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({r} AS INT) AS rank, split_part(pair,' ',1) AS "left",
+               split_part(pair,' ',2) AS "right", cnt AS pair_count FROM t{r}"""
+        for r in range(1, merges + 1)
+    )
+    return f"""{_bpe_oracle_ctes(merges)}
+    SELECT * FROM (
+{arms}
+    ) ORDER BY rank"""
+
+
+@register("bpe_merge_table", oracle=_bpe_merge_oracle_sql(8))
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (8 rounds) over the corpus's word-type
-    frequency table — iterative argmax-per-round, so rows-only on the gate;
-    the greedy-fold merge semantics are pinned by unit tests
-    (operators/text.py:bpe_train_merges)."""
+    frequency table. HASH-GATED since round 7: the oracle unrolls all 8
+    pair-count→argmax→merge rounds in SQL (see _bpe_oracle_ctes), so the
+    full deterministic tie-broken merge sequence is cross-engine verified,
+    not just rows-counted; the greedy-fold merge semantics are additionally
+    pinned by unit tests (operators/text.py:bpe_train_merges)."""
     docs = load_table(spark, "documents", sf_dir)
     return text_ops.bpe_train_merges(docs, merges=8)
 
@@ -8699,12 +8934,50 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.remove_duplicated_spans(docs, n=3)
 
 
-@register("bpe_encode_stats")
+def _bpe_encode_oracle_sql(merges: int = 8) -> str:
+    """Full SQL twin of bpe_encode_stats: train the 8 merge rules with the
+    unrolled CTEs, then ENCODE every distinct word type by replaying the
+    learned replaces in rank order and roll up per-language fertility."""
+    enc = []
+    for r in range(1, merges + 1):
+        enc.append(f""",
+    enc{r} AS (
+        SELECT tok, replace(s,
+                            ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+                            ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS s
+        FROM enc{r-1}, t{r}
+    )""")
+    return f"""{_bpe_oracle_ctes(merges)},
+    tl AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    enc0 AS (
+        SELECT tok,
+               ' ' || coalesce(array_to_string(regexp_extract_all(tok, '[\\s\\S]'), '  '), '') || ' ' AS s
+        FROM (SELECT DISTINCT tok FROM tl)
+    ){"".join(enc)},
+    bl AS (SELECT tok, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS bpe_len
+           FROM enc{merges})
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS ws_tokens,
+           CAST(SUM(cnt * bpe_len) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(cnt * length(tok)) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(cnt * bpe_len) AS DOUBLE) / SUM(cnt), 4) AS symbols_per_word
+    FROM tl JOIN bl USING (tok)
+    GROUP BY lang ORDER BY lang"""
+
+
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle_sql(8))
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility under the corpus's own learned BPE (8 merges):
     per-language whitespace-token / BPE-symbol / character counts and
-    symbols-per-word. Rows-only (training is iterative); the merge-fold
-    semantics are reference-pinned in tests
+    symbols-per-word. HASH-GATED since round 7: the oracle unrolls the
+    whole train+encode pipeline in SQL (_bpe_encode_oracle_sql), so the
+    fertility numbers are cross-engine verified end-to-end; the merge-fold
+    semantics are additionally reference-pinned in tests
     (operators/text.py:bpe_encode_stats)."""
     docs = load_table(spark, "documents", sf_dir)
     return text_ops.bpe_encode_stats(docs, merges=8)

@@ -86,3 +86,28 @@ def test_media_probe_routes_mixed_payloads(spark):
     assert got[3]["kind"] == "mp3" and got[3]["n_units"] == 4 * 1152
     assert got[3]["detail"] == "v1L3:128kbps"
     assert got[4]["kind"] == "unknown"
+
+
+def test_sniff_rejects_single_plausible_header_garbage():
+    """r6 ADVICE: one plausible 4-byte header is not enough — sniff must
+    walk to the first frame's end and find either exact end-of-payload or
+    a second valid header there."""
+    # FF FB 92 00 = MPEG-1 L3 128kbps 44.1kHz padded (frame_len 418); the
+    # payload is 284 bytes of garbage, so neither condition holds.
+    p = bytes([0xFF, 0xFB, 0x92, 0x00]) + b"garbage" * 40
+    assert codecs.sniff(p) is None
+    # real streams still sniff: exact single frame and multi-frame
+    assert codecs.sniff(codecs.mp3_frames_fixture(n_frames=1)) == "mp3"
+    assert codecs.sniff(codecs.mp3_frames_fixture(n_frames=2)) == "mp3"
+
+
+def test_id3v24_footer_flag_skip():
+    """r6 ADVICE: the ID3v2.4 footer flag (header byte 5 & 0x10) adds a
+    10-byte '3DI' footer NOT counted in the syncsafe size; the skip must
+    step over it or a valid stream reports 'lost frame sync'."""
+    body = b"\x00" * 17
+    sync = bytes([0, 0, 0, len(body)])
+    tag = b"ID3\x04\x00\x10" + sync + body + b"3DI\x04\x00\x10" + sync
+    frames = codecs.mp3_frames_fixture(n_frames=2)
+    m = codecs.mp3_probe(tag + frames)
+    assert m["id3v2"] and m["n_frames"] == 2

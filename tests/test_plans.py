@@ -107,6 +107,7 @@ def test_no_degenerate_joins_anywhere(spark):
             "perplexity_buckets_ccnet",  # 1-row corpus token-total broadcast (unigram LM)
             "mixture_epochs_plan",  # 1-row corpus token-totals broadcast
             "ann_recall_report",  # 1-row matched-count x 1-row possible-count combines
+            "approx_distinct_user_count",  # 1-row sketch x 1-row exact gate combine
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"degenerate join plans: {offenders}"

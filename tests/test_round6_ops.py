@@ -297,3 +297,37 @@ def test_ivfpq_rerank_breaks_adc_ceiling(spark):
             E.queries()["ann_recall_report"](spark, "/root/testdata/sf0.001").collect()}
     assert rows["ivfpq_rerank"]["recall"] > rows["ivfpq"]["recall"]
     assert rows["ivfpq_rerank"]["recall"] <= rows["ivf"]["recall"] + 1e-9
+
+
+def test_mixture_plan_zero_target_lang_is_all_zero(spark):
+    """r6 ADVICE: a corpus with no target-language tokens must yield a
+    deterministic all-zero plan (matching the oracle's CASE guard), not
+    NULL weights."""
+    from kafkasparkstream_spark.operators.sampling import mixture_epochs_plan
+
+    docs = spark.createDataFrame(
+        [("a", "de", "hallo welt"), ("b", "fr", "bonjour le monde")],
+        "source string, lang string, text string",
+    )
+    rows = mixture_epochs_plan(docs, budget_multiple=2).collect()
+    assert rows and all(
+        r["weight_bp"] == 0 and r["planned_tokens"] == 0 and r["epochs_milli"] == 0
+        for r in rows
+    )
+
+
+def test_decontamination_zero_norm_eval_vector_errors(spark):
+    """r6 ADVICE: a zero-norm eval embedding must raise a named ValueError
+    at plan-build time, not ZeroDivisionError."""
+    import pytest as _pytest
+
+    from kafkasparkstream_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, "x", [0.0] * 4 if i == 3 else [float(i + 1)] * 4) for i in range(12)],
+        "vec_id long, label string, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="zero norm"):
+        embedding_decontamination(emb, num_eval=10)
