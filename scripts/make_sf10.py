@@ -1,18 +1,20 @@
-"""Synthesize an sf10 dataset (documents + embeddings only) for the second
-scaling decade of the dedup/ANN families (VERDICT r5 item 7).
+"""Synthesize the sf10 dataset for the second scaling decade.
 
 Same discipline as make_sf1.py: replicate the previous decade with shifted
-key spaces (documents 10x, embeddings 4x — the driver's own observed
+key spaces (documents/facts 10x, embeddings 4x — the driver's own observed
 per-decade growth rates) and perturb each replica's text with one extra
 token so exact dedup doesn't collapse 10-cliques into free wins.
-Deterministic — no RNG. Only the two tables the dedup/ANN probe reads are
-generated; the probe (scripts/scale_decades.py) runs Spark-side only, so
-no oracle ever touches sf10.
+Deterministic — no RNG. Round 5 generated only documents+embeddings (the
+dedup/ANN probe); round 7 extends to ALL tables so the full-registry
+oracle sweep (scripts/oracle_sweep.py) can run at sf10 (VERDICT r6 item
+6). Existing outputs are skipped (generation is deterministic, so a skip
+never changes data).
 
 Usage:
     python scripts/make_sf1.py    # prerequisite: .scratch/sf1.0
     python scripts/make_sf10.py
     python scripts/scale_decades.py
+    python scripts/oracle_sweep.py .scratch/sf10
 """
 
 from __future__ import annotations
@@ -25,7 +27,30 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = os.path.join(_ROOT, ".scratch", "sf1.0")
 DST = os.path.join(_ROOT, ".scratch", "sf10")
 
+# Key shifts are the sf1.0 key-space widths (sf1.0 = 10x sf0.1's).
 SPECS: list[tuple[str, int, str]] = [
+    ("region", 1, "SELECT * FROM src"),
+    ("nation", 1, "SELECT * FROM src"),
+    ("supplier", 10,
+     "SELECT s_suppkey + {r} * 10000 AS s_suppkey, * EXCLUDE (s_suppkey) FROM src"),
+    ("customer", 10,
+     "SELECT c_custkey + {r} * 150000 AS c_custkey, * EXCLUDE (c_custkey) FROM src"),
+    ("part", 10,
+     "SELECT p_partkey + {r} * 200000 AS p_partkey, * EXCLUDE (p_partkey) FROM src"),
+    ("orders", 10,
+     "SELECT o_orderkey + {r} * 1500000 AS o_orderkey,"
+     "       o_custkey + {r} * 150000 AS o_custkey,"
+     "       * EXCLUDE (o_orderkey, o_custkey) FROM src"),
+    ("lineitem", 10,
+     "SELECT l_orderkey + {r} * 1500000 AS l_orderkey,"
+     "       l_partkey + {r} * 200000 AS l_partkey,"
+     "       l_suppkey + {r} * 10000 AS l_suppkey,"
+     "       * EXCLUDE (l_orderkey, l_partkey, l_suppkey) FROM src"),
+    ("events", 10,
+     "SELECT event_id + {r} * 1000000 AS event_id,"
+     "       ts + INTERVAL ({r} * 13) SECOND AS ts,"
+     "       user_id + {r} * 15000 AS user_id,"
+     "       * EXCLUDE (event_id, user_id, ts) FROM src"),
     ("documents", 10,
      "SELECT doc_id + {r} * 50000 AS doc_id,"
      "       CASE WHEN {r} = 0 THEN text"
@@ -42,11 +67,14 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for table, reps, tmpl in SPECS:
+        out = f"{DST}/{table}.parquet"
+        if os.path.exists(out):
+            print(f"{table}: exists, skipped")
+            continue
         con.execute(
             f"CREATE OR REPLACE VIEW src AS SELECT * FROM read_parquet('{SRC}/{table}.parquet')"
         )
         union = " UNION ALL ".join(tmpl.format(r=r) for r in range(reps))
-        out = f"{DST}/{table}.parquet"
         con.execute(f"COPY ({union}) TO '{out}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
         print(f"{table}: {n} rows -> {out}")
