@@ -4585,13 +4585,22 @@ def rolling_7d_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("aday")
     ).distinct()
     days = active.select(F.col("aday").alias("report_day")).distinct()
+    # Exact twin as equi-joins only: explode each activity day FORWARD into
+    # the ≤7 report days it reaches (the rolling_active_users shape), then
+    # keep observed report days — a broadcastable equi join, not a
+    # days×activity range join (which plans as a nested loop).
+    contributes = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("aday"),
+                F.date_add(F.col("aday"), 6),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
     exact = (
-        days.join(
-            active,
-            F.col("aday").between(
-                F.date_sub(F.col("report_day"), 6), F.col("report_day")
-            ),
-        )
+        contributes.join(F.broadcast(days), "report_day")
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("exact_active_7d"))
     )

@@ -43,6 +43,15 @@ def main() -> int:
         "--skip", nargs="*", default=None, help="extra query names to skip"
     )
     ap.add_argument(
+        "--cpus", type=int, default=8,
+        help="local[N] width for the plain session (8 = the driver-like "
+        "default; the sf10 sweep wants the full box)",
+    )
+    ap.add_argument(
+        "--driver-mem", default=None,
+        help="spark.driver.memory for the plain session (e.g. 48g for sf10)",
+    )
+    ap.add_argument(
         "--strict-floats",
         action="store_true",
         help="compare doubles bit-exactly (float.hex) instead of the 9dp "
@@ -65,11 +74,13 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[8]")
+    builder = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
