@@ -77,6 +77,17 @@ def oracle_type_ok(duckdb_type: str) -> bool:
 
 def _connect(sf_dir: str):
     con = duckdb.connect()
+    # Bound the oracle engine so a big-SF sweep SPILLS instead of taking the
+    # box down: DuckDB's default limit (~80% of RAM) plus the Spark JVM
+    # host-OOM'd the sf10 sweep twice (110 GB anon-rss, kernel kill). The
+    # driver's own gate runs at sf0.01 where this never binds.
+    import os as _os
+    import tempfile as _tf
+
+    con.execute(
+        f"SET memory_limit='{_os.environ.get('ORACLE_DUCKDB_MEM', '48GB')}'"
+    )
+    con.execute(f"SET temp_directory='{_tf.gettempdir()}/duckdb_oracle_spill'")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
