@@ -118,6 +118,14 @@ def main() -> int:
         "knn_triangle_stats",
         "pagerank_knn_graph",
     }
+    # Quadratic past sf1.0, feasible below it (both PASSED the sf1.0 sweep;
+    # at sf10 their DuckDB working sets blow the box — measured r7:
+    # training_pipeline_e2e embeds the all-pairs LSH enumeration over 500k
+    # docs, user_series_knn is users x users cosine over 150k users; both
+    # host-OOM'd uncapped and ENOSPC'd past ~80 GB of capped spill while
+    # their Spark sides executed fine).
+    if n_docs >= 200_000:
+        quadratic = quadratic | {"training_pipeline_e2e", "user_series_knn"}
 
     Q, O = E.queries(), E.oracle_sql()
     names = sorted(args.only) if args.only else sorted(Q)
