@@ -419,14 +419,19 @@ def minhash_lsh_pairs(
     (measured: a planted 1k-clone clique → ~500k candidates,
     SKEW_BENCH.json). ``max_bucket_size`` is the cap for that case: buckets
     larger than the cap emit STAR candidates around the bucket's minimum
-    doc id (n−1 edges instead of n·(n−1)/2) — connected-components
-    clustering still merges the whole clique through the star, so
-    cluster-level dedup loses nothing, while pair-level recall inside hot
-    buckets is intentionally traded (dropped pairs are exactly the
-    non-star clique edges; count them as Σ (n−1)·(n−2)/2 over hot
-    buckets). Default None keeps exact all-pairs semantics (the oracle
-    contract); the planted-skew probe and the star/full cluster-parity
-    proof live in tests/test_lsh_skew.py + scripts/skew_lsh_probe.py.
+    doc id (n−1 edges instead of n·(n−1)/2). For CLIQUE-shaped hot groups
+    (every member near-dups the hub — the planted fixture and the dominant
+    real case, since the bucket key is the full band signature)
+    connected-components clustering is measured IDENTICAL to all-pairs
+    mode. The honest limit: a CHAIN-shaped hot group whose far members
+    fall below the verify threshold against the hub loses hub-distant
+    edges unless those members also co-collide in a non-hot band
+    (probability follows the LSH S-curve), so capped mode trades
+    pair-level recall AND, for chains, possible cluster splits — the
+    standard LSH-dedup cap semantics. Default None keeps exact all-pairs
+    semantics (the oracle contract); the planted-skew probe and the
+    clique parity proof live in tests/test_lsh_skew.py +
+    scripts/skew_lsh_probe.py.
     """
     rows = num_hashes // bands
     arr = _shingle_arrays(df, text_col, id_col, n)

@@ -1094,6 +1094,13 @@ def pca_spectrum_certificate(
     evals, evecs = np.linalg.eigh(cov)
     evals, evecs = evals[::-1], evecs[:, ::-1]  # descending
     trace = float(np.trace(cov))
+    if trace == 0.0:
+        # collapsed corpus (all-identical or single-row embeddings): shares
+        # are undefined — fail loudly with the cause, not NaN certificates.
+        raise ValueError(
+            "pca_spectrum_certificate: covariance trace is zero "
+            f"(n={n}) — embedding corpus has no variance; PCA shares undefined"
+        )
     scale = max(1.0, float(np.abs(evals).max()))
     resid = float(np.abs(cov @ evecs - evecs * evals[None, :]).max())
     ortho = float(np.abs(evecs.T @ evecs - np.eye(d)).max())

@@ -8949,12 +8949,20 @@ def _bpe_encode_oracle_sql(merges: int = 8) -> str:
     learned replaces in rank order and roll up per-language fertility."""
     enc = []
     for r in range(1, merges + 1):
+        # LEFT JOIN ON TRUE (not a comma cross join): if the corpus
+        # exhausts mergeable pairs before round r, t{r} is EMPTY and a
+        # cross join would empty the whole encode chain — Spark's trainer
+        # breaks early but still encodes with the rules it learned, so the
+        # oracle must pass rows through unmerged when t{r} has no row.
         enc.append(f""",
     enc{r} AS (
-        SELECT tok, replace(s,
-                            ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
-                            ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS s
-        FROM enc{r-1}, t{r}
+        SELECT tok,
+               CASE WHEN pair IS NULL THEN s
+                    ELSE replace(s,
+                                 ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+                                 ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ')
+               END AS s
+        FROM enc{r-1} LEFT JOIN t{r} ON TRUE
     )""")
     return f"""{_bpe_oracle_ctes(merges)},
     tl AS (

@@ -68,8 +68,16 @@ def main() -> None:
     con = duckdb.connect()
     for table, reps, tmpl in SPECS:
         out = f"{DST}/{table}.parquet"
-        if os.path.exists(out):
-            print(f"{table}: exists, skipped")
+        src_path = f"{SRC}/{table}.parquet"
+        # Skip only when the output is NEWER than its source: a
+        # regenerated sf1.0 (or an edited generator — touch this file to
+        # force) must not leave a mixed-generation sf10 behind.
+        if (
+            os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(src_path)
+            and os.path.getmtime(out) >= os.path.getmtime(os.path.abspath(__file__))
+        ):
+            print(f"{table}: up to date, skipped")
             continue
         con.execute(
             f"CREATE OR REPLACE VIEW src AS SELECT * FROM read_parquet('{SRC}/{table}.parquet')"

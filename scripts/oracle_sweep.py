@@ -123,9 +123,21 @@ def main() -> int:
     # training_pipeline_e2e embeds the all-pairs LSH enumeration over 500k
     # docs, user_series_knn is users x users cosine over 150k users; both
     # host-OOM'd uncapped and ENOSPC'd past ~80 GB of capped spill while
-    # their Spark sides executed fine).
+    # their Spark sides executed fine). Each gates on the table its
+    # blow-up actually lives in.
     if n_docs >= 200_000:
-        quadratic = quadratic | {"training_pipeline_e2e", "user_series_knn"}
+        quadratic = quadratic | {"training_pipeline_e2e"}
+    import os as _os
+
+    ev_path = f"{args.sf_dir}/events.parquet"
+    if _os.path.exists(ev_path):
+        import duckdb as _duck
+
+        n_users = _duck.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM '{ev_path}'"
+        ).fetchone()[0]
+        if n_users >= 100_000:
+            quadratic = quadratic | {"user_series_knn"}
 
     Q, O = E.queries(), E.oracle_sql()
     names = sorted(args.only) if args.only else sorted(Q)

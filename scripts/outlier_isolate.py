@@ -45,7 +45,8 @@ print("RESULT " + json.dumps({"name": name, "rows": n, "times": times,
 
 def main() -> None:
     args = sys.argv[1:]
-    repeats = int(args[0]) if args and args[0].isdigit() else 6
+    digit_args = [a for a in args if a.isdigit()]
+    repeats = int(digit_args[0]) if digit_args else 6
     names = [a for a in args if not a.isdigit()] or [
         "sample_k_per_lang",
         "salted_value_stats_by_type",

@@ -66,12 +66,13 @@ def main() -> None:
         # warm run: plan compile + python worker pool, not billed
         q(spark, sf_dir).collect()
         deep_release(spark)
-        progresses.clear()
+        time.sleep(2.0)  # drain the warm run's ASYNC listener events first,
+        progresses.clear()  # or they bleed into the timed window
         t0 = time.perf_counter()
         n = len(q(spark, sf_dir).collect())
         wall = time.perf_counter() - t0
         time.sleep(2.0)  # listener events are async
-        batches = [p for p in progresses if p.get("numInputRows", 0) >= 0]
+        batches = list(progresses)  # every trigger counts, incl. 0-input ones
         trig = sum(p["durationMs"].get("triggerExecution", 0) for p in batches)
         add = sum(p["durationMs"].get("addBatch", 0) for p in batches)
         rec = {

@@ -80,13 +80,22 @@ def _connect(sf_dir: str):
     # Bound the oracle engine so a big-SF sweep SPILLS instead of taking the
     # box down: DuckDB's default limit (~80% of RAM) plus the Spark JVM
     # host-OOM'd the sf10 sweep twice (110 GB anon-rss, kernel kill). The
-    # driver's own gate runs at sf0.01 where this never binds.
+    # cap must never RAISE the limit on a small host, so it's
+    # min(48GB, 40% of physical RAM) unless overridden. The driver's own
+    # gate runs at sf0.01 where this never binds.
     import os as _os
     import tempfile as _tf
 
-    con.execute(
-        f"SET memory_limit='{_os.environ.get('ORACLE_DUCKDB_MEM', '48GB')}'"
-    )
+    limit = _os.environ.get("ORACLE_DUCKDB_MEM")
+    if limit is None:
+        try:
+            ram_gb = (
+                _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES")
+            ) / 2**30
+            limit = f"{max(1, min(48, int(ram_gb * 0.4)))}GB"
+        except (ValueError, OSError):
+            limit = "4GB"
+    con.execute(f"SET memory_limit='{limit}'")
     con.execute(f"SET temp_directory='{_tf.gettempdir()}/duckdb_oracle_spill'")
     for t in TABLE_NAMES:
         con.execute(

@@ -331,3 +331,60 @@ def test_decontamination_zero_norm_eval_vector_errors(spark):
     )
     with _pytest.raises(ValueError, match="zero norm"):
         embedding_decontamination(emb, num_eval=10)
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """r7 review finding: if the corpus exhausts mergeable pairs before the
+    requested rounds, Spark breaks early but still encodes with the learned
+    rules; the unrolled SQL twin must pass rows through unmerged on the
+    empty rounds (LEFT JOIN ON TRUE) instead of cross-joining the encode
+    chain to empty."""
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as E
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle import assert_matches_oracle
+
+    sf = str(tmp_path)
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        """COPY (SELECT * FROM (VALUES
+        (0, 'ab ab ab', 'en', 'web'), (1, 'ab ab', 'en', 'web'),
+        (2, 'ab', 'de', 'web')) t(doc_id, text, lang, source))
+        TO '{}/documents.parquet' (FORMAT PARQUET)""".format(sf)
+    )
+    con.close()
+    # one learnable merge (a,b), then exhaustion at round 2 of 8
+    mt = E.queries()["bpe_merge_table"](spark, sf)
+    assert_matches_oracle(mt, E.oracle_sql()["bpe_merge_table"], sf,
+                          name="bpe_merge_table")
+    assert mt.count() == 1
+    es = E.queries()["bpe_encode_stats"](spark, sf)
+    assert_matches_oracle(es, E.oracle_sql()["bpe_encode_stats"], sf,
+                          name="bpe_encode_stats")
+    assert es.count() == 2  # en + de rows survive the empty rounds
+
+
+def test_pca_certificate_zero_trace_errors(spark):
+    """r7 review finding: a collapsed corpus (zero covariance) must raise a
+    named error, not emit NaN certificates."""
+    import pytest as _pytest
+
+    from kafkasparkstream_spark.operators.similarity import (
+        pca_spectrum_certificate,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="trace is zero"):
+        pca_spectrum_certificate(emb)
