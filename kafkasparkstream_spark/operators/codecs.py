@@ -64,7 +64,15 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples per pixel
 def sniff(payload: bytes) -> str | None:
     """Media container by magic bytes: 'png', 'wav', 'flac', 'gif', 'jpeg',
     'mp4', 'h264' (Annex B elementary stream), 'mp3' (MPEG audio frame
-    sync or ID3v2 tag), or None."""
+    sync or ID3v2 tag), or None.
+
+    mp3 contract (r6 ADVICE tightening): a bare frame-sync prefix is NOT
+    enough — the payload must contain the complete first frame and then
+    either end exactly at the frame boundary or present a second valid
+    header there. A valid stream whose first frame is truncated (e.g. a
+    partial chunk from a splitter) deliberately sniffs to None rather than
+    'mp3'; callers streaming partial chunks must buffer at least one whole
+    frame before classifying."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -1113,11 +1113,18 @@ def pca_spectrum_certificate(
         and np.all(shares[: min(top_k, d)] <= 1.0 + 1e-12)
     )
     sums_to_one = bool(abs(float(evals.sum()) - trace) <= 1e-9 * max(1.0, abs(trace)))
-    trace_units = int(_spark_round(np.array([trace * 10000.0]), 0)[0])
+    # Trace in 4-significant-digit mantissa + exponent units (r7 ADVICE):
+    # the old exact trace*1e4 integer put a ~1e-4-relative quantum against
+    # a cross-engine summation disagreement that grows with n (distributed
+    # Gram partials + G - n*mu*mu' centering here vs streaming VAR_SAMP in
+    # the oracle). A 4-sig-digit mantissa keeps a real cross-engine value
+    # check while making the .5-boundary flake window ~1e-9 relative.
+    exp = int(np.floor(np.log10(trace)))
+    trace_sig4 = int(_spark_round(np.array([trace / 10.0 ** (exp - 3)]), 0)[0])
     spark = embeddings.sparkSession
     return spark.createDataFrame(
-        [(min(top_k, d), trace_units, certified and orthonormal, descending, sums_to_one)],
-        "n_components int, trace_units bigint, eigenpairs_certified boolean, "
+        [(min(top_k, d), trace_sig4, exp, certified and orthonormal, descending, sums_to_one)],
+        "n_components int, trace_sig4 bigint, trace_exp int, eigenpairs_certified boolean, "
         "shares_descending boolean, shares_sum_to_one boolean",
     )
 

@@ -4625,7 +4625,9 @@ def rolling_7d_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (SELECT unnest(range(1, 65)) AS j),
     v AS (SELECT j, VAR_SAMP(emb[j]) AS vj FROM e, d GROUP BY j)
     SELECT CAST(10 AS INT) AS n_components,
-           CAST(ROUND(SUM(vj) * 10000, 0) AS BIGINT) AS trace_units,
+           CAST(ROUND(SUM(vj) / POWER(10, FLOOR(LOG10(SUM(vj))) - 3), 0) AS BIGINT)
+               AS trace_sig4,
+           CAST(FLOOR(LOG10(SUM(vj))) AS INT) AS trace_exp,
            TRUE AS eigenpairs_certified,
            TRUE AS shares_descending,
            TRUE AS shares_sum_to_one
@@ -4637,7 +4639,9 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     no_oracle row): the one-pass Gram-partial covariance runs as before,
     the driver-side eigendecomposition is certified in-query (residual /
     orthonormality / ordering / trace identities), and the hashed output
-    is the covariance trace in exact 1e-4 units — recomputed by the
+    is the covariance trace as a 4-significant-digit mantissa + exponent
+    (r7 ADVICE: coarse relative units so cross-engine summation-order
+    disagreement can't straddle a rounding boundary) — recomputed by the
     oracle as Σ per-dimension VAR_SAMP — plus the certificate booleans.
     The numeric top-10 spectrum report remains available via
     operators/similarity.py:pca_variance_spectrum, which pytest pins to a

@@ -69,11 +69,25 @@ def main() -> None:
     for table, reps, tmpl in SPECS:
         out = f"{DST}/{table}.parquet"
         src_path = f"{SRC}/{table}.parquet"
-        # Skip only when the output is NEWER than its source: a
-        # regenerated sf1.0 (or an edited generator — touch this file to
-        # force) must not leave a mixed-generation sf10 behind.
+        if not os.path.exists(src_path):
+            raise SystemExit(
+                f"missing source {src_path} — run scripts/make_sf1.py first"
+            )
+        # Skip only when the output is NEWER than its source AND matches
+        # the source's recorded size fingerprint: a regenerated sf1.0
+        # restored with preserved mtimes must still invalidate sf10
+        # (r7 ADVICE). Touch this file to force a full rebuild.
+        fp_path = f"{out}.srcsize"
+        src_size = os.path.getsize(src_path)
+        fp_ok = False
+        try:
+            with open(fp_path) as f:
+                fp_ok = int(f.read().strip()) == src_size
+        except (OSError, ValueError):
+            fp_ok = False
         if (
             os.path.exists(out)
+            and fp_ok
             and os.path.getmtime(out) >= os.path.getmtime(src_path)
             and os.path.getmtime(out) >= os.path.getmtime(os.path.abspath(__file__))
         ):
@@ -84,6 +98,8 @@ def main() -> None:
         )
         union = " UNION ALL ".join(tmpl.format(r=r) for r in range(reps))
         con.execute(f"COPY ({union}) TO '{out}' (FORMAT PARQUET)")
+        with open(fp_path, "w") as f:
+            f.write(str(src_size))
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
         print(f"{table}: {n} rows -> {out}")
     con.close()

@@ -54,21 +54,27 @@ def main() -> None:
     ]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out = {}
+    path = os.path.join(HERE, "OUTLIER_ISOLATE.json")
     for name in names:
         child = CHILD.replace("@HERE@", repr(HERE))
-        r = subprocess.run(
-            [sys.executable, "-c", child, name, str(repeats), sf_dir],
-            capture_output=True, text=True, timeout=1200,
-        )
-        line = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT ")]
-        if not line:
-            out[name] = {"error": r.stderr[-500:]}
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", child, name, str(repeats), sf_dir],
+                capture_output=True, text=True, timeout=1200,
+            )
+        except subprocess.TimeoutExpired:
+            out[name] = {"error": "timeout (1200s)"}
         else:
-            out[name] = json.loads(line[-1][7:])
+            line = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT ")]
+            if not line:
+                out[name] = {"error": r.stderr[-500:]}
+            else:
+                out[name] = json.loads(line[-1][7:])
         print(name, out[name])
-    path = os.path.join(HERE, "OUTLIER_ISOLATE.json")
-    with open(path, "w") as f:
-        json.dump({"sf_dir": sf_dir, "repeats": repeats, "results": out}, f, indent=1)
+        # Write incrementally so a crash/timeout never loses prior results.
+        with open(path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "repeats": repeats, "results": out},
+                      f, indent=1)
 
 
 if __name__ == "__main__":

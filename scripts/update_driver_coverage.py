@@ -28,7 +28,10 @@ def main() -> None:
     except (OSError, ValueError):
         cov = {"covered": [], "rounds": {}}
     covered = set(cov.get("covered", []))
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    ledgers = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if ledgers:
+        cov["updated_from"] = os.path.basename(ledgers[-1])
+    for path in ledgers:
         rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
         with open(path) as f:
             ledger = json.load(f)
