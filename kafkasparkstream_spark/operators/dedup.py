@@ -401,7 +401,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 50,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -428,10 +428,20 @@ def minhash_lsh_pairs(
     edges unless those members also co-collide in a non-hot band
     (probability follows the LSH S-curve), so capped mode trades
     pair-level recall AND, for chains, possible cluster splits — the
-    standard LSH-dedup cap semantics. Default None keeps exact all-pairs
-    semantics (the oracle contract); the planted-skew probe and the
-    clique parity proof live in tests/test_lsh_skew.py +
-    scripts/skew_lsh_probe.py.
+    standard LSH-dedup cap semantics. The DEFAULT is capped (50, the
+    measured knee of SKEW_BENCH.json) — the scale-safe mode a 100 TB
+    user gets without reading this docstring (r7 verdict #2); pass
+    ``max_bucket_size=None`` for exact all-pairs semantics (the
+    all-pairs oracle contracts — the registry's ``dedup_minhash_lsh`` /
+    ``dedup_clusters`` / ``dedup_keep_best`` / ``dedup_source_matrix`` /
+    ``training_pipeline_e2e`` do this explicitly). Capped-vs-all-pairs
+    CLUSTER parity holds for clique-shaped groups (planted fixture) but
+    measurably breaks on mixed-family hot buckets in the real replica
+    corpus at sf1.0 (0.09–0.4% of doc assignments across caps 2..50 —
+    SKEW_BENCH.json real_corpus_parity), so the capped mode is
+    oracle-gated at its OWN semantics by ``dedup_minhash_lsh_capped``
+    (the DuckDB oracle mirrors the star cap); the planted-skew probe
+    lives in tests/test_lsh_skew.py + scripts/skew_lsh_probe.py.
     """
     rows = num_hashes // bands
     arr = _shingle_arrays(df, text_col, id_col, n)

@@ -37,7 +37,7 @@ def main() -> None:
     df.count()
 
     t0 = time.perf_counter()
-    full = minhash_lsh_pairs(df)
+    full = minhash_lsh_pairs(df, max_bucket_size=None)
     n_full = full.count()
     t_full = time.perf_counter() - t0
 

@@ -33,14 +33,14 @@ def _planted(spark, clones=120, normals=60):
 
 def test_planted_clique_blows_up_all_pairs(spark):
     df = _planted(spark, clones=120)
-    full = minhash_lsh_pairs(df)
+    full = minhash_lsh_pairs(df, max_bucket_size=None)
     # the clique's verified pairs are quadratic: C(120,2) = 7140
     assert full.count() >= 7140 * 0.95
 
 
 def test_star_cap_bounds_candidates_and_preserves_clusters(spark):
     df = _planted(spark, clones=120)
-    full = minhash_lsh_pairs(df)
+    full = minhash_lsh_pairs(df, max_bucket_size=None)
     capped = minhash_lsh_pairs(df, max_bucket_size=50)
     n_full, n_capped = full.count(), capped.count()
     # star: ≤ (clique_size − 1) pairs per band, deduped across bands
@@ -62,8 +62,36 @@ def test_star_cap_bounds_candidates_and_preserves_clusters(spark):
 
 def test_cap_is_noop_on_unskewed_corpus(spark):
     """Buckets under the cap must produce byte-identical output with and
-    without the cap (the oracle contract for the registered query)."""
+    without the cap (the oracle contract for the registered query).
+    Explicit None vs 50 — the operator DEFAULT is capped since r8."""
     df = _planted(spark, clones=8, normals=40)
-    a = sorted(map(tuple, minhash_lsh_pairs(df).collect()))
+    a = sorted(map(tuple, minhash_lsh_pairs(df, max_bucket_size=None).collect()))
     b = sorted(map(tuple, minhash_lsh_pairs(df, max_bucket_size=50).collect()))
     assert a == b
+
+
+def test_default_is_capped(spark):
+    """r7 verdict #2: a default-parameter user must get the scale-safe
+    star-cap mode — a 120-clone clique yields star-sized, not quadratic,
+    pair counts under the default."""
+    df = _planted(spark, clones=120)
+    n_default = minhash_lsh_pairs(df).count()
+    assert n_default <= 4 * 120  # star edges per band, deduped
+
+
+def test_registered_capped_query_matches_allpairs_clusters(spark):
+    """The registry's dedup_minhash_lsh_capped (cap=2, so the star path
+    executes even on gate-sized buckets) must reproduce all-pairs
+    connected components on the driver corpus."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import __spark_entry__ as E
+    from oracle import assert_matches_oracle
+
+    sf = "/root/testdata/sf0.01"
+    df = E.queries()["dedup_minhash_lsh_capped"](spark, sf)
+    assert_matches_oracle(
+        df, E.oracle_sql()["dedup_minhash_lsh_capped"], sf,
+        name="dedup_minhash_lsh_capped",
+    )

@@ -492,6 +492,12 @@ def test_extreme_events_guard_nulls_pass_through_and_oob_raises(spark, monkeypat
 
     ts = datetime.datetime(2024, 1, 1)
 
+    import sys
+
+    # Patch load_table in the module that DEFINES the query — since the r8
+    # family split, each queries/ submodule holds its own binding.
+    qmod = sys.modules[Q.QUERIES["extreme_events_by_type"].__module__]
+
     def fake_events(rows):
         df = spark.createDataFrame(
             [
@@ -506,7 +512,7 @@ def test_extreme_events_guard_nulls_pass_through_and_oob_raises(spark, monkeypat
                 for eid, val in rows
             ]
         )
-        monkeypatch.setattr(Q, "load_table", lambda _s, _t, _d: df)
+        monkeypatch.setattr(qmod, "load_table", lambda _s, _t, _d: df)
         return df
 
     # NULL value row present: query must still answer, picking the max/min
