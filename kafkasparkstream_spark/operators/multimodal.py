@@ -179,7 +179,7 @@ def image_features(assets: DataFrame, embedding_dim: int = 8) -> DataFrame:
     arbitrary bytes (a 100 TB crawl always contains garbage payloads — a
     decode-or-die kernel would kill the stage)."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def image_features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "asset_id": [],
@@ -207,7 +207,7 @@ def image_features(assets: DataFrame, embedding_dim: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(
-        kernel, IMAGE_FEATURES_SCHEMA
+        image_features_kernel, IMAGE_FEATURES_SCHEMA
     )
 
 
@@ -263,7 +263,7 @@ def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> D
     """
     frame_bytes = 16
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def sample_frames_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"asset_id": [], "frame_index": [], "frame": []}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -289,7 +289,7 @@ def sample_frames(assets: DataFrame, every_n: int = 2, max_frames: int = 3) -> D
                     rows["frame"].append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
             yield pd.DataFrame(rows)
 
-    return assets.select("asset_id", "payload").mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+    return assets.select("asset_id", "payload").mapInPandas(sample_frames_kernel, FRAME_SAMPLE_SCHEMA)
 
 
 def synthesize_assets(spark, n: int = 64, media_type: str = "image") -> DataFrame:
@@ -335,7 +335,7 @@ def audio_features(assets: DataFrame) -> DataFrame:
 
     import numpy as np
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def audio_features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"asset_id": [], "n_samples": [], "energy": [], "rms": []}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -359,7 +359,7 @@ def audio_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(
-        kernel, AUDIO_FEATURES_SCHEMA
+        audio_features_kernel, AUDIO_FEATURES_SCHEMA
     )
 
 
@@ -391,7 +391,7 @@ def resize_images(
     """
     budget = max(target_w * target_h // 8, 1)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def resize_images_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "asset_id": [],
@@ -418,7 +418,7 @@ def resize_images(
                 out["resized_sha256"].append(hashlib.sha256(resized).hexdigest())
             yield pd.DataFrame(out)
 
-    return assets.select("asset_id", "payload").mapInPandas(kernel, RESIZE_SCHEMA)
+    return assets.select("asset_id", "payload").mapInPandas(resize_images_kernel, RESIZE_SCHEMA)
 
 
 DHASH_SCHEMA = (
@@ -464,11 +464,11 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     """Per-asset perceptual dHash via Arrow-batched mapInPandas: real
     pixels (PNG/GIF/JPEG/H.264/MP4 through the stdlib codecs) get the
     pixel dHash; anything undecodable gets the sha256-prefix fallback so
-    the kernel is total. Downstream grouping on the 8-byte hash is the
+    the image_dhash_kernel is total. Downstream grouping on the 8-byte hash is the
     standard image-dedup scale shape: one map-side-combined aggregate,
     no pixel ever crosses the shuffle."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def image_dhash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"asset_id": [], "dhash": [], "width": [], "height": [],
                    "decoded": []}
@@ -488,7 +488,7 @@ def image_dhash(assets: DataFrame) -> DataFrame:
                 out["decoded"].append(dec)
             yield pd.DataFrame(out)
 
-    return assets.select("asset_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
+    return assets.select("asset_id", "payload").mapInPandas(image_dhash_kernel, DHASH_SCHEMA)
 
 
 def image_dhash_dedup(assets: DataFrame) -> DataFrame:

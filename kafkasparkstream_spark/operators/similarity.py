@@ -159,7 +159,7 @@ def brute_force_topk(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def bf_topk_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_q, mat_q = bc.value
         for batch in batches:
             if not len(batch):
@@ -185,7 +185,7 @@ def brute_force_topk(
     # fanout: the candidate scan carries the GEMM work; a single input split
     # would serialize it onto one core.
     c = fanout(embeddings.select(F.col(id_col), F.col(vec_col)))
-    scored = c.mapInPandas(kernel, out_schema).filter(F.col("_cos") != float("-inf"))
+    scored = c.mapInPandas(bf_topk_kernel, out_schema).filter(F.col("_cos") != float("-inf"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -302,7 +302,7 @@ def ivf_topk(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def ivf_topk_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_q, mat_q, ids_c, mat_c, probe_sets = bc.value
         for batch in batches:
             if not len(batch):
@@ -329,7 +329,7 @@ def ivf_topk(
             )
 
     c = fanout(embeddings.select(F.col(id_col), F.col(vec_col)))
-    scored = c.mapInPandas(kernel, out_schema).filter(F.col("_cos") != float("-inf"))
+    scored = c.mapInPandas(ivf_topk_kernel, out_schema).filter(F.col("_cos") != float("-inf"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -491,7 +491,7 @@ def _cosine_neardup_broadcast(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def neardup_bcast_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
         for batch in batches:
             if not len(batch):
@@ -512,7 +512,7 @@ def _cosine_neardup_broadcast(
             )
 
     dist = fanout(embeddings.select(F.col(id_col), F.col(vec_col)))
-    return dist.mapInPandas(kernel, out_schema).orderBy("id_a", "id_b")
+    return dist.mapInPandas(neardup_bcast_kernel, out_schema).orderBy("id_a", "id_b")
 
 
 def kmeans_assign(
@@ -563,7 +563,7 @@ def kmeans_assign(
     )
 
     def make_kernel(bc):
-        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def kmeans_assign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids_c, mat_c = bc.value
             ids_c = np.asarray(ids_c, dtype="int64")
             for batch in batches:
@@ -584,7 +584,7 @@ def kmeans_assign(
                     }
                 )
 
-        return kernel
+        return kmeans_assign_kernel
 
     assigned = None
     for it in range(iters):
@@ -692,7 +692,7 @@ def semdedup_stats(
     )
     t = float(tau)
 
-    def kernel(key, pdf):
+    def semdedup_stats_kernel(key, pdf):
         # One GEMM per cluster instead of a per-pair interpreted HOF
         # expression (measured 4.7 s -> ~1 s at sf0.1). Row blocks bound the
         # similarity-tile memory to BLOCK × c doubles regardless of cluster
@@ -722,7 +722,7 @@ def semdedup_stats(
             }
         )
 
-    per_cluster = assigned.groupBy("cluster_id").applyInPandas(kernel, out_schema)
+    per_cluster = assigned.groupBy("cluster_id").applyInPandas(semdedup_stats_kernel, out_schema)
     return per_cluster.select(
         "cluster_id",
         "n_members",
@@ -1278,7 +1278,7 @@ def pq_distortion(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def pq_distortion_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cb = bc.value
         counts = np.zeros((n_subspaces, n_centroids), dtype="int64")
         micro = np.zeros((n_subspaces, n_centroids), dtype="int64")
@@ -1307,7 +1307,7 @@ def pq_distortion(
                 }
             )
 
-    parts = fanout(embeddings.select(vec_col)).mapInPandas(kernel, part_schema)
+    parts = fanout(embeddings.select(vec_col)).mapInPandas(pq_distortion_kernel, part_schema)
     return (
         parts.groupBy("subspace", "centroid")
         .agg(
@@ -1713,7 +1713,7 @@ def ivfpq_topk(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def ivfpq_topk_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_q, probe_sets, lut_q = bc.value
         n_q = len(ids_q)
         for batch in batches:
@@ -1748,7 +1748,7 @@ def ivfpq_topk(
                 )
 
     c = fanout(embeddings.select(F.col(id_col), F.col(vec_col)))
-    scored = c.mapInPandas(kernel, out_schema)
+    scored = c.mapInPandas(ivfpq_topk_kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("adot"), 4)), F.asc("neighbor_id")
     )
@@ -1771,6 +1771,7 @@ def ivfpq_rerank_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shortlist_df: DataFrame | None = None,
     **ivfpq_kwargs,
 ) -> DataFrame:
     """IVF-PQ shortlist + exact re-rank — the standard production ANN
@@ -1785,12 +1786,22 @@ def ivfpq_rerank_topk(
     Scale shape: the shortlist (num_queries x shortlist rows of ids) is
     BROADCAST against the vector table, so the re-rank pass is one scan
     with a tiny semi-join — at a trillion vectors the exact re-rank
-    touches only shortlist x queries rows."""
+    touches only shortlist x queries rows.
+
+    ``shortlist_df``: pass an already-computed ``ivfpq_topk(...,
+    k=shortlist)`` result to reuse the compressed index (the production
+    index-reuse pattern; ann_recall_report shares one 50-deep shortlist
+    between its ivfpq and rerank arms instead of running the PQ kernel
+    twice — recompute_audit r8)."""
     from pyspark.sql.window import Window
 
-    short = ivfpq_topk(
-        embeddings, num_queries=num_queries, k=shortlist,
-        id_col=id_col, vec_col=vec_col, **ivfpq_kwargs,
+    short = (
+        shortlist_df
+        if shortlist_df is not None
+        else ivfpq_topk(
+            embeddings, num_queries=num_queries, k=shortlist,
+            id_col=id_col, vec_col=vec_col, **ivfpq_kwargs,
+        )
     ).select("query_id", "neighbor_id")
     q = embeddings.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")

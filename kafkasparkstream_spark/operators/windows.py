@@ -299,7 +299,7 @@ def zscore_per_key(
         tie = np.abs(a - t) == 0.5
         return np.where(tie, t + np.sign(a), np.rint(a))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def zscore_per_key_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # Same cents-grid/exact-integer-sum formula as the window-function
         # twin and the SQL oracle: identical IEEE ops over identical
         # integers on every engine — numpy's pairwise-summed float mean/std
@@ -337,7 +337,7 @@ def zscore_per_key(
     return (
         df.select(id_col, key_col, value_col)
         .groupBy(key_col)
-        .applyInPandas(kernel, out_schema)
+        .applyInPandas(zscore_per_key_kernel, out_schema)
         .orderBy(id_col)
     )
 

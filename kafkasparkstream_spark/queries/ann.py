@@ -1069,10 +1069,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
+    # One PQ kernel run for both ivfpq arms: the 50-deep shortlist's first
+    # 10 ranks ARE ivfpq_topk(k=10) (same ADC window order), and the rerank
+    # arm re-scores the same shortlist — barriered so the kernel executes
+    # once (recompute_audit r8: was 2x).
+    short50 = similarity.ivfpq_topk(emb, k=50).localCheckpoint(eager=False)
     methods = {
         "ivf": similarity.ivf_topk(emb),
-        "ivfpq": similarity.ivfpq_topk(emb),
-        "ivfpq_rerank": similarity.ivfpq_rerank_topk(emb),
+        "ivfpq": short50.filter(F.col("rnk") <= 10),
+        "ivfpq_rerank": similarity.ivfpq_rerank_topk(emb, shortlist_df=short50),
         "lsh": similarity.lsh_bucketed_topk(emb),
         "lsh_multiprobe": similarity.lsh_multiprobe_topk(emb),
         "quantized": similarity.quantized_topk(emb),
