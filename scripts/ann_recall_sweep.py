@@ -72,8 +72,22 @@ def main() -> int:
         print(f"shortlist={shortlist}: ivfpq_rerank={rerank[shortlist]}", flush=True)
     out["curves"]["ivfpq_rerank_shortlist"] = rerank
 
-    with open(_ROOT / "ANN_RECALL.json", "w") as f:
-        json.dump(out, f, indent=1)
+    # Merge per-SF so cross-scale curves accumulate (VERDICT r7 item 7):
+    # top-level keys reflect the latest run, "by_sf" keeps every SF.
+    path = _ROOT / "ANN_RECALL.json"
+    doc = {"by_sf": {}}
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        doc["by_sf"] = prev.get("by_sf", {})
+        if "sf_dir" in prev and prev["sf_dir"] not in doc["by_sf"]:
+            doc["by_sf"][prev["sf_dir"]] = {k: prev[k] for k in prev if k != "by_sf"}
+    except (OSError, ValueError):
+        pass
+    doc["by_sf"][sf_dir] = out
+    doc.update(out)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
     print("wrote ANN_RECALL.json")
     return 0
 

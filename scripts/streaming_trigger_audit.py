@@ -89,8 +89,21 @@ def main() -> None:
         deep_release(spark)
 
     path = os.path.join(HERE, "STREAM_TRIGGER_AUDIT.json")
+    # Merge per-SF so cross-scale blocks accumulate (VERDICT r7 item 6):
+    # "results"/"sf_dir" reflect the latest run, "by_sf" keeps every SF.
+    doc = {"by_sf": {}}
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        doc["by_sf"] = prev.get("by_sf", {})
+        if "sf_dir" in prev and prev["sf_dir"] not in doc["by_sf"]:
+            doc["by_sf"][prev["sf_dir"]] = prev.get("results", {})
+    except (OSError, ValueError):
+        pass
+    doc["by_sf"][sf_dir] = out
+    doc["sf_dir"], doc["results"] = sf_dir, out
     with open(path, "w") as f:
-        json.dump({"sf_dir": sf_dir, "results": out}, f, indent=1)
+        json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":
