@@ -124,7 +124,9 @@ def main() -> int:
     # docs, user_series_knn is users x users cosine over 150k users; both
     # host-OOM'd uncapped and ENOSPC'd past ~80 GB of capped spill while
     # their Spark sides executed fine). Each gates on the table its
-    # blow-up actually lives in.
+    # blow-up actually lives in. Since r8 the skipped rows are covered at
+    # sf10 by PAIR_SF10.json (scripts/pair_slice_check.py --sf 10):
+    # sampled-slice oracles + full-corpus partition-invariance.
     if n_docs >= 200_000:
         quadratic = quadratic | {"training_pipeline_e2e"}
     import os as _os
