@@ -464,7 +464,7 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     """Per-asset perceptual dHash via Arrow-batched mapInPandas: real
     pixels (PNG/GIF/JPEG/H.264/MP4 through the stdlib codecs) get the
     pixel dHash; anything undecodable gets the sha256-prefix fallback so
-    the image_dhash_kernel is total. Downstream grouping on the 8-byte hash is the
+    the kernel is total. Downstream grouping on the 8-byte hash is the
     standard image-dedup scale shape: one map-side-combined aggregate,
     no pixel ever crosses the shuffle."""
 

@@ -1077,15 +1077,18 @@ def pca_spectrum_certificate(
     """Hash-gatable PCA spectrum certificate (round-7 close of the
     embedding_pca_variance no_oracle row, the ann_recall_report pattern):
     the eigendecomposition itself is not SQL-expressible, so the hashed
-    payload is (a) the covariance TRACE in exact 1e-4 units — which a SQL
-    oracle recomputes independently as Σ per-dimension sample variances —
-    and (b) boolean certificates that the computed eigenpairs actually
-    diagonalize that covariance: max ‖cov·vᵢ − λᵢvᵢ‖∞ within 1e-8·scale,
-    eigenvector orthonormality within 1e-10, shares descending in [0, 1],
-    and Σλ equal to the trace within 1e-9 relative. LAPACK residuals are
-    ~1e-14, so the margins never flap; a wrong spectrum (or a covariance
-    pass that dropped rows) flips a boolean or shifts trace_units and
-    fails the gate. The numeric spectrum report stays available as
+    payload is (a) the covariance TRACE as a 4-significant-digit mantissa
+    (``trace_sig4``) plus decimal exponent (``trace_exp``) — coarse
+    relative units (r7 ADVICE) that a SQL oracle recomputes independently
+    as Σ per-dimension sample variances without cross-engine
+    summation-order rounding flakes — and (b) boolean certificates that
+    the computed eigenpairs actually diagonalize that covariance: max
+    ‖cov·vᵢ − λᵢvᵢ‖∞ within 1e-8·scale, eigenvector orthonormality within
+    1e-10, shares descending in [0, 1], and Σλ equal to the trace within
+    1e-9 relative. LAPACK residuals are ~1e-14, so the margins never
+    flap; a wrong spectrum (or a covariance pass that dropped rows) flips
+    a boolean or shifts the trace mantissa and fails the gate. The
+    numeric spectrum report stays available as
     :func:`pca_variance_spectrum`."""
     import numpy as np
 
@@ -1094,12 +1097,16 @@ def pca_spectrum_certificate(
     evals, evecs = np.linalg.eigh(cov)
     evals, evecs = evals[::-1], evecs[:, ::-1]  # descending
     trace = float(np.trace(cov))
-    if trace == 0.0:
+    if trace <= 0.0:
         # collapsed corpus (all-identical or single-row embeddings): shares
         # are undefined — fail loudly with the cause, not NaN certificates.
+        # <= catches the tiny NEGATIVE trace a near-constant corpus can
+        # produce via G − n·μμᵀ cancellation (r8 review), which would
+        # otherwise NaN the log10 mantissa extraction below.
         raise ValueError(
-            "pca_spectrum_certificate: covariance trace is zero "
-            f"(n={n}) — embedding corpus has no variance; PCA shares undefined"
+            "pca_spectrum_certificate: covariance trace is zero or "
+            f"negative-from-cancellation ({trace!r}, n={n}) — embedding "
+            "corpus has no variance; PCA shares undefined"
         )
     scale = max(1.0, float(np.abs(evals).max()))
     resid = float(np.abs(cov @ evecs - evecs * evals[None, :]).max())

@@ -3,12 +3,17 @@
 exact_dedup collapses IDENTICAL docs before LSH, but near-identical clones
 (distinct digests, ~equal shingle sets) all land in the same band buckets
 and the all-pairs candidate join goes quadratic in the clone count. These
-tests plant such a clique and pin (a) the blow-up is real in the default
-all-pairs mode, (b) the ``max_bucket_size`` star cap bounds candidates to
-n−1 per hot bucket, and (c) connected-components clustering over the star
-edges yields EXACTLY the clusters of the full pair set — so cluster-level
-dedup loses nothing to the cap. The 1k-clone wall-clock artifact lives in
-SKEW_BENCH.json (scripts/skew_lsh_probe.py).
+tests plant such a clique and pin (a) the blow-up is real in the explicit
+all-pairs mode (``max_bucket_size=None`` — since r8 the operator DEFAULT
+is the star cap), (b) the ``max_bucket_size`` star cap bounds candidates
+to n−1 per hot bucket, and (c) connected-components clustering over the
+star edges equals the full pair set's clusters FOR CLIQUE-SHAPED groups
+like this fixture. That parity is clique-only: on the real sf1.0 replica
+corpus, mixed-family hot buckets break it (0.09–0.4% of assignments —
+SKEW_BENCH.json real_corpus_parity), which is why the registered capped
+query is gated by a star-cap-MIRRORING oracle, not an all-pairs one. The
+1k-clone wall-clock artifact lives in SKEW_BENCH.json
+(scripts/skew_lsh_probe.py).
 """
 
 from pyspark.sql import functions as F
@@ -79,10 +84,13 @@ def test_default_is_capped(spark):
     assert n_default <= 4 * 120  # star edges per band, deduped
 
 
-def test_registered_capped_query_matches_allpairs_clusters(spark):
+def test_registered_capped_query_matches_mirrored_oracle(spark):
     """The registry's dedup_minhash_lsh_capped (cap=2, so the star path
-    executes even on gate-sized buckets) must reproduce all-pairs
-    connected components on the driver corpus."""
+    executes even on gate-sized buckets) must hash-match its DuckDB
+    oracle — which MIRRORS the star cap in SQL. This pins the ENGINE's
+    capped semantics cross-engine; all-pairs cluster parity is NOT
+    asserted anywhere (it is clique-only — see the module docstring and
+    SKEW_BENCH.json real_corpus_parity)."""
     import sys
 
     sys.path.insert(0, "tests")

@@ -388,3 +388,32 @@ def test_pca_certificate_zero_trace_errors(spark):
     )
     with _pytest.raises(ValueError, match="trace is zero"):
         pca_spectrum_certificate(emb)
+    # r8 review: NON-dyadic constant vectors must also raise (this corpus
+    # cancels to exactly 0.0 on this build, but float32 casts make that a
+    # build detail, not a guarantee).
+    emb_neg = spark.createDataFrame(
+        [(i, [0.1] * 64) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="trace is zero"):
+        pca_spectrum_certificate(emb_neg)
+
+
+def test_pca_certificate_negative_trace_from_cancellation(spark, monkeypatch):
+    """r8 review: a near-constant corpus can cancel G − n·μμᵀ to a TINY
+    NEGATIVE trace; the guard must raise the named error, not NaN the
+    log10 mantissa extraction into 'cannot convert float NaN to integer'."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kafkasparkstream_spark.operators import similarity
+
+    monkeypatch.setattr(
+        similarity, "_cov_one_pass",
+        lambda df, vec_col: (50, np.full((4, 4), -1e-18 / 4)),
+    )
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 4)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="trace is zero"):
+        similarity.pca_spectrum_certificate(emb)
