@@ -207,7 +207,21 @@ def main() -> None:
         )
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "STREAM_THROUGHPUT.json"), "w") as f:
+    path = os.path.join(here, "STREAM_THROUGHPUT.json")
+    # Merge per-SF (r8): top-level keys reflect the latest run, "by_sf"
+    # accumulates every SF's block.
+    by_sf = {}
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        by_sf = prev.get("by_sf", {})
+        if "sf_dir" in prev and prev["sf_dir"] not in by_sf:
+            by_sf[prev["sf_dir"]] = {k: prev[k] for k in prev if k != "by_sf"}
+    except (OSError, ValueError):
+        pass
+    by_sf[sf_dir] = dict(out)
+    out["by_sf"] = by_sf
+    with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(out["modes"], sort_keys=True))
 
