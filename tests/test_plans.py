@@ -780,3 +780,23 @@ def test_graph_queries_have_no_kernel_recompute(spark):
 
     for name in ("knn_jaccard_links", "knn_triangle_stats", "pagerank_knn_graph"):
         assert not flagged_kernels(simple_plan(E.queries()[name](spark, SF_DIR))), name
+
+
+def test_capped_lsh_plan_shape(spark):
+    """The star-cap path (r8 default) must keep the scale-safe plan: the
+    bucket-size cap is ONE keyed Window pass (count + min over
+    (band, bucket)) — no extra shuffle beyond the bucket key — and the
+    bucket self-join stays partitioned (no fact-side broadcast, no
+    cartesian). Pinned on the pairs stage; connected_components above it
+    truncates plans via localCheckpoint."""
+    from kafkasparkstream_spark.operators.dedup import minhash_lsh_pairs
+    from kafkasparkstream_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = explain_str(minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=2))
+    assert "Window" in plan, "bucket-size cap lost its window pass"
+    assert "BroadcastHashJoin" not in plan, "capped LSH broadcasts a fact side"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert (
+        plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
+    ), "capped LSH lost its partitioned bucket join"
