@@ -1128,6 +1128,13 @@ def pca_spectrum_certificate(
     # check while making the .5-boundary flake window ~1e-9 relative.
     exp = int(np.floor(np.log10(trace)))
     trace_sig4 = int(_spark_round(np.array([trace / 10.0 ** (exp - 3)]), 0)[0])
+    # Mantissa-overflow normalization (r8 ADVICE): a trace straddling a
+    # power of 10 cross-engine (999999.99 vs 1000000.01) would otherwise
+    # encode as (10000, 5) here vs (1000, 6) in the oracle — numerically
+    # equal, hash-mismatched. Fold 10000 back to 1000 and bump the
+    # exponent; the oracle SQL applies the identical CASE.
+    if trace_sig4 == 10000:
+        trace_sig4, exp = 1000, exp + 1
     spark = embeddings.sparkSession
     return spark.createDataFrame(
         [(min(top_k, d), trace_sig4, exp, certified and orthonormal, descending, sums_to_one)],
@@ -1799,20 +1806,35 @@ def ivfpq_rerank_topk(
     k=shortlist)`` result to reuse the compressed index (the production
     index-reuse pattern; ann_recall_report shares one 50-deep shortlist
     between its ivfpq and rerank arms instead of running the PQ kernel
-    twice — recompute_audit r8)."""
+    twice — recompute_audit r8). When provided, the query set is DERIVED
+    from ``shortlist_df``'s query_id column (not ``num_queries``), and
+    passing ``ivfpq_kwargs`` alongside is an error — the shortlist was
+    built with its own index parameters and silently ignoring a second
+    set would hand back inconsistent rerank results (r8 ADVICE)."""
     from pyspark.sql.window import Window
 
-    short = (
-        shortlist_df
-        if shortlist_df is not None
-        else ivfpq_topk(
+    if shortlist_df is not None:
+        if ivfpq_kwargs:
+            raise ValueError(
+                "ivfpq_rerank_topk: shortlist_df= reuses an already-built "
+                f"index; ivfpq_kwargs {sorted(ivfpq_kwargs)} would be "
+                "silently ignored — build the shortlist with them instead"
+            )
+        short = shortlist_df.select("query_id", "neighbor_id")
+        # Query set = the shortlist's own queries: a shortlist built with a
+        # different num_queries can't silently truncate the rerank.
+        q = embeddings.join(
+            F.broadcast(short.select("query_id").distinct()),
+            embeddings[id_col] == F.col("query_id"),
+        ).select("query_id", F.col(vec_col).alias("q_emb"))
+    else:
+        short = ivfpq_topk(
             embeddings, num_queries=num_queries, k=shortlist,
             id_col=id_col, vec_col=vec_col, **ivfpq_kwargs,
+        ).select("query_id", "neighbor_id")
+        q = embeddings.filter(F.col(id_col) < num_queries).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
         )
-    ).select("query_id", "neighbor_id")
-    q = embeddings.filter(F.col(id_col) < num_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
-    )
     cand = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_emb")
     )

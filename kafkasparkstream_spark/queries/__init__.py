@@ -40,8 +40,23 @@ from kafkasparkstream_spark.queries import serving as _serving  # noqa: E402,F40
 # helpers are imported by tests, scripts and __spark_entry__ under their
 # original names (e.g. `from kafkasparkstream_spark.queries import
 # load_table, _drain_sink`). Re-export every submodule's top-level name.
+_origin: dict[str, str] = {}
 for _m in (_shared,_tpch, _events_windows, _events_stats, _text, _dedup, _ann, _streaming, _multimodal, _serving):
     for _k, _v in vars(_m).items():
-        if not _k.startswith("__") and _k not in globals():
+        if _k.startswith("__"):
+            continue
+        if _k in _origin and globals().get(_k) is not _v:
+            # First-import-wins would silently shadow a same-named helper
+            # defined in two submodules (r8 ADVICE) — fail loudly instead.
+            # Identical objects (cross-submodule imports of one helper,
+            # e.g. load_table) are fine.
+            raise ImportError(
+                f"kafkasparkstream_spark.queries: top-level name {_k!r} is "
+                f"defined differently in both {_origin[_k]!r} and "
+                f"{_m.__name__!r} — rename one; the flat namespace cannot "
+                "hold two"
+            )
+        if _k not in globals():
             globals()[_k] = _v
-del _m, _k, _v
+            _origin[_k] = _m.__name__
+del _m, _k, _v, _origin

@@ -371,15 +371,24 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     d AS (SELECT unnest(range(1, 65)) AS j),
-    v AS (SELECT j, VAR_SAMP(emb[j]) AS vj FROM e, d GROUP BY j)
+    v AS (SELECT j, VAR_SAMP(emb[j]) AS vj FROM e, d GROUP BY j),
+    t AS (SELECT SUM(vj) AS tr FROM v),
+    m AS (SELECT
+            CAST(ROUND(tr / POWER(10, FLOOR(LOG10(tr)) - 3), 0) AS BIGINT)
+                AS sig4,
+            CAST(FLOOR(LOG10(tr)) AS INT) AS ex
+          FROM t)
+    -- Mantissa-overflow fold (r8 ADVICE): mirror the engine's
+    -- if sig4 == 10000: sig4=1000, exp+=1 normalization so a trace that
+    -- straddles a power of 10 cross-engine still hash-matches.
     SELECT CAST(10 AS INT) AS n_components,
-           CAST(ROUND(SUM(vj) / POWER(10, FLOOR(LOG10(SUM(vj))) - 3), 0) AS BIGINT)
-               AS trace_sig4,
-           CAST(FLOOR(LOG10(SUM(vj))) AS INT) AS trace_exp,
+           CASE WHEN sig4 = 10000 THEN 1000 ELSE sig4 END AS trace_sig4,
+           CAST(CASE WHEN sig4 = 10000 THEN ex + 1 ELSE ex END AS INT)
+               AS trace_exp,
            TRUE AS eigenpairs_certified,
            TRUE AS shares_descending,
            TRUE AS shares_sum_to_one
-    FROM v
+    FROM m
     """,
 )
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
