@@ -305,12 +305,92 @@ def _prefix_verified_common(arr: DataFrame, id_col: str, threshold: float) -> Da
     )
 
 
+def _starcap_verified_common(
+    arr: DataFrame, id_col: str, max_shingle_freq: int
+) -> DataFrame:
+    """Exact overlap pairs ``(doc_a, doc_b, common, n_a, n_b)`` whose
+    candidate generation is *frequency-star-capped*: shingles shared by
+    more than ``max_shingle_freq`` documents contribute only STAR edges
+    around the shingle's minimum doc id (df−1 candidates instead of
+    df·(df−1)/2), while rare shingles contribute all pairs. The same cap
+    shape as :func:`minhash_lsh_pairs`' hot-bucket cap (r8's proven
+    scale-safe template), applied at the shingle grain.
+
+    Why this exists: the EXACT shingle-pair contracts are inherently
+    quadratic in clone count — sf10's ~100-replica cliques make both the
+    pair output and the array-carrying verify shuffle quadratic (measured:
+    ENOSPC after ~80 GB of shuffle; SCALE_DECADES ratios 12.3×/11.5× for
+    a 10× corpus). With the cap, total candidate fanout is bounded by
+    ``(cap+1) · Σ_doc n_sh`` — LINEAR in the corpus — because each
+    exploded shingle row joins at most ``cap`` partners plus one hub edge.
+    For clique-shaped clone groups (the dominant real case: replicas share
+    their whole shingle set, so every clique shingle is hot with the same
+    min doc) the star edges all verify against the hub and connected
+    components recover the full clique — the same recall trade as the LSH
+    star cap: chain-shaped hot groups lose hub-distant edges unless they
+    co-occur under a rare shingle.
+
+    Verification is exact per-candidate ``array_intersect`` on the carried
+    shingle-hash arrays (the :func:`minhash_lsh_pairs` verify shape): the
+    capped candidate list is linear, so the verify joins ship each doc's
+    array O(cap) times, not O(clique) times.
+
+    One keyed window pass tags each (doc, shingle) row with its shingle's
+    document frequency and min doc; the join hints mirror
+    :func:`_prefix_verified_common`'s measured rationale (both join sides
+    are fact-sized and flow through unmaterialized caches, so Catalyst's
+    static estimator would broadcast them; merge for the hot-keyed shingle
+    join so skew spills instead of OOMing an SHJ build)."""
+    from pyspark.sql.window import Window
+
+    sh = arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    ws = Window.partitionBy("shingle")
+    tagged = sh.withColumn("_df", F.count(F.lit(1)).over(ws)).withColumn(
+        "_smin", F.min(id_col).over(ws)
+    )
+    left = tagged.filter(
+        (F.col("_df") <= max_shingle_freq) | (F.col(id_col) == F.col("_smin"))
+    ).select(F.col(id_col), "shingle")
+    a, b = left.hint("merge").alias("a"), sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    va = arr.select(
+        F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("_arr_a"), F.col("n_sh").alias("n_a")
+    )
+    vb = arr.select(
+        F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("_arr_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        cand.hint("shuffle_hash")
+        .join(va.hint("shuffle_hash"), "doc_a")
+        .join(vb.hint("shuffle_hash"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_arr_a", "_arr_b")).alias("common"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = 50,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
 
@@ -331,8 +411,27 @@ def ngram_jaccard_pairs(
     hot shingles are cross-doc boilerplate rather than whole-doc
     replication. At 100 TB run :func:`minhash_lsh_pairs` first and feed
     its candidates here for exact verification.
+
+    ``max_shingle_freq`` — the DEFAULT is the star-capped mode (r8
+    verdict #1): shingles hotter than the cap contribute only star edges
+    around their min doc (see :func:`_starcap_verified_common`), which
+    bounds candidate fanout AND pair output linearly in the corpus —
+    the exact contract is quadratic in clone count and measured
+    infeasible at sf10 (ENOSPC ~80 GB). Pass ``max_shingle_freq=None``
+    for the exact all-pairs semantics (the registry's
+    ``dedup_ngram_jaccard`` pins this explicitly); the capped mode is
+    oracle-gated at its OWN semantics by ``dedup_ngram_jaccard_capped``
+    (the DuckDB oracle mirrors the star cap).
     """
     arr = _shingle_arrays(df, text_col, id_col, n, hashed=True)
+    if max_shingle_freq is not None:
+        common = _starcap_verified_common(arr, id_col, max_shingle_freq)
+        jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+        return (
+            common.filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+            .orderBy("doc_a", "doc_b")
+        )
     # Carry n_sh through the explode: one int per row buys back two
     # sizes-joins after the pair aggregate (n_sh is constant per doc, so
     # min() recovers it exactly). Shingles are 64-bit hashes (identical
@@ -941,6 +1040,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = 50,
 ) -> DataFrame:
     """Asymmetric near-duplicate pairs by shingle CONTAINMENT
     (``common / min(n_a, n_b)``): catches a short document embedded inside
@@ -958,9 +1058,24 @@ def containment_pairs(
     verify joins shuffle each doc's full shingle set once, and 8-byte
     keys make that exchange (and the array_intersect) ~4× cheaper than
     strings with identical count semantics.
+
+    ``max_shingle_freq`` — the DEFAULT is the star-capped mode (r8
+    verdict #1; see :func:`_starcap_verified_common`): prefix filtering
+    bounds the candidate JOIN but not the pair OUTPUT, which is quadratic
+    in clone count (a 100-replica clique is 4,950 qualifying pairs each
+    shipping two full shingle arrays through the verify shuffle —
+    measured ENOSPC ~80 GB at sf10). The star cap bounds both. Pass
+    ``max_shingle_freq=None`` for the exact prefix-filtered all-pairs
+    contract (the registry's ``dedup_containment`` pins this
+    explicitly); the capped mode is oracle-gated at its own semantics by
+    ``dedup_containment_capped``.
     """
     arr = _shingle_arrays(df, text_col, id_col, n, hashed=True)
-    common = _prefix_verified_common(arr, id_col, threshold)
+    common = (
+        _starcap_verified_common(arr, id_col, max_shingle_freq)
+        if max_shingle_freq is not None
+        else _prefix_verified_common(arr, id_col, threshold)
+    )
     cont = F.col("common") / F.least(F.col("n_a"), F.col("n_b"))
     return (
         common.filter(cont >= threshold)

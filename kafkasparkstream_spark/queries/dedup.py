@@ -55,8 +55,71 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs at threshold 0.5."""
-    return dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.5. Explicit
+    all-pairs mode (max_shingle_freq=None): this contract's pair output is
+    inherently quadratic in clone count and full-run infeasible at sf10
+    (slice-oracled, PAIR_SF10.json); the scale-safe star-capped DEFAULT is
+    gated separately by `dedup_ngram_jaccard_capped`."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.5, max_shingle_freq=None
+    )
+
+
+_STARCAP_CAND_CTE = """
+    fq AS (SELECT sh, COUNT(*) AS n, MIN(doc_id) AS smin FROM s GROUP BY sh),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN fq z ON a.sh = z.sh
+        JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE z.n <= 2 OR a.doc_id = z.smin
+    ),
+    common AS (
+        SELECT doc_a, doc_b, count(*) AS common
+        FROM cand
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_STARCAP_CAND_CTE}
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (x.n_sh + y.n_sh - common), 4) AS jaccard
+    FROM common
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE n-gram Jaccard mode, oracle-gated at its own
+    semantics (r8 verdict #1, extending the capped-LSH template of
+    `dedup_minhash_lsh_capped`): shingles shared by more than
+    max_shingle_freq=2 documents contribute only STAR candidates around
+    their min doc id, bounding both candidate fanout and pair output
+    linearly in the corpus — the exact all-pairs contract is quadratic in
+    clone count and measured infeasible at full sf10 (ENOSPC ~80 GB,
+    SCALE_DECADES 12.3×/11.5× per data decade).
+
+    The oracle MIRRORS the star cap in SQL (shingle docfreq + min-id star
+    restriction, then exact common-count verify), so the gate checks the
+    ENGINE bit-for-bit at every SF. The cap of 2 is chosen BELOW the gate
+    corpus's hottest shingle (sf0.01 max docfreq = 7; 151 shingles
+    exceed the cap) AND so the capped output visibly DIVERGES from
+    all-pairs at the gate SF (24 vs 25 pairs at sf0.01) — a cap-ignoring
+    engine hash-mismatches rather than passing vacuously. The operator
+    DEFAULT is the capped mode (max_shingle_freq=50, the LSH knee); the
+    exact contract stays pinned by `dedup_ngram_jaccard`
+    (max_shingle_freq=None)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.5, max_shingle_freq=2
+    )
 
 
 def _minhash_sig_sql(num_hashes: int = 16) -> str:
@@ -598,8 +661,45 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dups (short-doc-inside-long-doc) — the
-    quote/boilerplate catcher Jaccard misses."""
-    return dedup.containment_pairs(load_table(spark, "documents", sf_dir))
+    quote/boilerplate catcher Jaccard misses. Explicit all-pairs mode
+    (max_shingle_freq=None → the exact prefix-filtered plan): quadratic
+    pair output, full-run infeasible at sf10 (slice-oracled,
+    PAIR_SF10.json); the scale-safe star-capped DEFAULT is gated
+    separately by `dedup_containment_capped`."""
+    return dedup.containment_pairs(
+        load_table(spark, "documents", sf_dir), max_shingle_freq=None
+    )
+
+
+@register(
+    "dedup_containment_capped",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_STARCAP_CAND_CTE}
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / least(x.n_sh, y.n_sh), 4) AS containment
+    FROM common
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE common * 1.0 / least(x.n_sh, y.n_sh) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE containment mode, oracle-gated at its own semantics
+    (r8 verdict #1): the same frequency-star-capped candidate generation
+    as `dedup_ngram_jaccard_capped` (cap=2, mirrored in the oracle SQL),
+    verified with exact containment (common / min set size) at 0.8.
+    Prefix filtering — the exact contract's plan — bounds the candidate
+    JOIN but not the pair OUTPUT; a 100-replica clique still emits 4,950
+    qualifying pairs each shipping two shingle arrays through the verify
+    shuffle (measured ENOSPC ~80 GB at sf10). The star cap bounds both:
+    candidate fanout ≤ (cap+1)·Σ n_sh, output linear in clone count. The
+    operator DEFAULT is capped (max_shingle_freq=50); the exact contract
+    stays pinned by `dedup_containment` (max_shingle_freq=None)."""
+    return dedup.containment_pairs(
+        load_table(spark, "documents", sf_dir), max_shingle_freq=2
+    )
 
 
 @register(

@@ -639,6 +639,8 @@ def test_shingle_join_family_never_broadcasts_fact_sides(spark):
     for name in (
         "dedup_containment",
         "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_capped",
+        "dedup_containment_capped",
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
     ):

@@ -164,7 +164,10 @@ def test_minhash_lsh_no_false_positives(spark):
 
     docs = load_table(spark, "documents", "/root/testdata/sf0.01")
     lsh = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(docs).collect()}
-    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, max_shingle_freq=None).collect()
+    }
     assert set(lsh) <= set(exact)
     assert all(exact[k] == v for k, v in lsh.items())
     # And recall is sane for this corpus (the S-curve should catch most).
@@ -1023,7 +1026,9 @@ def test_containment_prefix_filter_matches_bruteforce(spark, docs, threshold):
     )
     got = {
         (r["doc_a"], r["doc_b"], r["containment"])
-        for r in containment_pairs(df, n=3, threshold=threshold).collect()
+        for r in containment_pairs(
+            df, n=3, threshold=threshold, max_shingle_freq=None
+        ).collect()
     }
     release_caches()
 
