@@ -1217,10 +1217,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(emb)
 
 
-def _ivfpq_rerank_oracle_sql() -> str:
-    """Shortlist (ivfpq at depth 50) + exact-cosine re-rank."""
+def _ivfpq_rerank_oracle_sql(depth: "int | str" = 50) -> str:
+    """Shortlist (ivfpq at ``depth`` — an int literal or a scalar-subquery
+    SQL expression) + exact-cosine re-rank."""
     return f"""
-    WITH short AS (SELECT query_id, neighbor_id FROM ({_ivfpq_oracle_sql(50)}) t),
+    WITH short AS (SELECT query_id, neighbor_id FROM ({_ivfpq_oracle_sql(depth)}) t),
     e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     rr AS (SELECT s.query_id, s.neighbor_id,
                   list_cosine_similarity(qe.emb, ne.emb) AS cos
@@ -1237,11 +1238,44 @@ def _ivfpq_rerank_oracle_sql() -> str:
     """
 
 
-@register("ann_ivfpq_rerank_topk", oracle=_ivfpq_rerank_oracle_sql())
+@register("ann_ivfpq_rerank_topk", oracle=_ivfpq_rerank_oracle_sql(50))
 def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ shortlist-50 + exact cosine re-rank — the production ANN
     topology that breaks the ADC quantization ceiling
-    (operators/similarity.py:ivfpq_rerank_topk)."""
+    (operators/similarity.py:ivfpq_rerank_topk). Explicit depth-50 pin
+    (the operator DEFAULT is corpus-adaptive since r9 — a fixed depth is
+    a measured recall cliff across scale decades; the adaptive mode is
+    gated separately by `ann_ivfpq_rerank_adaptive`)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivfpq_rerank_topk(emb, shortlist=50)
+
+
+#: The adaptive-depth rule as a DuckDB scalar subquery — MIRRORS
+#: operators/similarity.py:adaptive_shortlist_depth (floor 50, denom 20)
+#: so the oracle computes the depth from the same corpus count the engine
+#: counts. CEIL over a float divide equals Python's -(-n//20) for any
+#: corpus size representable in a double (n < 2^53).
+_ADAPTIVE_DEPTH_SQL = (
+    "(SELECT GREATEST(50, CAST(CEIL(COUNT(*) / 20.0) AS BIGINT)) FROM embeddings)"
+)
+
+
+@register(
+    "ann_ivfpq_rerank_adaptive",
+    oracle=_ivfpq_rerank_oracle_sql(_ADAPTIVE_DEPTH_SQL),
+)
+def ann_ivfpq_rerank_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE rerank operating point, oracle-gated at its own
+    semantics (r8 verdict #2): shortlist depth = max(50, ceil(n/20)) —
+    the measured knee of the depth-recall curve across three scale
+    decades (recall@10 = 0.84 / 0.96 / 1.0 at sf0.1 / sf1.0 / sf10,
+    where the fixed depth-100 point decays 0.84 → 0.68; ANN_RECALL.json).
+    The oracle computes the SAME depth rule in SQL from COUNT(*), so
+    wherever the rule engages (sf0.1+: depth 100 / 400 / 1600 ≠ 50) the
+    adaptive arithmetic itself is checked cross-engine, not just the
+    rerank. The exact depth-50 contract stays pinned by
+    `ann_ivfpq_rerank_topk`; the operator DEFAULT is the adaptive mode —
+    what a 100 TB user gets without reading the depth-recall artifact."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.ivfpq_rerank_topk(emb)
 

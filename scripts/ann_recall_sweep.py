@@ -65,12 +65,25 @@ def main() -> int:
     out["curves"]["ivfpq_nprobe"] = ivfpq
 
     rerank = {}
-    for shortlist in (20, 50, 100):
+    for shortlist in (20, 50, 100, 200, 400):
         rerank[shortlist] = _recall(
             exact, similarity.ivfpq_rerank_topk(emb, shortlist=shortlist).collect()
         )
         print(f"shortlist={shortlist}: ivfpq_rerank={rerank[shortlist]}", flush=True)
     out["curves"]["ivfpq_rerank_shortlist"] = rerank
+
+    # The registered adaptive operating point (r8 verdict #2): depth =
+    # max(50, ceil(n/20)) — record its depth and recall per SF so the
+    # cross-decade recall floor is a versioned artifact, not a claim.
+    n_vecs = emb.count()
+    depth = similarity.adaptive_shortlist_depth(n_vecs)
+    adaptive = _recall(
+        exact, similarity.ivfpq_rerank_topk(emb, shortlist=depth).collect()
+    )
+    out["ivfpq_rerank_adaptive"] = {
+        "n_vecs": n_vecs, "depth": depth, "recall": adaptive,
+    }
+    print(f"adaptive depth={depth} (n={n_vecs}): ivfpq_rerank={adaptive}", flush=True)
 
     # Merge per-SF so cross-scale curves accumulate (VERDICT r7 item 7):
     # top-level keys reflect the latest run, "by_sf" keeps every SF.

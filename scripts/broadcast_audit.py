@@ -97,6 +97,9 @@ SANCTIONED = {
     "(num_queries x shortlist id pairs) whose plan contains ivfpq's "
     "bounded query-side Generates — broadcasting the shortlist against "
     "the vector table is the operator's design",
+    "ann_ivfpq_rerank_adaptive": "same rerank topology as "
+    "ann_ivfpq_rerank_topk with the corpus-adaptive shortlist depth "
+    "(max(50, n/20) id pairs x num_queries — still tiny vs the corpus)",
 }
 
 
