@@ -531,29 +531,47 @@ _DCT_A = _dct_matrix()
 
 class _BitReader:
     """MSB-first bit reader over one entropy-coded segment (already
-    de-stuffed: 0xFF00 collapsed to 0xFF, markers stripped)."""
+    de-stuffed: 0xFF00 collapsed to 0xFF, markers stripped).
+
+    Absolute-bit-cursor design (r9 throughput pass, CODEC_THROUGHPUT.json:
+    the bit-at-a-time loop was ~55% of jpeg_decode): ``receive`` extracts
+    all ``nbits`` in one ``int.from_bytes`` window instead of a per-bit
+    loop, and ``peek16`` exposes a zero-padded 16-bit lookahead for the
+    LUT Huffman decoder. Error semantics are unchanged: any CONSUMED bit
+    past the end raises "entropy data exhausted" (padding is only ever
+    peeked, never consumed)."""
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
-        self.buf = 0
-        self.n = 0
+        self.nbits = len(data) * 8
+        self.bitpos = 0
 
     def read_bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("jpeg: entropy data exhausted")
-            self.buf = self.data[self.pos]
-            self.pos += 1
-            self.n = 8
-        self.n -= 1
-        return (self.buf >> self.n) & 1
+        p = self.bitpos
+        if p >= self.nbits:
+            raise ValueError("jpeg: entropy data exhausted")
+        self.bitpos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
 
     def receive(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            v = (v << 1) | self.read_bit()
-        return v
+        if nbits == 0:
+            return 0
+        p = self.bitpos
+        end = p + nbits
+        if end > self.nbits:
+            raise ValueError("jpeg: entropy data exhausted")
+        b1 = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[p >> 3 : b1], "big")
+        self.bitpos = end
+        return (chunk >> ((b1 << 3) - end)) & ((1 << nbits) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits, zero-padded past the end (lookahead only — the
+        caller bounds-checks before consuming)."""
+        p = self.bitpos
+        b0 = p >> 3
+        v = int.from_bytes(self.data[b0 : b0 + 3].ljust(3, b"\x00"), "big")
+        return (v >> (8 - (p & 7))) & 0xFFFF
 
 
 def _extend(v: int, nbits: int) -> int:
@@ -563,8 +581,27 @@ def _extend(v: int, nbits: int) -> int:
     return v if v >= (1 << (nbits - 1)) else v - (1 << nbits) + 1
 
 
-def _huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
-    """Canonical (length, code) -> symbol from a DHT BITS/HUFFVAL spec."""
+class _HuffTable:
+    """Canonical Huffman table: the (length, code) -> symbol dict plus a
+    65,536-entry 16-bit-prefix LUT (``lut[prefix] = (length << 8) | sym``,
+    0 = no code of length <= 16 is a prefix). The LUT turns the decode
+    into one peek + one array index; build cost is a handful of
+    vectorized slice fills per DHT segment."""
+
+    __slots__ = ("codes", "lut")
+
+    def __init__(self, codes: dict[tuple[int, int], int]):
+        self.codes = codes
+        lut = np.zeros(1 << 16, dtype=np.int32)
+        for (ln, code), sym in codes.items():
+            lo = code << (16 - ln)
+            lut[lo : lo + (1 << (16 - ln))] = (ln << 8) | sym
+        self.lut = lut
+
+
+def _huff_table(bits: list[int], vals: bytes) -> _HuffTable:
+    """Canonical (length, code) -> symbol table from a DHT BITS/HUFFVAL
+    spec, wrapped with its prefix LUT."""
     table, code, k = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
@@ -572,18 +609,23 @@ def _huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
             code += 1
             k += 1
         code <<= 1
-    return table
+    return _HuffTable(table)
 
 
-def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | reader.read_bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("jpeg: invalid Huffman code")
+def _huff_decode(reader: _BitReader, table: _HuffTable) -> int:
+    entry = int(table.lut[reader.peek16()])
+    ln = entry >> 8
+    if ln:
+        end = reader.bitpos + ln
+        if end > reader.nbits:
+            # The match needed padding bits — the bit-serial decoder would
+            # have run out of data mid-code.
+            raise ValueError("jpeg: entropy data exhausted")
+        reader.bitpos = end
+        return entry & 0xFF
+    if reader.bitpos + 16 <= reader.nbits:
+        raise ValueError("jpeg: invalid Huffman code")
+    raise ValueError("jpeg: entropy data exhausted")
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
@@ -742,6 +784,13 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     seg_idx = 0
     reader = _BitReader(scan["segs"][0])
     n_mcu = 0
+    # Entropy-decode into flat coefficient lists first, then dequantize +
+    # IDCT every component's blocks in ONE einsum (r9 throughput pass:
+    # per-block numpy — zeros/mul/reshape/two 8x8 matmuls — was ~35% of
+    # decode wall; the batched transform is bit-identical, same float64
+    # matmul per block, just n-at-a-time).
+    coefs: dict[int, list] = {c["id"]: [] for c in comps}
+    pos: dict[int, list] = {c["id"]: [] for c in comps}
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
@@ -754,10 +803,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 pred = {c["id"]: 0 for c in comps}
             for c in comps:
                 td, ta = scan["tables"][c["id"]]
-                q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int64)
+                        coef = [0] * 64
                         t = _huff_decode(reader, huff_dc[td])
                         pred[c["id"]] += _extend(reader.receive(t), t)
                         coef[0] = pred[c["id"]]
@@ -775,12 +823,25 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                                 raise ValueError("jpeg: AC index overflow")
                             coef[_ZZ[k]] = _extend(reader.receive(s), s)
                             k += 1
-                        block = (coef * q).reshape(8, 8).astype(np.float64)
-                        px = _DCT_A.T @ block @ _DCT_A + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+                        coefs[c["id"]].append(coef)
+                        pos[c["id"]].append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                        )
             n_mcu += 1
+
+    for c in comps:
+        cid = c["id"]
+        if not coefs[cid]:
+            continue
+        q = qt[c["tq"]].astype(np.float64)
+        blocks = (np.array(coefs[cid], dtype=np.int64) * q).reshape(-1, 8, 8)
+        # Same two pairwise matmuls as the old per-block path (matmul
+        # broadcasts over the leading axis), so the float contraction
+        # order per block is unchanged.
+        px = _DCT_A.T @ blocks.astype(np.float64) @ _DCT_A + 128.0
+        plane = planes[cid]
+        for i, (y0, x0) in enumerate(pos[cid]):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = px[i]
 
     return _planes_to_image(frame, planes)
 

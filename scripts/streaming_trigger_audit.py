@@ -75,6 +75,8 @@ def main() -> None:
         batches = list(progresses)  # every trigger counts, incl. 0-input ones
         trig = sum(p["durationMs"].get("triggerExecution", 0) for p in batches)
         add = sum(p["durationMs"].get("addBatch", 0) for p in batches)
+        rows_in = sum(int(p.get("numInputRows", 0)) for p in batches)
+        cores = spark.sparkContext.defaultParallelism
         rec = {
             "rows_out": n,
             "wall_sec": round(wall, 2),
@@ -83,6 +85,18 @@ def main() -> None:
             "addbatch_sec": round(add / 1000, 2),
             "trigger_overhead_sec": round((trig - add) / 1000, 2),
             "outside_stream_sec": round(wall - trig / 1000, 2),
+            # Executor-sizing figures (r8 verdict #8): input volume and
+            # throughput through the state path. rows_per_sec_per_core
+            # divides by the session width — the honest per-core number
+            # for the Python-boundary replays (running_totals keeps full
+            # width; the JVM-state replays are machinery-bound, where
+            # rows/s mostly measures the fixed per-trigger cost instead).
+            "input_rows": rows_in,
+            "rows_per_addbatch_sec": round(rows_in / (add / 1000), 0) if add else None,
+            "cores": cores,
+            "rows_per_sec_per_core": (
+                round(rows_in / (add / 1000) / cores, 1) if add else None
+            ),
         }
         out[name] = rec
         print(name, rec, flush=True)
