@@ -67,11 +67,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STARCAP_CAND_CTE = """
     fq AS (SELECT sh, COUNT(*) AS n, MIN(doc_id) AS smin FROM s GROUP BY sh),
+    -- Two-arm formulation so the star cap is STRUCTURALLY bounded in the
+    -- oracle engine, not dependent on filter pushdown: the single-join
+    -- form (s a JOIN fq JOIN s b WHERE n <= cap OR a = smin) left DuckDB
+    -- enumerating the full quadratic a x b fanout before filtering at
+    -- sf10 (51+ GB spill, the exact-oracle ENOSPC pattern). Arm 1 joins
+    -- only rare-shingle rows (cap in the JOIN condition); arm 2 is
+    -- fq x s (linear: one hub edge per hot-shingle occurrence). UNION
+    -- dedups; the candidate set is identical (verified row-equal at
+    -- sf0.01 against the single-join form).
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM s a JOIN fq z ON a.sh = z.sh
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN fq z ON a.sh = z.sh AND z.n <= 2
         JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        WHERE z.n <= 2 OR a.doc_id = z.smin
+        UNION
+        SELECT z.smin AS doc_a, b.doc_id AS doc_b
+        FROM fq z JOIN s b ON b.sh = z.sh AND b.doc_id > z.smin
+        WHERE z.n > 2
     ),
     common AS (
         SELECT doc_a, doc_b, count(*) AS common
