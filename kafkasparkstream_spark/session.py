@@ -22,6 +22,35 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _disable_thp_if_requested() -> None:
+    """Opt this process (and every child: JVM → worker daemon → workers)
+    out of transparent hugepages via ``prctl(PR_SET_THP_DISABLE)``.
+
+    Why: on this host THP runs in ``madvise`` mode with ``defrag =
+    madvise``, so a first touch of freshly mapped memory can enter
+    synchronous compaction — measured here at ~2.5 s per ~25 MB of numpy
+    temporaries (~400 µs/page) vs ~45 ms with THP disabled, a ~50×
+    penalty that made every Arrow-kernel worker's cold allocations the
+    dominant cost of the whole ANN/kNN query family. prctl is inherited
+    across fork AND execve, so setting it before the JVM spawns covers
+    the python workers without any per-worker hook.
+
+    Env-gated (SPARK_GRAFT_DISABLE_THP, default on): on hosts with
+    healthy hugepage behavior THP is usually a mild win for GEMM-heavy
+    kernels, so production deployments that manage THP at the OS level
+    (the normal practice) can flip it off.
+    """
+    if os.environ.get("SPARK_GRAFT_DISABLE_THP", "1") != "1":
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE = 41
+    except Exception:
+        pass  # non-glibc / non-Linux: nothing to do
+
+
 def get_spark(
     app_name: str = "kafkasparkstream-spark",
     master: str | None = None,
@@ -41,6 +70,31 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    # Worker daemon with numpy/pandas/pyarrow preloaded before fork: every
+    # Arrow-kernel worker starts warm instead of paying the import cost
+    # per worker process (see pydaemon.py; guide §4.5). The package must be
+    # importable by the daemon subprocess — exporting the repo root on
+    # PYTHONPATH covers the local/bench path where the driver found us via
+    # cwd; on a cluster the package ships like any other dependency.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_repo_root}{os.pathsep}{_pp}" if _pp else _repo_root
+        )
+    # glibc malloc tuning for the worker tree (inherited: driver → JVM →
+    # daemon → workers). Large numpy temporaries otherwise cycle through
+    # mmap/munmap + trim, paying a first-touch page fault per 4 KiB on
+    # every kernel invocation — measured at ~400 µs/page on this sandbox
+    # (3.5 s vs 17 ms for one elementwise pass over an 8 MB matrix; see
+    # pydaemon._prewarm). Keeping freed pages on the heap (TRIM -1) and
+    # large blocks off mmap makes every kernel call after the first reuse
+    # warm pages. Both are no-ops where faults are cheap, and the memory
+    # held is bounded by each worker's real peak working set.
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
+    _disable_thp_if_requested()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -50,6 +104,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.daemon.module", "kafkasparkstream_spark.pydaemon")
+        # Python workers are always co-resident with their executor; a unix
+        # domain socket skips the TCP/loopback stack for every Arrow batch
+        # (measured here: trivial 32-task mapInPandas round-trip 1.0 s →
+        # 0.5 s; biggest on sandboxes with virtualized netstacks).
+        .config("spark.python.unix.domain.socket.enabled", "true")
         # Driver-side hygiene for local mode; harmless on a cluster.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
