@@ -335,19 +335,23 @@ def _starcap_verified_common(
     capped candidate list is linear, so the verify joins ship each doc's
     array O(cap) times, not O(clique) times.
 
-    One keyed window pass tags each (doc, shingle) row with its shingle's
-    document frequency and min doc; the join hints mirror
+    Shingle stats (document frequency, min doc id) come from a grouped
+    aggregate joined back on the shingle key — NOT a window over the
+    exploded rows: WindowExec must SORT every partition even though these
+    window functions are order-free, while the map-side-combined agg
+    shuffles one row per distinct shingle and the join back reuses the
+    same hash partitioning (the r5 `duplicated_span` lesson, 8.1 → 1.6 s
+    at sf1.0; measured again here: interleaved A/B at sf0.1 below in
+    OPTIMIZATION_r09.md). The join hints mirror
     :func:`_prefix_verified_common`'s measured rationale (both join sides
     are fact-sized and flow through unmaterialized caches, so Catalyst's
     static estimator would broadcast them; merge for the hot-keyed shingle
     join so skew spills instead of OOMing an SHJ build)."""
-    from pyspark.sql.window import Window
-
     sh = arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
-    ws = Window.partitionBy("shingle")
-    tagged = sh.withColumn("_df", F.count(F.lit(1)).over(ws)).withColumn(
-        "_smin", F.min(id_col).over(ws)
+    stats = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df"), F.min(id_col).alias("_smin")
     )
+    tagged = sh.join(stats.hint("shuffle_hash"), "shingle")
     left = tagged.filter(
         (F.col("_df") <= max_shingle_freq) | (F.col(id_col) == F.col("_smin"))
     ).select(F.col(id_col), "shingle")
@@ -574,6 +578,12 @@ def minhash_lsh_pairs(
         # Hot-bucket cap: one keyed window pass tags each bucket row with
         # its bucket size and min id; oversized buckets contribute only
         # star edges (probe side restricted to the bucket's min doc).
+        # Deliberately a WINDOW, unlike _starcap_verified_common's
+        # agg+join: here the input is docs×bands rows (not the exploded
+        # shingle fact table), per-partition sorts are small, and an
+        # interleaved sf1.0 A/B measured the agg+join variant a wash
+        # (mins 7.8 s window vs 10.5 s agg+join) — so the plan the r8
+        # full-sf10 hash-exact run pinned stays (OPTIMIZATION_r09.md).
         from pyspark.sql.window import Window
 
         wb = Window.partitionBy("band", "bucket")
