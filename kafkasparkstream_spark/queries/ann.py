@@ -1069,12 +1069,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth), so the recall arithmetic itself is gate-checked, not
     just asserted in tests. All four method results are k x queries rows;
     the intersections are tiny joins."""
+    from kafkasparkstream_spark.util import fanout
+
     emb = load_table(spark, "embeddings", sf_dir)
+    # ONE scan + ONE round-robin fanout shared by every arm (r9): the table
+    # has 7 consumers (exact ground truth + 6 approximate indexes), and each
+    # previously re-scanned the parquet and paid its own fanout exchange.
+    # The lazy localCheckpoint materializes on the first arm's job; every
+    # later arm reads the cached blocks. At 100 TB this is the §5 cache
+    # trade done right: 7 consumers, recompute = a full table scan each.
+    base = fanout(emb.select("vec_id", "embedding")).localCheckpoint(eager=False)
     # Barrier: `exact` has |methods|+1 consumers (one intersection join per
     # method + the possible-count) and each would re-execute the GEMM
     # kernel (recompute audit flagged 6 evaluations).
     exact = (
-        similarity.brute_force_topk(emb)
+        similarity.brute_force_topk(base)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
@@ -1082,14 +1091,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10 ranks ARE ivfpq_topk(k=10) (same ADC window order), and the rerank
     # arm re-scores the same shortlist — barriered so the kernel executes
     # once (recompute_audit r8: was 2x).
-    short50 = similarity.ivfpq_topk(emb, k=50).localCheckpoint(eager=False)
+    short50 = similarity.ivfpq_topk(base, k=50).localCheckpoint(eager=False)
     methods = {
-        "ivf": similarity.ivf_topk(emb),
+        "ivf": similarity.ivf_topk(base),
         "ivfpq": short50.filter(F.col("rnk") <= 10),
-        "ivfpq_rerank": similarity.ivfpq_rerank_topk(emb, shortlist_df=short50),
-        "lsh": similarity.lsh_bucketed_topk(emb),
-        "lsh_multiprobe": similarity.lsh_multiprobe_topk(emb),
-        "quantized": similarity.quantized_topk(emb),
+        "ivfpq_rerank": similarity.ivfpq_rerank_topk(base, shortlist_df=short50),
+        "lsh": similarity.lsh_bucketed_topk(base),
+        "lsh_multiprobe": similarity.lsh_multiprobe_topk(base),
+        "quantized": similarity.quantized_topk(base),
     }
     possible = exact.agg(F.count(F.lit(1)).alias("n_possible"))
     parts = []
