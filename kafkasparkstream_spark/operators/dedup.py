@@ -852,25 +852,26 @@ def connected_components(
         )
         # Rolling localCheckpoint (not persist): truncates the per-round
         # lineage so round k's plan doesn't nest k joins deep (same trick
-        # as graph.pagerank). The checkpointer keeps the previous round
-        # readable (history=1) because the changed-count below still joins
-        # new vs old AFTER stepping; older rounds' blocks are freed.
+        # as graph.pagerank). The convergence check is FOLDED into the
+        # round: the min-agg joins back the previous label (both sides
+        # share the graph_parts hash partitioning on u — no extra
+        # exchange) and the changed-count aggregate is the action that
+        # materializes the lazy checkpoint — ONE job per round instead of
+        # a materialize job plus a separate new-vs-old count join (r9;
+        # the checkpointer's history=1 keeps round k-1's blocks alive
+        # while round k materializes from them).
         new_labels_plan = (
             labels.select("u", "lbl")
             .union(neighbor)
             .repartition(graph_parts, "u")
             .groupBy("u")
             .agg(F.min("lbl").alias("lbl"))
+            .join(labels.select("u", F.col("lbl").alias("_old")), "u")
         )
-        new_labels = ck.step(new_labels_plan)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        stepped = ck.step(new_labels_plan, eager=False)
+        changed = stepped.filter(F.col("lbl") != F.col("_old")).count()
         labels.unpersist()  # frees only round 0's persist; later rounds are
-        labels = new_labels  # checkpoint blocks, freed by ck.step()
+        labels = stepped.select("u", "lbl")  # checkpoint blocks, freed by ck.step()
         if changed == 0:
             break
     edges.unpersist()

@@ -44,7 +44,9 @@ def free_rdd_ids(sc, ids) -> None:
                 pass
 
 
-def checkpoint_tracked(df: DataFrame, reliable: bool = False) -> tuple[DataFrame, set]:
+def checkpoint_tracked(
+    df: DataFrame, reliable: bool = False, eager: bool = True
+) -> tuple[DataFrame, set]:
     """``localCheckpoint`` + the ids of the blocks it pinned, so callers can
     free them deterministically (``Dataset.unpersist`` is a no-op for
     checkpoint blocks — they otherwise live until driver GC).
@@ -61,6 +63,13 @@ def checkpoint_tracked(df: DataFrame, reliable: bool = False) -> tuple[DataFrame
     Not safe under concurrent checkpoint activity on the same session (the
     id set is computed by before/after diff); the iterative operators using
     this run their loops synchronously.
+
+    ``eager=False`` defers materialization to the caller's next action on
+    the returned frame (``RDD.persist`` registers the block ids immediately,
+    so the tracked free-set is complete either way) — lets an iterative loop
+    fold its convergence-check aggregate into the materialization job
+    instead of paying a separate job per round. Local mode only (reliable
+    checkpoints stay eager).
     """
     sc = df.sparkSession.sparkContext
     if reliable:
@@ -71,7 +80,7 @@ def checkpoint_tracked(df: DataFrame, reliable: bool = False) -> tuple[DataFrame
             )
         return df.checkpoint(eager=True), set()
     before = _persistent_ids(sc)
-    out = df.localCheckpoint()
+    out = df.localCheckpoint(eager=eager)
     return out, _persistent_ids(sc) - before
 
 
@@ -96,8 +105,11 @@ class LocalCheckpointer:
         self._history = max(1, history)
         self._reliable = reliable
 
-    def step(self, df: DataFrame) -> DataFrame:
-        out, new = checkpoint_tracked(df, reliable=self._reliable)
+    def step(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        # eager=False: the caller's next action materializes the round —
+        # safe with the free ladder because round k's truncated lineage
+        # reads only round k-1's blocks, which history >= 1 keeps alive.
+        out, new = checkpoint_tracked(df, reliable=self._reliable, eager=eager)
         self._past.append(new)
         while len(self._past) > self._history + 1:
             free_rdd_ids(self._sc, self._past.pop(0))  # superseded, unread
