@@ -1185,9 +1185,14 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text", merges: int = 10) ->
     tokens). Each merge round is then vocabulary-sized work: explode
     adjacent symbol pairs weighted by type frequency, aggregate, and pull
     exactly ONE row (the argmax pair) to the driver — never the table.
-    The merge itself is a left-fold over each word's symbol array (greedy
-    leftmost-first, the BPE contract: on "aaa" with rule (a,a) the fold
-    yields [aa, a]). Ten rounds = ten vocab-sized jobs with plans kept
+    The word state is the armored symbol STRING (see
+    :func:`_bpe_merge_replace`) and each merge is one codegen'd ``replace``
+    whose left-to-right non-overlapping scan IS the greedy leftmost-first
+    BPE contract (on "aaa" with rule (a,a) it yields [aa, a]); an
+    interpreted ``F.aggregate`` left fold computed the same thing with
+    O(len²) array copies per word (r9 A/B: new wins 8/8 order-alternated
+    reps at sf0.1, med 2.64 → 2.42 s, exact merge-table parity at
+    sf0.01/sf0.1). Ten rounds = ten vocab-sized jobs with plans kept
     flat by a per-round persist/unpersist ladder.
 
     Ties break (count DESC, pair ASC) so the learned table is
@@ -1198,11 +1203,10 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text", merges: int = 10) ->
         df.select(F.explode(tokens_col(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        # split into single characters: zero-width split at INTERIOR
-        # positions only ((?!^)(?!$)) — a bare (?!^) also matches the
-        # end-of-string position and leaves a phantom '' symbol that would
-        # then win merges
-        .select(F.col("freq"), F.split(F.col("w"), "(?!^)(?!$)").alias("syms"))
+        # char-split start state ((?!^)(?!$) interior-only split — a bare
+        # (?!^) also matches end-of-string and leaves a phantom '' symbol
+        # that would then win merges), armored as the two-space string
+        .select(F.col("freq"), _bpe_armor(F.col("w")).alias("s"))
         .persist()
     )
     learned: list[tuple[int, str, str, int]] = []
@@ -1214,14 +1218,15 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text", merges: int = 10) ->
     prev: DataFrame | None = None
     for rank in range(1, merges + 1):
         pairs = (
-            words.select(
+            words.select("freq", F.split(F.trim("s"), _BPE_SEP2).alias("_sy"))
+            .select(
                 "freq",
                 F.explode(
                     F.when(
-                        F.size("syms") >= 2,
+                        F.size("_sy") >= 2,
                         F.zip_with(
-                            F.slice("syms", 1, F.size("syms") - 1),
-                            F.slice("syms", 2, F.size("syms") - 1),
+                            F.slice("_sy", 1, F.size("_sy") - 1),
+                            F.slice("_sy", 2, F.size("_sy") - 1),
                             lambda a, b: F.concat(a, F.lit(sep), b),
                         ),
                     ).otherwise(F.array().cast("array<string>"))
@@ -1238,24 +1243,8 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text", merges: int = 10) ->
             break
         left, right = top[0]["pair"].split(sep, 1)
         learned.append((rank, left, right, int(top[0]["cnt"])))
-        merged_sym = left + right
-        # Greedy leftmost-first merge as a left fold over the symbol array:
-        # append, unless the accumulator's tail is `left` and the incoming
-        # symbol is `right` — then replace the tail with the merged symbol.
         nxt = words.select(
-            "freq",
-            F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) >= 1)
-                    & (F.element_at(acc, -1) == F.lit(left))
-                    & (s == F.lit(right)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged_sym))
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ).alias("syms"),
+            "freq", _bpe_merge_replace(F.col("s"), left, right).alias("s")
         ).persist()
         prev, words = words, nxt
     words.unpersist()
