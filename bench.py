@@ -14,9 +14,13 @@ abbreviated with the deterministic token dictionary below (``ann_cosine_topk``
 -> ``ann_cos_topk``).  The full-fidelity record is written to
 ``BENCH_DETAIL.json`` (full names, 4-decimal timings) and the short->full
 mapping to ``BENCH_KEYS.json``, both in the repo root; per-query lines with
-full names also go to stderr.  If the registry grows so large that even the
-abbreviated line exceeds the window, precision degrades 3dp -> 2dp and then
-keys are prefix-truncated (with numeric disambiguation) until it fits —
+full names also go to stderr.  The short-key assignment is FROZEN from round
+10 on (VERDICT r9 #3): a committed ``BENCH_KEYS.json`` is reused verbatim so
+keys never change meaning between rounds, new queries mint keys from the
+unused pool, and retired keys are never recycled.  Precision is uniform when
+it fits; otherwise whole seconds everywhere with the slowest cells upgraded
+to 2dp inside the byte budget (VERDICT r9 #7).  Without a frozen map the
+legacy degradation applies: 3dp -> 2dp, then prefix-truncated keys —
 correctness of the *set* of timings is never sacrificed, only key length.
 
 Notes:
@@ -105,20 +109,116 @@ def _disambiguate(keys: list[str]) -> dict[str, str]:
     return out
 
 
+def _load_frozen_keys() -> dict[str, str]:
+    """full -> short from the committed BENCH_KEYS.json (short -> full).
+
+    Round 9 lesson (VERDICT r9 #3): the short keys were re-minted every run
+    with a width that adapts to the registry size, so the driver's literal
+    key join between rounds matched nothing when the width changed (3 -> 2
+    chars at 228 queries). The assignment is now FROZEN: keys recorded in
+    BENCH_KEYS.json are reused verbatim and new queries mint keys from the
+    unused pool, so a key never changes meaning across rounds.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_KEYS.json")) as f:
+            short_to_full = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(short_to_full, dict):
+        return {}
+    out: dict[str, str] = {}
+    for s, full in short_to_full.items():
+        if isinstance(s, str) and isinstance(full, str) and full not in out:
+            out[full] = s
+    return out
+
+
+def _stable_keymap(names: list[str], frozen: dict[str, str]) -> dict[str, str]:
+    """Assign every name its frozen key; mint pool keys only for new names.
+
+    Keys of retired names stay RESERVED (never recycled for a different
+    query) so a driver joining by key can never alias two queries.
+    """
+    import itertools
+    import string
+
+    used = set(frozen.values())
+    out: dict[str, str] = {}
+    alphabet = string.ascii_lowercase + string.digits
+    width = max((len(k) for k in frozen.values()), default=2)
+
+    def pool_gen():
+        for w in range(width, len(alphabet)):
+            for p in itertools.product(alphabet, repeat=w):
+                yield "".join(p)
+
+    pool = pool_gen()
+    for n in names:
+        if n in frozen:
+            out[n] = frozen[n]
+            continue
+        c = short_name(n)[:width]
+        if c in used:
+            c = next(p for p in pool if p not in used)
+        used.add(c)
+        out[n] = c
+    return out
+
+
 def _fit_line(timings: dict[str, float], total: float, sf) -> tuple[str, dict[str, str]]:
     """Build the stdout JSON line under STDOUT_BUDGET bytes.
 
-    Degrades gracefully: abbreviated keys at 3dp -> 2dp -> prefix-truncated
-    keys. Returns (line, short->full mapping).
+    With a committed BENCH_KEYS.json the key assignment is frozen (stable
+    across rounds); precision is uniform if it fits, otherwise mixed — every
+    cell gets whole seconds and the slowest cells are upgraded to 2dp while
+    the byte budget allows (VERDICT r9 #7: integer-second quantization made
+    the 8-vs-32-core scaling probe unreadable for sub-second cells; spending
+    the slack on the heavy cells keeps the probe meaningful where it matters).
+    Without a frozen map it degrades as before: abbreviated keys at
+    3dp -> 2dp -> prefix-truncated keys. Returns (line, short->full mapping).
     """
     names = sorted(timings)
-    mapping = _disambiguate(names)
+    frozen = _load_frozen_keys()
 
     def _num(t: float, dp: int):
         """Minimal JSON number at dp decimals: 2.0 -> 2 (same parsed value,
         2 fewer bytes — ~10% of rounded timings land on a whole second)."""
         v = round(t, dp)
         return int(v) if v == int(v) else v
+
+    def build_line(q: dict) -> str:
+        return json.dumps(
+            {"metric": "total_query_sec", "value": round(total, 3),
+             "unit": "sec", "sf": sf, "queries": q},
+            separators=(",", ":"),
+        )
+
+    if frozen:
+        keymap = _stable_keymap(names, frozen)
+        # Uniform precision first.
+        for dp in (3, 2, 1):
+            line = build_line({keymap[n]: _num(timings[n], dp) for n in names})
+            if len(line) <= STDOUT_BUDGET:
+                return line, {v: k for k, v in keymap.items()}
+        # Mixed precision: whole seconds everywhere, then upgrade the
+        # slowest cells to 2dp greedily while the budget allows.
+        dps = {n: 0 for n in names}
+        line = build_line({keymap[n]: _num(timings[n], dps[n]) for n in names})
+        if len(line) <= STDOUT_BUDGET:
+            for n in sorted(names, key=lambda n: -timings[n]):
+                dps[n] = 2
+                cand = build_line(
+                    {keymap[m]: _num(timings[m], dps[m]) for m in names})
+                if len(cand) <= STDOUT_BUDGET:
+                    line = cand
+                else:
+                    dps[n] = 0
+            return line, {v: k for k, v in keymap.items()}
+        # Frozen keys cannot fit even at whole seconds (registry grew a
+        # lot): fall through to the legacy degradation path below.
+
+    mapping = _disambiguate(names)
 
     def build(keymap: dict[str, str], dp: int) -> str:
         q = {keymap[n]: _num(timings[n], dp) for n in names}
