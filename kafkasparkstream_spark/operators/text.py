@@ -1197,16 +1197,37 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text", merges: int = 10) ->
 
     Ties break (count DESC, pair ASC) so the learned table is
     deterministic on any engine and partitioning.
+
+    Precondition (armored-string encoding): word types must contain no
+    0x20 space — guaranteed here because ``tokens_col`` splits on
+    whitespace; a caller feeding tokens from a different tokenizer must
+    re-establish it or merges would silently corrupt.
     """
-    sep = " "  # never appears inside whitespace-tokenized symbols
-    words = (
+    types = (
         df.select(F.explode(tokens_col(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    learned = _bpe_train_from_types(types, merges)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        learned, "rank int, left string, right string, pair_count bigint"
+    ).orderBy("rank")
+
+
+def _bpe_train_from_types(types: DataFrame, merges: int) -> list[tuple[int, str, str, int]]:
+    """BPE merge loop over a prepared word-TYPE frequency table
+    ``(w, freq)`` — factored out of :func:`bpe_train_merges` so
+    :func:`bpe_encode_stats` can feed it the type table derived from its
+    own (lang, token) rollup instead of paying a second full corpus
+    explode+aggregate (r10: the corpus collapses to the vocabulary ONCE;
+    at 100 TB that is one corpus pass saved per fertility report)."""
+    sep = " "  # never appears inside whitespace-tokenized symbols
+    words = (
         # char-split start state ((?!^)(?!$) interior-only split — a bare
         # (?!^) also matches end-of-string and leaves a phantom '' symbol
         # that would then win merges), armored as the two-space string
-        .select(F.col("freq"), _bpe_armor(F.col("w")).alias("s"))
+        types.select(F.col("freq"), _bpe_armor(F.col("w")).alias("s"))
         .persist()
     )
     learned: list[tuple[int, str, str, int]] = []
@@ -1250,10 +1271,7 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text", merges: int = 10) ->
     words.unpersist()
     if prev is not None:
         prev.unpersist()
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        learned, "rank int, left string, right string, pair_count bigint"
-    ).orderBy("rank")
+    return learned
 
 
 def quality_logreg_fit(
@@ -1429,17 +1447,32 @@ def bpe_encode_stats(
     string and run through the learned merges ONCE as chained codegen'd
     ``replace`` calls (see :func:`_bpe_merge_replace`), then broadcast-joined
     back to the Zipfian (lang, token, count) rollup. The corpus pays exactly
-    one explode + map-side-combined aggregate; the merges touch |vocab| rows.
+    ONE explode + map-side-combined aggregate in the whole query (r10):
+    the trainer's word-frequency table is derived from the persisted
+    (lang, token, count) rollup by a vocab-sized re-aggregate
+    (sum over lang == the corpus token count) instead of a second full
+    corpus pass; the merges touch |vocab| rows. Same precondition as
+    :func:`bpe_train_merges`: tokens are whitespace-split, so no symbol
+    can contain the armoring space.
     """
-    learned = [
-        (r["left"], r["right"])
-        for r in bpe_train_merges(df, text_col, merges).collect()  # k-row pull
-    ]
     tl = (
         df.select("lang", F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # Lazy checkpoint, NOT persist: three consumers (trainer word-freq
+        # derivation, the type-table distinct, the final fertility rollup)
+        # share one materialization, and the RDD grain means a repeated
+        # invocation re-executes from parquet instead of silently hitting
+        # the CacheManager's plan-matched cache from a previous run (the
+        # module-wide convention for multi-consumer barriers; blocks are
+        # freed by the session's between-queries deep_release).
+        .localCheckpoint(eager=False)
     )
+    types_freq = tl.groupBy(F.col("tok").alias("w")).agg(F.sum("cnt").alias("freq"))
+    learned = [
+        (left, right) for _rank, left, right, _cnt in
+        _bpe_train_from_types(types_freq, merges)  # k-row pull
+    ]
     s = _bpe_armor(F.col("tok"))
     for left, right in learned:
         s = _bpe_merge_replace(s, left, right)
