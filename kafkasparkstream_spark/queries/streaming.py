@@ -110,34 +110,40 @@ def _clamped_shuffle_partitions(spark: SparkSession, cap: int = 8, rows: int | N
 
 
 def _drain_sink(spark, q, sink: str, n_rows: int, timeout_s: float = 120.0) -> bool:
-    """Poll a parquet sink until it holds ``n_rows`` rows, the query dies,
-    or the deadline passes; then stop the query and re-check the SETTLED
-    sink (the final rows can land in the last poll gap). Fast-fails when
-    the query terminates early — awaitTermination surfaces its error.
-    Returns whether the sink drained; shared by the stream-source query
-    and its pytest twin so the drain logic cannot drift."""
+    """Wait until the bounded stream has committed ``n_rows`` rows into the
+    parquet sink, then stop the query and verify the SETTLED sink.
+
+    Progress is polled DRIVER-SIDE from the query's streaming progress
+    events (cumulative ``numInputRows`` per batchId) — the previous
+    implementation launched a ``read.parquet(sink).count()`` Spark job
+    every 0.5 s, and those poll jobs competed with the micro-batches they
+    were waiting on (guide §1.2: don't compute things you throw away).
+    A progress event is emitted only after its batch commits, so rows
+    counted here are already visible in the sink; the settled-sink count
+    after ``stop()`` remains the single authoritative check. Fast-fails
+    when the query terminates early — awaitTermination surfaces its
+    error. Returns whether the sink drained; shared by the stream-source
+    query and its pytest twin so the drain logic cannot drift."""
+    import json as _json
     import time as _t
 
     deadline = _t.time() + timeout_s
-    drained = False
+    seen: dict[int, int] = {}  # batchId -> numInputRows (eviction-proof sum)
     while _t.time() < deadline:
         if not q.isActive:
             break
-        try:
-            if spark.read.parquet(sink).count() >= n_rows:
-                drained = True
-                break
-        except Exception:
-            pass  # sink dir not created yet on the first probes
-        _t.sleep(0.5)
+        for p in q.recentProgress:
+            d = _json.loads(p.json) if hasattr(p, "json") else p
+            seen[d["batchId"]] = int(d.get("numInputRows", 0) or 0)
+        if sum(seen.values()) >= n_rows:
+            break
+        _t.sleep(0.1)
     q.stop()
     q.awaitTermination()
-    if not drained:
-        try:
-            drained = spark.read.parquet(sink).count() >= n_rows
-        except Exception:
-            drained = False
-    return drained
+    try:
+        return spark.read.parquet(sink).count() >= n_rows
+    except Exception:
+        return False
 
 
 def _wire_with_flush_sentinel(
