@@ -70,9 +70,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    # Sum of token lengths == length of the separator-less concat — a
+    # whole-stage-codegen intrinsic instead of an interpreted ArrayAggregate
+    # fold (CodegenFallback island splitting the projection's codegen span);
+    # exact integer arithmetic either way, so the 4dp round is bit-identical.
     avg_len = F.round(
-        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
-        / n,
+        F.length(F.concat_ws("", toks)).cast("double") / n,
         4,
     )
     stop_ratio = F.round(n_stop / n, 4)
