@@ -350,10 +350,20 @@ def main() -> None:
     # Full-fidelity record for humans/judges; the stdout line is the driver's.
     here = os.path.dirname(os.path.abspath(__file__))
     try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=here,
+            capture_output=True, text=True,
+        ).stdout.strip() or None
+    except Exception:
+        sha = None
+    try:
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
             json.dump(
                 {"metric": "total_query_sec", "value": round(total, 4),
-                 "unit": "sec", "sf": sf, "queries": timings},
+                 "unit": "sec", "sf": sf, "git_sha": sha,
+                 "queries": timings},
                 f, indent=1, sort_keys=True,
             )
         with open(os.path.join(here, "BENCH_KEYS.json"), "w") as f:
