@@ -54,6 +54,28 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_col(text_col: str = "text") -> Column:
+    """The composite quality score as a pure COLUMN expression (the same
+    4dp value ``quality_score`` emits). Exists so consumers that need
+    quality next to other columns of the same row (training pipeline,
+    weighted sampling) can compute it inline in their scan projection
+    instead of calling :func:`quality_score` and self-joining the corpus
+    back on doc_id — the join re-scans the fact table and pays an
+    exchange for a value that is a per-row function of ``text_col``
+    (guide §2.4: remove shuffles outright)."""
+    toks = tokens_col(text_col)
+    sw = F.array([F.lit(w) for w in QUALITY_STOPWORDS])
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.round(
+        F.least(n / F.lit(64.0), F.lit(1.0))
+        * (F.lit(0.5) + F.lit(0.5) * F.least(n_stop / F.greatest(n * F.lit(0.05), F.lit(1.0)), F.lit(1.0)))
+        * (n_uniq / n),
+        4,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals per document.
 
@@ -63,7 +85,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``uniq_ratio`` — near-1.0 means no repetition; near-0 means boilerplate
     - ``quality`` — composite in [0,1]: diversity × stopword presence × a
       length band, a rough analog of published heuristic filters (e.g. C4's
-      length/stopword rules).
+      length/stopword rules). Needed standalone? :func:`quality_col` is the
+      same value as a column expression.
     """
     toks = tokens_col(text_col)
     sw = F.array([F.lit(w) for w in QUALITY_STOPWORDS])
@@ -80,12 +103,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     stop_ratio = F.round(n_stop / n, 4)
     uniq_ratio = F.round(n_uniq / n, 4)
-    quality = F.round(
-        F.least(n / F.lit(64.0), F.lit(1.0))
-        * (F.lit(0.5) + F.lit(0.5) * F.least(n_stop / F.greatest(n * F.lit(0.05), F.lit(1.0)), F.lit(1.0)))
-        * (n_uniq / n),
-        4,
-    )
+    quality = quality_col(text_col)
     return df.select(
         "doc_id",
         n.alias("n_tokens"),

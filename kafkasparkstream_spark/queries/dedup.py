@@ -457,17 +457,30 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized-content hash) → MinHash near-dup drop → deterministic
     train/val/test split → per-split stats. Every stage is an operator from
     this package composed declaratively — Catalyst fuses and optimizes the
-    whole thing end to end."""
+    whole thing end to end.
+
+    Plan shape (r10): quality is computed INLINE in the scan projection
+    (a per-row function of text — the old quality_score self-join re-read
+    the corpus and paid an exchange for it, guide §2.4); the exact-dedup
+    keeper join probes with ``kept`` directly (the old probe side was
+    ``norm``, re-running the regex normalization only to drop it); and the
+    metadata-sized keeper id table sits behind a lazy localCheckpoint so
+    the two kd consumers (LSH pair-gen, final stats) don't re-run the
+    normalize+aggregate subtree. 9 corpus scans → 3."""
     from kafkasparkstream_spark.operators import sampling as sampling_ops
 
     docs = load_table(spark, "documents", sf_dir)
-    q = text_ops.quality_score(docs).select("doc_id", "quality")
-    kept = docs.join(q, "doc_id").filter(F.col("quality") >= 0.25)
+    kept = docs.select(
+        "doc_id", "text", text_ops.quality_col("text").alias("quality")
+    ).filter(F.col("quality") >= 0.25)
     norm = kept.withColumn("norm_text", text_ops.normalize_text_col("text"))
-    keepers = norm.groupBy(F.md5(F.col("norm_text").cast("binary")).alias("_h")).agg(
-        F.min("doc_id").alias("doc_id")
+    keepers = (
+        norm.groupBy(F.md5(F.col("norm_text").cast("binary")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
     )
-    kd = norm.join(keepers.select("doc_id"), "doc_id").select("doc_id", "text", "quality")
+    kd = kept.join(keepers, "doc_id").select("doc_id", "text", "quality")
     # Pair-grain victim set (doc_b side of every verified pair) → explicit
     # all-pairs mode so the oracle's pair enumeration stays the contract.
     pairs = dedup.minhash_lsh_pairs(

@@ -821,8 +821,12 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkasparkstream_spark.operators import sampling as sampling_ops
 
     docs = load_table(spark, "documents", sf_dir)
-    q = text_ops.quality_score(docs).select("doc_id", "quality")
-    with_lang = docs.select("doc_id", "lang").join(q, "doc_id")
+    # quality inline in the scan projection — the old quality_score
+    # self-join re-scanned the corpus and paid an exchange for a per-row
+    # function of text (guide §2.4).
+    with_lang = docs.select(
+        "doc_id", "lang", text_ops.quality_col("text").alias("quality")
+    )
     return sampling_ops.quality_weighted_sample(with_lang)
 
 
