@@ -52,8 +52,13 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def _tracked_checkpoint(df: DataFrame) -> DataFrame:
-    out, ids = checkpoint_tracked(df)
+def _tracked_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint registered with the release ledger — callers outside
+    dedup (e.g. ann_recall_report's shared base) use this instead of a raw
+    ``localCheckpoint`` so :func:`release_caches` can free the blocks
+    deterministically (ADVICE r9: raw checkpoint blocks otherwise live
+    until driver GC in sessions that never call deep_release)."""
+    out, ids = checkpoint_tracked(df, eager=eager)
     _LIVE_CHECKPOINT_IDS.append((df.sparkSession.sparkContext, ids))
     return out
 

@@ -1069,6 +1069,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth), so the recall arithmetic itself is gate-checked, not
     just asserted in tests. All four method results are k x queries rows;
     the intersections are tiny joins."""
+    from kafkasparkstream_spark.operators.dedup import _tracked_checkpoint
     from kafkasparkstream_spark.util import fanout
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1078,20 +1079,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The lazy localCheckpoint materializes on the first arm's job; every
     # later arm reads the cached blocks. At 100 TB this is the §5 cache
     # trade done right: 7 consumers, recompute = a full table scan each.
-    base = fanout(emb.select("vec_id", "embedding")).localCheckpoint(eager=False)
+    # Tracked (r10, ADVICE r9 #1): release_caches/deep_release frees these
+    # table-sized blocks deterministically once the report is consumed.
+    base = _tracked_checkpoint(fanout(emb.select("vec_id", "embedding")), eager=False)
     # Barrier: `exact` has |methods|+1 consumers (one intersection join per
     # method + the possible-count) and each would re-execute the GEMM
     # kernel (recompute audit flagged 6 evaluations).
-    exact = (
-        similarity.brute_force_topk(base)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+    exact = _tracked_checkpoint(
+        similarity.brute_force_topk(base).select("query_id", "neighbor_id"),
+        eager=False,
     )
     # One PQ kernel run for both ivfpq arms: the 50-deep shortlist's first
     # 10 ranks ARE ivfpq_topk(k=10) (same ADC window order), and the rerank
     # arm re-scores the same shortlist — barriered so the kernel executes
     # once (recompute_audit r8: was 2x).
-    short50 = similarity.ivfpq_topk(base, k=50).localCheckpoint(eager=False)
+    short50 = _tracked_checkpoint(similarity.ivfpq_topk(base, k=50), eager=False)
     methods = {
         "ivf": similarity.ivf_topk(base),
         "ivfpq": short50.filter(F.col("rnk") <= 10),
